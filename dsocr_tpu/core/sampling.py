@@ -1,0 +1,297 @@
+"""Token selection: repetition penalty, no-repeat-ngram ban, top-k/top-p,
+greedy argmax with torch-style first-index tie-break.
+
+Behavior parity with ``crates/core/src/sampling.rs:34-256``. Two
+implementations:
+
+- host (NumPy): the executable spec, used by tests and by CPU-side tools.
+- device (JAX): jittable ops over fixed-shape buffers, used inside the
+  TPU decode loop so logits never leave the device
+  (the reference pulls logits to the CPU every token —
+  ``core/src/sampling.rs:40-43`` — which we explicitly avoid).
+
+Sampling randomness differs between the two (StdRng vs threefry); greedy
+decoding (the parity-gated path) is identical.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Protocol, Sequence
+
+import numpy as np
+
+
+class TokenSelectionParams(Protocol):
+    do_sample: bool
+    temperature: float
+    top_p: Optional[float]
+    top_k: Optional[int]
+    repetition_penalty: float
+    no_repeat_ngram_size: Optional[int]
+
+
+# ---------------------------------------------------------------------------
+# Host (NumPy) implementation — executable spec
+# ---------------------------------------------------------------------------
+
+
+def apply_repetition_penalty_host(
+    scores: np.ndarray, context: Sequence[int], penalty: float
+) -> None:
+    """In-place: seen-token scores divided (if >0) or multiplied (if <=0)."""
+    if penalty <= 0.0 or abs(penalty - 1.0) <= np.finfo(np.float32).eps:
+        return
+    penalty = max(penalty, np.finfo(np.float32).tiny)
+    seen = set()
+    for token in context:
+        idx = int(token)
+        if 0 <= idx < scores.shape[0] and idx not in seen:
+            seen.add(idx)
+            if scores[idx] > 0.0:
+                scores[idx] /= penalty
+            else:
+                scores[idx] *= penalty
+
+
+def banned_ngram_tokens_host(sequence: Sequence[int], ngram: int) -> set:
+    """Tokens that would complete an already-seen ngram at the current
+    position (HF no_repeat_ngram semantics)."""
+    banned: set = set()
+    seq = list(sequence)
+    if ngram <= 1 or len(seq) < ngram - 1:
+        return banned
+    history: dict = {}
+    for i in range(len(seq) - ngram + 1):
+        window = seq[i : i + ngram]
+        prefix = tuple(window[: ngram - 1])
+        history.setdefault(prefix, set()).add(window[ngram - 1])
+    prefix = tuple(seq[len(seq) - (ngram - 1) :])
+    if prefix in history:
+        banned |= history[prefix]
+    return banned
+
+
+def _argmax_first_tie(values: np.ndarray) -> Optional[int]:
+    """First-index argmax over finite values; None if none are finite."""
+    finite = np.isfinite(values)
+    if not finite.any():
+        return None
+    masked = np.where(finite, values, -np.inf)
+    return int(np.argmax(masked))
+
+
+def _apply_top_k_host(logits: np.ndarray, top_k: int) -> None:
+    finite_idx = np.flatnonzero(np.isfinite(logits))
+    if top_k == 0 or finite_idx.size <= top_k:
+        return
+    # Stable sort descending by value; drop everything past the k-th.
+    order = finite_idx[np.argsort(-logits[finite_idx], kind="stable")]
+    logits[order[top_k:]] = -np.inf
+
+
+def _apply_top_p_host(logits: np.ndarray, top_p: float) -> None:
+    if not (0.0 <= top_p < 1.0):
+        return
+    finite_idx = np.flatnonzero(np.isfinite(logits))
+    if finite_idx.size == 0:
+        return
+    order = finite_idx[np.argsort(-logits[finite_idx], kind="stable")]
+    vals = logits[order]
+    weights = np.exp(vals - vals[0])
+    total = weights.sum()
+    if total <= 0.0:
+        return
+    cumulative = np.cumsum(weights / total)
+    exceeding = np.flatnonzero(cumulative > top_p)
+    keep = int(exceeding[0]) + 1 if exceeding.size else order.size
+    keep = max(keep, 1)
+    drop_mask = np.ones(logits.shape[0], dtype=bool)
+    drop_mask[order[:keep]] = False
+    logits[drop_mask] = -np.inf
+
+
+def select_token_id_host(
+    logits: np.ndarray,
+    params: TokenSelectionParams,
+    context: Sequence[int],
+    rng: Optional[np.random.Generator] = None,
+) -> int:
+    """Select the next token id from a [vocab] f32 logits vector."""
+    logits = np.asarray(logits, dtype=np.float32).reshape(-1).copy()
+    if logits.size == 0:
+        raise ValueError("logits tensor is empty")
+
+    adjusted = logits.copy()
+    apply_repetition_penalty_host(adjusted, context, params.repetition_penalty)
+
+    filtered = adjusted.copy()
+    ngram = params.no_repeat_ngram_size
+    if ngram is not None and ngram > 1:
+        for token in banned_ngram_tokens_host(context, ngram):
+            if 0 <= token < filtered.shape[0]:
+                filtered[int(token)] = -np.inf
+    if not np.isfinite(filtered).any():
+        filtered = adjusted.copy()
+
+    if params.do_sample and params.temperature > 0.0:
+        logits64 = filtered.astype(np.float64) / params.temperature
+        if params.top_k is not None and 0 < params.top_k < logits64.size:
+            _apply_top_k_host(logits64, params.top_k)
+        if params.top_p is not None and 0.0 <= params.top_p < 1.0:
+            _apply_top_p_host(logits64, params.top_p)
+        sampled = _sample_from_logits_host(logits64, rng or np.random.default_rng())
+        if sampled is not None:
+            return sampled
+
+    for candidate in (filtered, adjusted, logits):
+        best = _argmax_first_tie(candidate)
+        if best is not None:
+            return best
+    return 0
+
+
+def _sample_from_logits_host(
+    logits: np.ndarray, rng: np.random.Generator
+) -> Optional[int]:
+    finite_idx = np.flatnonzero(np.isfinite(logits))
+    if finite_idx.size == 0:
+        return None
+    vals = logits[finite_idx]
+    weights = np.exp(vals - vals.max())
+    weights = np.where(np.isfinite(weights) & (weights > 0.0), weights, 0.0)
+    total = weights.sum()
+    if total <= 0.0:
+        return int(finite_idx[np.argmax(vals)])
+    probs = weights / total
+    return int(rng.choice(finite_idx, p=probs))
+
+
+# ---------------------------------------------------------------------------
+# Device (JAX) implementation — jittable, fixed shapes
+# ---------------------------------------------------------------------------
+# Context is carried as a [B, max_len] int32 buffer plus a [B] length; all
+# shapes static so this composes with lax.while_loop decode.
+
+import jax
+import jax.numpy as jnp
+
+_NEG_INF = float("-inf")
+
+
+def apply_repetition_penalty_device(
+    logits: jnp.ndarray,  # [B, V] f32
+    context: jnp.ndarray,  # [B, L] int32
+    context_len: jnp.ndarray,  # [B] int32
+    penalty: jnp.ndarray,  # scalar f32
+) -> jnp.ndarray:
+    B, V = logits.shape
+    L = context.shape[1]
+    positions = jnp.arange(L, dtype=jnp.int32)[None, :]
+    valid = positions < context_len[:, None]
+    # Scatter "seen" into a V+1 buffer; invalid slots land in the overflow row.
+    targets = jnp.where(valid, context, V)
+    seen = jnp.zeros((B, V + 1), dtype=jnp.bool_)
+    seen = seen.at[jnp.arange(B)[:, None], targets].set(True)[:, :V]
+    penalized = jnp.where(logits > 0.0, logits / penalty, logits * penalty)
+    apply = jnp.logical_and(seen, jnp.abs(penalty - 1.0) > 1e-7)
+    return jnp.where(apply, penalized, logits)
+
+
+def banned_ngram_mask_device(
+    context: jnp.ndarray,  # [B, L] int32
+    context_len: jnp.ndarray,  # [B] int32
+    ngram: int,  # static
+    vocab_size: int,  # static
+) -> jnp.ndarray:
+    """[B, V] bool mask of tokens banned by the no-repeat-ngram rule."""
+    B, L = context.shape
+    if ngram <= 1 or L < ngram:
+        return jnp.zeros((B, vocab_size), dtype=jnp.bool_)
+    n1 = ngram - 1
+    # Current suffix: last (n-1) tokens before position `context_len`.
+    suffix_pos = context_len[:, None] - n1 + jnp.arange(n1, dtype=jnp.int32)[None, :]
+    suffix = jnp.take_along_axis(context, jnp.clip(suffix_pos, 0, L - 1), axis=1)
+    # All windows of length n starting at i (i + ngram <= context_len).
+    starts = jnp.arange(L - ngram + 1, dtype=jnp.int32)
+    window_idx = starts[:, None] + jnp.arange(ngram, dtype=jnp.int32)[None, :]
+    windows = context[:, window_idx]  # [B, W, ngram]
+    prefix_match = jnp.all(windows[:, :, :n1] == suffix[:, None, :], axis=-1)
+    window_valid = (starts[None, :] + ngram) <= context_len[:, None]
+    has_suffix = context_len[:, None] >= n1
+    match = prefix_match & window_valid & has_suffix  # [B, W]
+    next_tokens = windows[:, :, n1]  # [B, W]
+    targets = jnp.where(match, next_tokens, vocab_size)
+    mask = jnp.zeros((B, vocab_size + 1), dtype=jnp.bool_)
+    mask = mask.at[jnp.arange(B)[:, None], targets].set(True)
+    return mask[:, :vocab_size]
+
+
+def top_k_mask_device(logits: jnp.ndarray, top_k: int) -> jnp.ndarray:
+    """Set logits below the k-th largest to -inf (ties at the boundary kept)."""
+    kth = jax.lax.top_k(logits, top_k)[0][..., -1:]
+    return jnp.where(logits < kth, _NEG_INF, logits)
+
+
+def top_p_mask_device(logits: jnp.ndarray, top_p: float) -> jnp.ndarray:
+    """Nucleus filter: keep the smallest prefix of the sorted distribution
+    whose cumulative probability exceeds top_p."""
+    sorted_logits = jnp.sort(logits, axis=-1)[..., ::-1]
+    probs = jax.nn.softmax(sorted_logits, axis=-1)
+    cumulative = jnp.cumsum(probs, axis=-1)
+    # Keep positions whose *previous* cumulative mass is <= top_p.
+    keep_sorted = (cumulative - probs) <= top_p
+    keep_sorted = keep_sorted.at[..., 0].set(True)
+    # Threshold = smallest kept logit.
+    threshold = jnp.min(
+        jnp.where(keep_sorted, sorted_logits, jnp.inf), axis=-1, keepdims=True
+    )
+    return jnp.where(logits < threshold, _NEG_INF, logits)
+
+
+def select_token_id_device(
+    logits: jnp.ndarray,  # [B, V] f32
+    context: jnp.ndarray,  # [B, L] int32
+    context_len: jnp.ndarray,  # [B] int32
+    *,
+    do_sample: bool,  # static
+    temperature: float,  # static
+    top_p: Optional[float],  # static
+    top_k: Optional[int],  # static
+    repetition_penalty: float,  # static
+    no_repeat_ngram_size: Optional[int],  # static
+    rng_key: Optional[jax.Array] = None,
+) -> jnp.ndarray:
+    """Jittable next-token selection; returns [B] int32.
+
+    Sampling knobs are Python-static (they are fixed per request), so the
+    compiled graph contains only the enabled stages.
+    """
+    B, V = logits.shape
+    logits = logits.astype(jnp.float32)
+    adjusted = logits
+    if repetition_penalty > 0.0 and abs(repetition_penalty - 1.0) > 1e-7:
+        adjusted = apply_repetition_penalty_device(
+            logits, context, context_len, jnp.float32(repetition_penalty)
+        )
+
+    filtered = adjusted
+    if no_repeat_ngram_size is not None and no_repeat_ngram_size > 1:
+        banned = banned_ngram_mask_device(
+            context, context_len, no_repeat_ngram_size, V
+        )
+        filtered = jnp.where(banned, _NEG_INF, adjusted)
+        # If the ban wiped out every candidate, fall back to `adjusted`.
+        any_valid = jnp.any(jnp.isfinite(filtered), axis=-1, keepdims=True)
+        filtered = jnp.where(any_valid, filtered, adjusted)
+
+    if do_sample and temperature > 0.0:
+        scaled = filtered / jnp.float32(temperature)
+        if top_k is not None and 0 < top_k < V:
+            scaled = top_k_mask_device(scaled, top_k)
+        if top_p is not None and 0.0 <= top_p < 1.0:
+            scaled = top_p_mask_device(scaled, top_p)
+        if rng_key is None:
+            raise ValueError("rng_key required when do_sample=True")
+        return jax.random.categorical(rng_key, scaled, axis=-1).astype(jnp.int32)
+
+    return jnp.argmax(filtered, axis=-1).astype(jnp.int32)
