@@ -1,14 +1,33 @@
 """Test harness: force an 8-device virtual CPU mesh so sharding paths are
-exercised without TPU hardware. Must run before the first jax import."""
+exercised without TPU hardware.
+
+Note: this machine auto-imports jax at interpreter startup (site hook) and
+pre-sets JAX_PLATFORMS=axon (the tunneled TPU), so plain env manipulation
+is too late — we must go through jax.config before any backend initializes.
+"""
 
 import os
 import sys
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
         _flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 8)
+
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def pytest_sessionstart(session):
+    assert jax.default_backend() == "cpu", (
+        f"tests must run on the virtual CPU mesh, got {jax.default_backend()}"
+    )
+    assert jax.device_count() == 8, (
+        f"expected 8 virtual CPU devices, got {jax.device_count()}"
+    )
