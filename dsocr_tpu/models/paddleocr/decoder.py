@@ -1,0 +1,265 @@
+"""Ernie decoder with 3-axis M-RoPE.
+
+Structure mirrors infer-paddleocr/src/transformer/: RMSNorm → GQA
+attention with multimodal rotary (per-axis cos/sin tables sliced by
+doubled mrope sections — attention.rs:185-238) → residual → RMSNorm →
+SwiGLU MLP → residual; final norm; lm_head.
+
+TPU-first: per-layer weights are stacked [L, ...] and the layer loop is a
+`lax.scan` (one compiled block body instead of L inlined copies); the KV
+cache is the static-shape runtime cache; prefill writes all positions at
+once and decode steps write one.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ...ops import attention, causal_mask, rms_norm, rotate_half
+from ...runtime.kv_cache import KVCache, init_kv_cache
+from .config import PaddleConfig
+
+
+# -- parameters -----------------------------------------------------------------
+
+
+def init_ernie_params(cfg: PaddleConfig, key: jax.Array, dtype=jnp.bfloat16) -> Dict:
+    keys = iter(jax.random.split(key, 10))
+    H = cfg.hidden_size
+    D = cfg.head_dim
+    NH = cfg.num_attention_heads
+    NKV = cfg.resolved_num_key_value_heads
+    I = cfg.intermediate_size
+    L = cfg.num_hidden_layers
+    V = cfg.vocab_size
+
+    def stack(k, shape, scale):
+        return (jax.random.normal(k, (L, *shape)) * scale).astype(dtype)
+
+    params = {
+        "embed_tokens": (jax.random.normal(next(keys), (V, H)) * 0.02).astype(dtype),
+        "layers": {
+            "input_layernorm": jnp.ones((L, H), dtype),
+            "post_attention_layernorm": jnp.ones((L, H), dtype),
+            "q_proj": stack(next(keys), (H, NH * D), H**-0.5),
+            "k_proj": stack(next(keys), (H, NKV * D), H**-0.5),
+            "v_proj": stack(next(keys), (H, NKV * D), H**-0.5),
+            "o_proj": stack(next(keys), (NH * D, H), (NH * D) ** -0.5),
+            "gate_proj": stack(next(keys), (H, I), H**-0.5),
+            "up_proj": stack(next(keys), (H, I), H**-0.5),
+            "down_proj": stack(next(keys), (I, H), I**-0.5),
+        },
+        "norm": jnp.ones((H,), dtype),
+    }
+    if not cfg.tie_word_embeddings:
+        params["lm_head"] = (jax.random.normal(next(keys), (H, V)) * 0.02).astype(dtype)
+    return params
+
+
+def new_cache(cfg: PaddleConfig, batch: int, max_len: int, dtype=jnp.bfloat16) -> KVCache:
+    return init_kv_cache(
+        cfg.num_hidden_layers,
+        batch,
+        cfg.resolved_num_key_value_heads,
+        max_len,
+        cfg.head_dim,
+        cfg.head_dim,
+        dtype,
+    )
+
+
+# -- M-RoPE ---------------------------------------------------------------------
+
+
+def mrope_cos_sin(
+    position_ids: jnp.ndarray,  # [3, B, S] int32
+    cfg: PaddleConfig,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Per-axis rotary tables sliced by mrope sections → [B, S, head_dim]
+    f32 (ref rope.rs:84-116 + attention.rs select_sections:220-238)."""
+    D = cfg.head_dim
+    half = D // 2
+    inv_freq = 1.0 / (
+        jnp.float32(cfg.rope_theta)
+        ** (jnp.arange(half, dtype=jnp.float32) / half)
+    )
+    angles = position_ids.astype(jnp.float32)[..., None] * inv_freq  # [3,B,S,half]
+    full = jnp.concatenate([angles, angles], axis=-1)  # [3,B,S,D]
+    cos3, sin3 = jnp.cos(full), jnp.sin(full)
+
+    sections = cfg.doubled_sections
+    offs = np.cumsum([0, *sections])
+
+    def select(t3):
+        parts = [
+            t3[axis % 3, ..., offs[axis] : offs[axis + 1]]
+            for axis in range(len(sections))
+        ]
+        return jnp.concatenate(parts, axis=-1)  # [B, S, D]
+
+    return select(cos3), select(sin3)
+
+
+def _apply_mrope(x: jnp.ndarray, cos: jnp.ndarray, sin: jnp.ndarray) -> jnp.ndarray:
+    # x: [B, H, S, D], cos/sin: [B, S, D]
+    x32 = x.astype(jnp.float32)
+    c = cos[:, None]
+    s = sin[:, None]
+    return (x32 * c + rotate_half(x32) * s).astype(x.dtype)
+
+
+# -- forward ---------------------------------------------------------------------
+
+
+def ernie_forward(
+    params: Dict,
+    cfg: PaddleConfig,
+    embeds: jnp.ndarray,  # [B, S, H]
+    position_ids: jnp.ndarray,  # [3, B, S] int32
+    cache: KVCache,
+    *,
+    full_logits: bool = False,
+    last_index: Optional[jnp.ndarray] = None,  # [B] int32: index of last real token
+) -> Tuple[jnp.ndarray, KVCache]:
+    """Run the decoder over S positions starting at cache.length.
+
+    Returns (logits, cache): logits [B, V] at `last_index` (default S-1)
+    in f32, or [B, S, V] when full_logits. The caller bumps cache.length.
+    """
+    B, S, H = embeds.shape
+    NH = cfg.num_attention_heads
+    NKV = cfg.resolved_num_key_value_heads
+    D = cfg.head_dim
+    S_max = cache.max_len
+    start = cache.length
+
+    cos, sin = mrope_cos_sin(position_ids, cfg)
+    mask = causal_mask(S, S_max, start)[None, None]  # [1,1,S,S_max]
+    scale = 1.0 / (D**0.5)
+
+    lp = params["layers"]
+
+    def body(x, xs):
+        layer, k_cache, v_cache = xs  # k_cache: [B, NKV, S_max, D]
+        normed = rms_norm(x, layer["input_layernorm"], cfg.rms_norm_eps)
+        q = _proj(normed, layer["q_proj"]).reshape(B, S, NH, D).transpose(0, 2, 1, 3)
+        k = _proj(normed, layer["k_proj"]).reshape(B, S, NKV, D).transpose(0, 2, 1, 3)
+        v = _proj(normed, layer["v_proj"]).reshape(B, S, NKV, D).transpose(0, 2, 1, 3)
+        q = _apply_mrope(q, cos, sin)
+        k = _apply_mrope(k, cos, sin)
+
+        k_cache = jax.lax.dynamic_update_slice(
+            k_cache, k.astype(k_cache.dtype), (0, 0, start, 0)
+        )
+        v_cache = jax.lax.dynamic_update_slice(
+            v_cache, v.astype(v_cache.dtype), (0, 0, start, 0)
+        )
+        attn = attention(
+            q, k_cache.astype(q.dtype), v_cache.astype(q.dtype), mask, scale
+        )
+        attn = _proj(attn, layer["o_proj"])
+        x = (x.astype(jnp.float32) + attn.astype(jnp.float32)).astype(x.dtype)
+
+        normed = rms_norm(x, layer["post_attention_layernorm"], cfg.rms_norm_eps)
+        gate = _proj(normed, layer["gate_proj"]).astype(jnp.float32)
+        up = _proj(normed, layer["up_proj"]).astype(jnp.float32)
+        mlp = _proj((jax.nn.silu(gate) * up).astype(x.dtype), layer["down_proj"])
+        x = (x.astype(jnp.float32) + mlp.astype(jnp.float32)).astype(x.dtype)
+        return x, (k_cache, v_cache)
+
+    x, (new_k, new_v) = jax.lax.scan(body, embeds, (lp, cache.k, cache.v))
+    cache = KVCache(k=new_k, v=new_v, length=cache.length)
+
+    x = rms_norm(x, params["norm"], cfg.rms_norm_eps)
+    head = params.get("lm_head")
+    if head is None:
+        head = params["embed_tokens"].T  # tied
+    if full_logits:
+        logits = jnp.einsum(
+            "bsh,hv->bsv", x, head, preferred_element_type=jnp.float32
+        )
+        return logits.astype(jnp.float32), cache
+    if last_index is None:
+        x_last = x[:, -1]
+    else:
+        x_last = jnp.take_along_axis(x, last_index[:, None, None], axis=1)[:, 0]
+    logits = jnp.einsum("bh,hv->bv", x_last, head, preferred_element_type=jnp.float32)
+    return logits.astype(jnp.float32), cache
+
+
+def _proj(x, w):
+    return jnp.einsum(
+        "...i,io->...o", x, w, preferred_element_type=jnp.float32
+    ).astype(x.dtype)
+
+
+# -- host-side position ids (M-RoPE) ---------------------------------------------
+
+
+def compute_position_ids(
+    cfg: PaddleConfig,
+    input_ids: np.ndarray,  # [S] int64 host tokens (one row)
+    image_grids,  # list of (t, h, w) grids in placeholder order
+) -> Tuple[np.ndarray, int]:
+    """3-axis positions for one row: text spans advance all axes together,
+    image spans get (t, h, w) grid offsets from the span base. Returns
+    ([3, S] int32, delta) with delta = max_pos + 1 - S
+    (ref model.rs:568-666,695-760)."""
+    merge = cfg.vision_config.spatial_merge_size
+    image_token_id = cfg.image_token_id
+    S = len(input_ids)
+    if not image_grids:
+        pos = np.arange(S, dtype=np.int32)
+        return np.stack([pos, pos, pos]), 0
+
+    axis_t, axis_h, axis_w = [], [], []
+    st = 0
+    next_scalar = 0
+    grid_iter = iter(image_grids)
+    ids = list(input_ids)
+    while st < S:
+        try:
+            offset = ids[st:].index(image_token_id)
+        except ValueError:
+            offset = None
+        if offset is None:
+            for i in range(S - st):
+                v = next_scalar + i
+                axis_t.append(v), axis_h.append(v), axis_w.append(v)
+            st = S
+            break
+        ed = st + offset
+        for i in range(ed - st):
+            v = next_scalar + i
+            axis_t.append(v), axis_h.append(v), axis_w.append(v)
+        next_scalar += ed - st
+        t, h, w = next(grid_iter)
+        llm_h, llm_w = h // merge, w // merge
+        block = t * llm_h * llm_w
+        assert all(tok == image_token_id for tok in ids[ed : ed + block]), (
+            "non-image token inside placeholder span"
+        )
+        for _ in range(t):
+            for row in range(llm_h):
+                for col in range(llm_w):
+                    axis_t.append(next_scalar)
+                    axis_h.append(next_scalar + row)
+                    axis_w.append(next_scalar + col)
+        next_scalar += block
+        st = ed + block
+    max_val = max(max(axis_t), max(axis_h), max(axis_w))
+    delta = max_val + 1 - S
+    return (
+        np.stack(
+            [
+                np.asarray(axis_t, np.int32),
+                np.asarray(axis_h, np.int32),
+                np.asarray(axis_w, np.int32),
+            ]
+        ),
+        int(delta),
+    )

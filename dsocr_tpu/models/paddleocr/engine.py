@@ -1,0 +1,310 @@
+"""PaddleOCR-VL engine: preprocess → SigLIP → mlp_AR projector → prompt
+assembly with placeholder injection → Ernie prefill → jitted decode.
+
+Orchestration mirrors infer-paddleocr/src/model.rs:307-416 (decode) and
+:438-490 (prompt build); execution is the TPU runtime: bucketed jitted
+prefill, on-device chunked decode via `runtime.Generator`.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ...core import DecodeOutcome, DecodeParameters, ModelKind, VisionSettings
+from ...core.benchmark import Timer
+from ...core.text import normalize_text
+from ...image.smart_resize import ImagePatches, SmartResizeConfig, preprocess_patches
+from ...runtime import GenerateParams, Generator
+from ...runtime.kv_cache import bump_length, reset
+from .config import PaddleConfig
+from .decoder import (
+    compute_position_ids,
+    ernie_forward,
+    init_ernie_params,
+    new_cache,
+)
+from .projector import init_projector_params, projector_forward
+from .vision import init_siglip_params, siglip_forward
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+@dataclasses.dataclass
+class ProjectedImage:
+    embeddings: jnp.ndarray  # [n_tokens, hidden]
+    original_grid: Tuple[int, int, int]
+    merged_grid: Tuple[int, int, int]
+
+    @property
+    def token_count(self) -> int:
+        return int(np.prod(self.merged_grid))
+
+
+class PaddleOcrEngine:
+    """OcrEngine implementation for PaddleOCR-VL."""
+
+    def __init__(
+        self,
+        cfg: PaddleConfig,
+        params: Optional[Dict] = None,
+        dtype=jnp.bfloat16,
+        max_seq_len: int = 4096,
+        seed: int = 0,
+    ):
+        self.cfg = cfg
+        self.dtype_ = dtype
+        self.max_seq_len = max_seq_len
+        if params is None:
+            key = jax.random.PRNGKey(seed)
+            kv, kp, kd = jax.random.split(key, 3)
+            params = {
+                "vision": init_siglip_params(cfg.vision_config, kv, dtype),
+                "projector": init_projector_params(cfg, kp, dtype),
+                "decoder": init_ernie_params(cfg, kd, dtype),
+            }
+        self.params = params
+        self._prefill_jit = jax.jit(
+            partial(self._prefill_impl), static_argnames=("seq_len",)
+        )
+        self._vision_jit = jax.jit(
+            partial(self._vision_impl), static_argnames=("grid_thw",)
+        )
+
+    # -- OcrEngine surface ----------------------------------------------------
+
+    def kind(self) -> ModelKind:
+        return ModelKind.PADDLE_OCR_VL
+
+    def device(self) -> str:
+        return jax.devices()[0].platform
+
+    def dtype(self) -> str:
+        return jnp.dtype(self.dtype_).name
+
+    def weights_path(self):
+        return None
+
+    # -- vision ---------------------------------------------------------------
+
+    def _vision_impl(self, params, patches, height_ids, width_ids, grid_thw):
+        feats = siglip_forward(
+            params["vision"],
+            self.cfg.vision_config,
+            patches,
+            grid_thw,
+            height_ids,
+            width_ids,
+            use_rope=self.cfg.use_3d_rope,
+        )
+        return projector_forward(params["projector"], self.cfg, feats, grid_thw)
+
+    def encode_image(
+        self, image: np.ndarray, vision: VisionSettings
+    ) -> ProjectedImage:
+        prep = SmartResizeConfig(
+            patch_size=self.cfg.vision_config.patch_size,
+            merge_size=self.cfg.vision_config.spatial_merge_size,
+            **getattr(self, "prep_overrides", {}),
+        ).with_max_image_size(vision.image_size)
+        patches: ImagePatches = preprocess_patches(image, prep)
+        t, gh, gw = patches.grid_thw
+        merge = self.cfg.vision_config.spatial_merge_size
+        embeds = self._vision_jit(
+            self.params,
+            jnp.asarray(patches.patches, self.dtype_),
+            jnp.asarray(patches.height_ids, jnp.int32),
+            jnp.asarray(patches.width_ids, jnp.int32),
+            grid_thw=(t, gh, gw),
+        )
+        return ProjectedImage(
+            embeddings=embeds,
+            original_grid=(t, gh, gw),
+            merged_grid=(t, gh // merge, gw // merge),
+        )
+
+    # -- prompt ---------------------------------------------------------------
+
+    def build_prompt_tokens(
+        self, tokenizer, prompt: str, grids: Sequence[Tuple[int, int, int]]
+    ) -> Tuple[List[int], List[int]]:
+        """Token ids + image mask (1 on placeholder positions).
+        Ref model.rs:438-490: BOS, text segments, per image
+        <vision_start> + N×image_token + optional <|IMAGE_END|>."""
+        cfg = self.cfg
+        merge = cfg.vision_config.spatial_merge_size
+        vision_end_id = tokenizer.token_to_id("<|IMAGE_END|>")
+        segments = prompt.split("<image>")
+        if len(segments) - 1 != len(grids):
+            raise ValueError(
+                f"prompt/image mismatch: {len(segments) - 1} slots vs "
+                f"{len(grids)} grids"
+            )
+        tokens: List[int] = []
+        mask: List[int] = []
+        if cfg.bos_token_id is not None:
+            tokens.append(cfg.bos_token_id)
+            mask.append(0)
+        for idx, segment in enumerate(segments):
+            if segment:
+                ids = tokenizer.encode(segment)
+                tokens.extend(ids)
+                mask.extend([0] * len(ids))
+            if idx < len(grids):
+                t, h, w = grids[idx]
+                placeholders = t * (h // merge) * (w // merge)
+                tokens.append(cfg.vision_start_token_id)
+                mask.append(0)
+                tokens.extend([cfg.image_token_id] * placeholders)
+                mask.extend([1] * placeholders)
+                if vision_end_id is not None:
+                    tokens.append(vision_end_id)
+                    mask.append(0)
+        return tokens, mask
+
+    # -- prefill ---------------------------------------------------------------
+
+    def _prefill_impl(
+        self,
+        params,
+        embeds,  # [1, S_pad, H]
+        position_ids,  # [3, 1, S_pad]
+        cache,
+        true_len,  # scalar int32
+        seq_len: int,
+    ):
+        logits, cache = ernie_forward(
+            params["decoder"],
+            self.cfg,
+            embeds,
+            position_ids,
+            cache,
+            last_index=(true_len - 1)[None],
+        )
+        cache = bump_length(cache, true_len)
+        return logits, cache
+
+    def _step_fn(self, params, token_ids, cache, pos_state):
+        """pos_state: [B] int32 next M-RoPE position base (all 3 axes)."""
+        embeds = params["decoder"]["embed_tokens"][token_ids][:, None, :].astype(
+            self.dtype_
+        )
+        pos = jnp.broadcast_to(pos_state[None, :, None], (3, token_ids.shape[0], 1))
+        logits, cache = ernie_forward(
+            params["decoder"], self.cfg, embeds, pos, cache
+        )
+        return logits, bump_length(cache, 1), pos_state + 1
+
+    # -- decode ------------------------------------------------------------------
+
+    def decode(
+        self,
+        tokenizer,
+        prompt: str,
+        images: Sequence[np.ndarray],
+        vision: VisionSettings,
+        params: DecodeParameters,
+        stream=None,
+    ) -> DecodeOutcome:
+        if not params.use_cache:
+            raise ValueError("PaddleOCR decoder requires use_cache=true")
+        cfg = self.cfg
+
+        vtimer = Timer("vision.compute_embeddings")
+        projected = [self.encode_image(np.asarray(img), vision) for img in images]
+        vtimer.finish(images=len(images))
+
+        ptimer = Timer("prompt.build_tokens")
+        grids = [p.original_grid for p in projected]
+        tokens, image_mask = self.build_prompt_tokens(tokenizer, prompt, grids)
+        ptimer.finish(tokens=len(tokens))
+
+        placeholder_count = sum(image_mask)
+        available = sum(p.token_count for p in projected)
+        if placeholder_count != available:
+            raise ValueError(
+                f"image placeholder span ({placeholder_count}) mismatches "
+                f"projector outputs ({available})"
+            )
+
+        prompt_len = len(tokens)
+        pos_ids, delta = compute_position_ids(
+            cfg, np.asarray(tokens, np.int64), grids
+        )
+        next_position_base = prompt_len + delta
+
+        # Pad prompt to a bucket to bound prefill recompiles.
+        s_pad = _round_up(prompt_len, 128)
+        tokens_padded = np.zeros(s_pad, np.int32)
+        tokens_padded[:prompt_len] = tokens
+        pos_padded = np.ones((3, s_pad), np.int32)
+        pos_padded[:, :prompt_len] = pos_ids
+
+        embeds = self.params["decoder"]["embed_tokens"][
+            jnp.asarray(tokens_padded)
+        ].astype(self.dtype_)
+        if projected:
+            flat = jnp.concatenate([p.embeddings for p in projected], axis=0)
+            mask_padded = np.zeros(s_pad, bool)
+            mask_padded[:prompt_len] = np.asarray(image_mask, bool)
+            # Scatter image embeddings into placeholder rows.
+            idx = np.nonzero(mask_padded)[0]
+            embeds = embeds.at[jnp.asarray(idx)].set(flat.astype(self.dtype_))
+        embeds = embeds[None]
+
+        max_len = min(self.max_seq_len, s_pad + params.max_new_tokens + 8)
+        cache = reset(new_cache(cfg, 1, _round_up(max_len, 128), self.dtype_))
+
+        pf_timer = Timer("decode.prefill")
+        prefill_logits, cache = self._prefill_jit(
+            self.params,
+            embeds,
+            jnp.asarray(pos_padded)[:, None, :],
+            cache,
+            jnp.int32(prompt_len),
+            seq_len=s_pad,
+        )
+        prefill_logits.block_until_ready()
+        pf_timer.finish(prompt_tokens=prompt_len)
+
+        eos = cfg.eos_token_id
+        gen_params = GenerateParams(
+            max_new_tokens=params.max_new_tokens,
+            do_sample=params.do_sample,
+            temperature=params.temperature,
+            top_p=params.top_p,
+            top_k=params.top_k,
+            repetition_penalty=params.repetition_penalty,
+            no_repeat_ngram_size=params.no_repeat_ngram_size,
+            eos_ids=(eos,) if eos is not None else (),
+            emit_eos=True,  # paddle loop pushes EOS before stopping
+            chunk_size=16 if stream is not None else 64,
+        )
+        generator = Generator(self._step_fn, gen_params)
+        gtimer = Timer("decode.generate")
+        result = generator.generate(
+            self.params,
+            prefill_logits,
+            cache,
+            jnp.asarray([next_position_base], jnp.int32),
+            [tokens],
+            rng=jax.random.PRNGKey(params.seed or 0),
+            stream_callback=stream,
+        )
+        gtimer.finish(generated=len(result.tokens[0]))
+
+        generated = result.tokens[0]
+        text = normalize_text(tokenizer.decode(generated, skip_special_tokens=True))
+        return DecodeOutcome(
+            text=text,
+            prompt_tokens=prompt_len,
+            response_tokens=len(generated),
+            generated_tokens=generated,
+        )

@@ -51,6 +51,9 @@ class GenerateParams:
     no_repeat_ngram_size: Optional[int] = None
     eos_ids: Tuple[int, ...] = ()
     chunk_size: int = 32
+    # DeepSeek's loop never emits EOS (break before push, mod.rs:2030);
+    # Paddle's pushes EOS then breaks (infer-paddleocr/src/model.rs:370-376).
+    emit_eos: bool = False
 
 
 class LoopState(NamedTuple):
@@ -146,6 +149,11 @@ class Generator:
         ctx_len = state.ctx_len + active.astype(jnp.int32)
         steps = state.steps + 1
 
+        done = state.done
+        if p.emit_eos:
+            # Paddle semantics: EOS was appended above; freeze the row now.
+            done = done | (active & _is_eos(state.current, p.eos_ids))
+
         # 2. forward one token (frozen rows feed a zero token; output unused).
         feed = jnp.where(active, state.current, 0).astype(jnp.int32)
         logits, cache, pos_state = self.step_fn(
@@ -155,8 +163,10 @@ class Generator:
         # 3. select next token over prompt+generated context.
         rng, key = jax.random.split(state.rng)
         nxt = self._select(logits, appended, ctx_len, key)
-        done = state.done | _is_eos(nxt, p.eos_ids)
-        current = jnp.where(state.done, state.current, nxt)
+        if not p.emit_eos:
+            # DeepSeek semantics: freeze at selection; EOS never appended.
+            done = done | _is_eos(nxt, p.eos_ids)
+        current = jnp.where(done, state.current, nxt)
         return LoopState(cache, pos_state, appended, ctx_len, current, done, steps, rng)
 
     def _run_chunk_impl(
