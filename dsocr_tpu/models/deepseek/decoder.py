@@ -1,0 +1,258 @@
+"""DeepSeek-V2 MoE language decoder.
+
+Mirrors infer-deepseek/src/transformer/: RMSNorm → MHA with optional
+partial RoPE (rope on the first qk_rope_head_dim dims, MLA even/odd
+interleave regroup when use_mla — block.rs:446-804,1403-1426) → residual
+→ RMSNorm → dense SwiGLU (first_k_dense_replace layers) or DeepSeek-V2
+MoE (f32 gating, greedy top-k, shared experts — block.rs:1215-1395) →
+residual; final RMSNorm; f32 lm_head.
+
+TPU-first: the dense prefix and the MoE suffix are each a `lax.scan`
+over stacked layer weights; experts run as `ragged_dot` grouped matmuls
+(ops.moe) instead of the reference's host-side token sort loop.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ...ops import attention, causal_mask, rms_norm
+from ...ops.moe import MoeConfig, moe_apply, moe_router
+from ...ops.rope import apply_rope, build_rope_tables
+from ...runtime.kv_cache import KVCache, init_kv_cache
+from .config import DeepseekV2Config
+
+
+def _split_layers(cfg: DeepseekV2Config) -> Tuple[int, int]:
+    """(num_dense, num_moe); requires the standard dense-prefix pattern."""
+    pattern = [cfg.is_moe_layer(i) for i in range(cfg.num_hidden_layers)]
+    num_dense = 0
+    for flag in pattern:
+        if flag:
+            break
+        num_dense += 1
+    if any(not f for f in pattern[num_dense:]):
+        raise NotImplementedError(
+            "non-contiguous MoE layer patterns not supported (moe_layer_freq != 1)"
+        )
+    return num_dense, cfg.num_hidden_layers - num_dense
+
+
+def init_deepseek_params(
+    cfg: DeepseekV2Config, key: jax.Array, dtype=jnp.bfloat16
+) -> Dict:
+    keys = iter(jax.random.split(key, 32))
+    H = cfg.hidden_size
+    D = cfg.head_dim
+    NH = cfg.num_attention_heads
+    NKV = cfg.resolved_kv_heads
+    DV = cfg.resolved_v_head_dim
+    V = cfg.vocab_size
+    num_dense, num_moe = _split_layers(cfg)
+
+    def stack(k, n, shape, scale):
+        return (jax.random.normal(k, (n, *shape)) * scale).astype(dtype)
+
+    def attn_stack(n):
+        return {
+            "input_layernorm": jnp.ones((n, H), dtype),
+            "post_attention_layernorm": jnp.ones((n, H), dtype),
+            "q_proj": stack(next(keys), n, (H, NH * D), H**-0.5),
+            "k_proj": stack(next(keys), n, (H, NKV * D), H**-0.5),
+            "v_proj": stack(next(keys), n, (H, NKV * DV), H**-0.5),
+            "o_proj": stack(next(keys), n, (NH * DV, H), (NH * DV) ** -0.5),
+        }
+
+    params: Dict = {
+        "embed_tokens": (jax.random.normal(next(keys), (V, H)) * 0.02).astype(dtype),
+        "norm": jnp.ones((H,), dtype),
+        "lm_head": (jax.random.normal(next(keys), (H, V)) * 0.02).astype(dtype),
+    }
+    if num_dense:
+        I = cfg.intermediate_size
+        params["dense_layers"] = {
+            **attn_stack(num_dense),
+            "gate_proj": stack(next(keys), num_dense, (H, I), H**-0.5),
+            "up_proj": stack(next(keys), num_dense, (H, I), H**-0.5),
+            "down_proj": stack(next(keys), num_dense, (I, H), I**-0.5),
+        }
+    if num_moe:
+        E = cfg.n_routed_experts
+        MI = cfg.moe_intermediate_size or cfg.intermediate_size
+        SI = MI * (cfg.n_shared_experts or 0)
+        moe = {
+            **attn_stack(num_moe),
+            "gate_weight": stack(next(keys), num_moe, (E, H), H**-0.5),
+            "experts_gate": stack(next(keys), num_moe, (E, H, MI), H**-0.5),
+            "experts_up": stack(next(keys), num_moe, (E, H, MI), H**-0.5),
+            "experts_down": stack(next(keys), num_moe, (E, MI, H), MI**-0.5),
+        }
+        if SI:
+            moe["shared_gate"] = stack(next(keys), num_moe, (H, SI), H**-0.5)
+            moe["shared_up"] = stack(next(keys), num_moe, (H, SI), H**-0.5)
+            moe["shared_down"] = stack(next(keys), num_moe, (SI, H), SI**-0.5)
+        params["moe_layers"] = moe
+    return params
+
+
+def new_cache(
+    cfg: DeepseekV2Config, batch: int, max_len: int, dtype=jnp.bfloat16
+) -> KVCache:
+    return init_kv_cache(
+        cfg.num_hidden_layers,
+        batch,
+        cfg.resolved_kv_heads,
+        max_len,
+        cfg.head_dim,
+        cfg.resolved_v_head_dim,
+        dtype,
+    )
+
+
+def _proj(x, w):
+    return jnp.einsum(
+        "...i,io->...o", x, w, preferred_element_type=jnp.float32
+    ).astype(x.dtype)
+
+
+def _partial_rope(x: jnp.ndarray, cos, sin, rope_dim: int, use_mla: bool):
+    """Rotate the first rope_dim dims; pass the tail through
+    (ref block.rs:563-588)."""
+    head_dim = x.shape[-1]
+    if rope_dim >= head_dim:
+        return apply_rope(x, cos, sin, interleaved=use_mla)
+    rot = apply_rope(x[..., :rope_dim], cos, sin, interleaved=use_mla)
+    return jnp.concatenate([rot, x[..., rope_dim:]], axis=-1)
+
+
+def deepseek_forward(
+    params: Dict,
+    cfg: DeepseekV2Config,
+    embeds: jnp.ndarray,  # [B, S, H]
+    positions: jnp.ndarray,  # [B, S] int32 absolute positions
+    cache: KVCache,
+    rope_tables: Tuple[jnp.ndarray, jnp.ndarray],  # (cos, sin) [max_pos, rope_dim]
+    *,
+    full_logits: bool = False,
+    last_index: Optional[jnp.ndarray] = None,  # [B] int32
+) -> Tuple[jnp.ndarray, KVCache]:
+    B, S, H = embeds.shape
+    NH = cfg.num_attention_heads
+    NKV = cfg.resolved_kv_heads
+    D = cfg.head_dim
+    DV = cfg.resolved_v_head_dim
+    rope_dim = cfg.rope_dim
+    S_max = cache.max_len
+    start = cache.length
+    num_dense, num_moe = _split_layers(cfg)
+
+    cos_t, sin_t = rope_tables
+    cos = cos_t[positions][:, None]  # [B, 1, S, rope_dim]
+    sin = sin_t[positions][:, None]
+    mask = causal_mask(S, S_max, start)[None, None]
+    scale = 1.0 / (D**0.5)
+
+    moe_cfg = MoeConfig(
+        num_experts=cfg.n_routed_experts or 0,
+        top_k=cfg.num_experts_per_tok or 1,
+        scoring=cfg.scoring_func or "softmax",
+        norm_topk_prob=cfg.norm_topk_prob,
+        routed_scaling_factor=cfg.routed_scaling_factor,
+    )
+
+    def attn_block(x, layer, k_cache, v_cache):
+        normed = rms_norm(x, layer["input_layernorm"], cfg.rms_norm_eps)
+        q = _proj(normed, layer["q_proj"]).reshape(B, S, NH, D).transpose(0, 2, 1, 3)
+        k = _proj(normed, layer["k_proj"]).reshape(B, S, NKV, D).transpose(0, 2, 1, 3)
+        v = _proj(normed, layer["v_proj"]).reshape(B, S, NKV, DV).transpose(0, 2, 1, 3)
+        q = _partial_rope(q, cos, sin, rope_dim, cfg.use_mla)
+        k = _partial_rope(k, cos, sin, rope_dim, cfg.use_mla)
+        k_cache = jax.lax.dynamic_update_slice(
+            k_cache, k.astype(k_cache.dtype), (0, 0, start, 0)
+        )
+        v_cache = jax.lax.dynamic_update_slice(
+            v_cache, v.astype(v_cache.dtype), (0, 0, start, 0)
+        )
+        attn = attention(
+            q, k_cache.astype(q.dtype), v_cache.astype(q.dtype), mask, scale
+        )
+        attn = _proj(attn, layer["o_proj"])
+        return (x.astype(jnp.float32) + attn.astype(jnp.float32)).astype(x.dtype), (
+            k_cache,
+            v_cache,
+        )
+
+    def dense_body(x, xs):
+        layer, k_cache, v_cache = xs
+        x, kv = attn_block(x, layer, k_cache, v_cache)
+        normed = rms_norm(x, layer["post_attention_layernorm"], cfg.rms_norm_eps)
+        gate = _proj(normed, layer["gate_proj"]).astype(jnp.float32)
+        up = _proj(normed, layer["up_proj"]).astype(jnp.float32)
+        mlp = _proj((jax.nn.silu(gate) * up).astype(x.dtype), layer["down_proj"])
+        x = (x.astype(jnp.float32) + mlp.astype(jnp.float32)).astype(x.dtype)
+        return x, kv
+
+    def moe_body(x, xs):
+        layer, k_cache, v_cache = xs
+        x, kv = attn_block(x, layer, k_cache, v_cache)
+        normed = rms_norm(x, layer["post_attention_layernorm"], cfg.rms_norm_eps)
+        tokens = normed.reshape(B * S, H)
+        weights, indices = moe_router(
+            tokens, layer["gate_weight"], moe_cfg,
+            aux_bias=layer.get("gate_bias"),
+        )
+        routed = moe_apply(
+            tokens, weights, indices,
+            layer["experts_gate"], layer["experts_up"], layer["experts_down"],
+        )
+        out = routed.astype(jnp.float32)
+        if "shared_gate" in layer:
+            sg = _proj(normed, layer["shared_gate"]).astype(jnp.float32)
+            su = _proj(normed, layer["shared_up"]).astype(jnp.float32)
+            shared = _proj(
+                (jax.nn.silu(sg) * su).astype(x.dtype), layer["shared_down"]
+            )
+            out = out + shared.reshape(B * S, H).astype(jnp.float32)
+        x = (x.astype(jnp.float32) + out.reshape(B, S, H)).astype(x.dtype)
+        return x, kv
+
+    x = embeds
+    new_k, new_v = [], []
+    if num_dense:
+        dk = jax.lax.dynamic_slice_in_dim(cache.k, 0, num_dense, 0)
+        dv = jax.lax.dynamic_slice_in_dim(cache.v, 0, num_dense, 0)
+        x, (uk, uv) = jax.lax.scan(dense_body, x, (params["dense_layers"], dk, dv))
+        new_k.append(uk)
+        new_v.append(uv)
+    if num_moe:
+        mk = jax.lax.dynamic_slice_in_dim(cache.k, num_dense, num_moe, 0)
+        mv = jax.lax.dynamic_slice_in_dim(cache.v, num_dense, num_moe, 0)
+        x, (uk, uv) = jax.lax.scan(moe_body, x, (params["moe_layers"], mk, mv))
+        new_k.append(uk)
+        new_v.append(uv)
+    cache = KVCache(
+        k=jnp.concatenate(new_k, axis=0),
+        v=jnp.concatenate(new_v, axis=0),
+        length=cache.length,
+    )
+
+    x = rms_norm(x, params["norm"], cfg.rms_norm_eps)
+    head = params.get("lm_head")
+    if head is None:
+        head = params["embed_tokens"].T
+    if full_logits:
+        logits = jnp.einsum("bsh,hv->bsv", x, head, preferred_element_type=jnp.float32)
+        return logits.astype(jnp.float32), cache
+    if last_index is None:
+        x_last = x[:, -1]
+    else:
+        x_last = jnp.take_along_axis(x, last_index[:, None, None], axis=1)[:, 0]
+    logits = jnp.einsum("bh,hv->bv", x_last, head, preferred_element_type=jnp.float32)
+    return logits.astype(jnp.float32), cache
+
+
+def build_decoder_rope(cfg: DeepseekV2Config, max_len: int):
+    return build_rope_tables(max_len, cfg.rope_dim, cfg.rope_theta)

@@ -1,0 +1,310 @@
+"""DeepSeek-OCR engine: global-view letterbox + crop tiling → SAM →
+CLIP-on-SAM → fusion/projection → placeholder prompt (BOS=0) → MoE
+decoder prefill → jitted decode.
+
+Orchestration mirrors infer-deepseek/src/model/mod.rs:2349-2455 (decode)
+and :1707-1758 (vision inputs); execution is the TPU runtime.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ...core import DecodeOutcome, DecodeParameters, ModelKind, VisionSettings
+from ...core.benchmark import Timer
+from ...core.text import normalize_text
+from ...image import (
+    PreprocessParams,
+    build_global_view,
+    dynamic_preprocess,
+    image_to_tensor,
+)
+from ...runtime import GenerateParams, Generator
+from ...runtime.kv_cache import bump_length, reset
+from .clip import clip_forward, init_clip_params
+from .config import DeepseekOcrConfig
+from .decoder import (
+    build_decoder_rope,
+    deepseek_forward,
+    init_deepseek_params,
+    new_cache,
+)
+from .fusion import (
+    assemble_image_tokens,
+    build_clip_sam_tokens,
+    build_image_placeholders,
+    format_global_tokens,
+    format_local_tokens,
+    init_projector_params,
+    project,
+)
+from .sam import init_sam_params, sam_forward
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+@dataclasses.dataclass
+class VisionInput:
+    global_pixels: np.ndarray  # [1, 3, G, G]
+    patches: Optional[np.ndarray]  # [T, 3, I, I] or None
+    crop_shape: Optional[Tuple[int, int]]  # (width_crops, height_crops)
+
+
+class DeepseekOcrEngine:
+    def __init__(
+        self,
+        cfg: DeepseekOcrConfig,
+        params: Optional[Dict] = None,
+        dtype=jnp.bfloat16,
+        max_seq_len: int = 8192,
+        seed: int = 0,
+    ):
+        self.cfg = cfg
+        self.dtype_ = dtype
+        self.max_seq_len = max_seq_len
+        if params is None:
+            key = jax.random.PRNGKey(seed)
+            ks, kc, kp, kd = jax.random.split(key, 4)
+            params = {
+                "sam": init_sam_params(cfg.sam, ks),
+                "clip": init_clip_params(cfg.clip, kc) if cfg.clip else None,
+                "projector": init_projector_params(cfg, kp, dtype),
+                "decoder": init_deepseek_params(cfg.language, kd, dtype),
+            }
+        self.params = params
+        self._rope = build_decoder_rope(cfg.language, max_seq_len)
+        self._prefill_jit = jax.jit(self._prefill_impl, static_argnames=("seq_len",))
+
+    # -- OcrEngine surface ------------------------------------------------------
+
+    def kind(self) -> ModelKind:
+        return ModelKind.DEEPSEEK
+
+    def device(self) -> str:
+        return jax.devices()[0].platform
+
+    def dtype(self) -> str:
+        return jnp.dtype(self.dtype_).name
+
+    def weights_path(self):
+        return None
+
+    # -- vision -------------------------------------------------------------------
+
+    def prepare_vision_input(
+        self, image: np.ndarray, vision: VisionSettings
+    ) -> VisionInput:
+        """Global letterboxed view (+ crop tiles when crop_mode)
+        (ref model/mod.rs:1707-1758)."""
+        global_size = vision.base_size if vision.crop_mode else vision.image_size
+        global_view = build_global_view(image, global_size)
+        global_pixels = image_to_tensor(global_view)[None]
+        patches = None
+        crop_shape = None
+        if vision.crop_mode:
+            params = (
+                PreprocessParams.ocr1(vision.base_size, vision.image_size)
+                if self.cfg.variant == "ocr1"
+                else PreprocessParams.ocr2(vision.base_size, vision.image_size)
+            )
+            result = dynamic_preprocess(image, params, use_thumbnail=False)
+            crop_shape = result.ratio
+            if result.tiles:
+                patches = np.stack([image_to_tensor(t) for t in result.tiles])
+        return VisionInput(global_pixels, patches, crop_shape)
+
+    def _tower(self, params, pixels):
+        sam_out = sam_forward(params["sam"], self.cfg.sam, pixels)
+        clip_out = clip_forward(params["clip"], self.cfg.clip, sam_out)
+        fused = build_clip_sam_tokens(clip_out, sam_out)
+        return project(params["projector"], fused)  # [B, S, n_embed] f32
+
+    def compute_image_embedding(self, vin: VisionInput) -> jnp.ndarray:
+        """[n_tokens, n_embed] fused image tokens for one image."""
+        params = self.params
+        newline = params["projector"]["image_newline"]
+        global_proj = self._tower_jitted(jnp.asarray(vin.global_pixels, jnp.float32))
+        global_tokens = format_global_tokens(
+            global_proj.astype(self.dtype_), newline
+        )
+        local_tokens = None
+        if vin.patches is not None:
+            local_proj = self._tower_jitted(jnp.asarray(vin.patches, jnp.float32))
+            local_tokens = format_local_tokens(
+                local_proj.astype(self.dtype_), vin.crop_shape, newline
+            )
+        return assemble_image_tokens(params["projector"], global_tokens, local_tokens)
+
+    def _tower_jitted(self, pixels):
+        # jit keyed by pixel shape (global vs tile batches)
+        if not hasattr(self, "_tower_jit"):
+            self._tower_jit = jax.jit(self._tower)
+        return self._tower_jit(self.params, pixels)
+
+    # -- prompt ---------------------------------------------------------------------
+
+    def build_prompt_tokens(
+        self,
+        tokenizer,
+        prompt: str,
+        vision_inputs: Sequence[VisionInput],
+        embeddings: Sequence[jnp.ndarray],
+        vision: VisionSettings,
+    ) -> Tuple[List[int], List[int]]:
+        """BOS=0, text segments, per-image placeholder grids
+        (ref model/mod.rs:2536-2603)."""
+        image_token_id = tokenizer.token_to_id("<image>")
+        if image_token_id is None:
+            raise ValueError("tokenizer missing <image> token")
+        segments = prompt.split("<image>")
+        if len(segments) - 1 != len(embeddings):
+            raise ValueError(
+                f"prompt/image embedding mismatch: {len(segments) - 1} slots "
+                f"vs {len(embeddings)} embeddings"
+            )
+        tokens: List[int] = [0]  # BOS
+        mask: List[int] = [0]
+        for idx, segment in enumerate(segments):
+            ids = tokenizer.encode(segment)
+            tokens.extend(ids)
+            mask.extend([0] * len(ids))
+            if idx < len(embeddings):
+                placeholders = build_image_placeholders(
+                    image_token_id,
+                    vision_inputs[idx].crop_shape,
+                    vision.base_size,
+                    vision.image_size,
+                    vision.crop_mode,
+                    self.cfg.variant,
+                )
+                expected = embeddings[idx].shape[0]
+                if len(placeholders) != expected:
+                    raise ValueError(
+                        f"placeholder count {len(placeholders)} does not match "
+                        f"vision tokens {expected}"
+                    )
+                tokens.extend(placeholders)
+                mask.extend([1] * len(placeholders))
+        return tokens, mask
+
+    # -- decode ------------------------------------------------------------------------
+
+    def _prefill_impl(self, params, embeds, positions, cache, true_len, seq_len: int):
+        logits, cache = deepseek_forward(
+            params["decoder"],
+            self.cfg.language,
+            embeds,
+            positions,
+            cache,
+            self._rope,
+            last_index=(true_len - 1)[None],
+        )
+        return logits, bump_length(cache, true_len)
+
+    def _step_fn(self, params, token_ids, cache, pos_state):
+        embeds = params["decoder"]["embed_tokens"][token_ids][:, None, :].astype(
+            self.dtype_
+        )
+        positions = cache.length[None, None].astype(jnp.int32)  # [1,1] == [B,S]
+        positions = jnp.broadcast_to(positions, (token_ids.shape[0], 1))
+        logits, cache = deepseek_forward(
+            params["decoder"], self.cfg.language, embeds, positions, cache, self._rope
+        )
+        return logits, bump_length(cache, 1), pos_state
+
+    def decode(
+        self,
+        tokenizer,
+        prompt: str,
+        images: Sequence[np.ndarray],
+        vision: VisionSettings,
+        params: DecodeParameters,
+        stream=None,
+    ) -> DecodeOutcome:
+        cfg = self.cfg.language
+
+        vp_timer = Timer("vision.prepare_inputs")
+        vision_inputs = [
+            self.prepare_vision_input(np.asarray(img), vision) for img in images
+        ]
+        vp_timer.finish(images=len(images))
+
+        ve_timer = Timer("vision.compute_embeddings")
+        embeddings = [self.compute_image_embedding(v) for v in vision_inputs]
+        ve_timer.finish(images=len(images))
+
+        pt_timer = Timer("prompt.build_tokens")
+        tokens, image_mask = self.build_prompt_tokens(
+            tokenizer, prompt, vision_inputs, embeddings, vision
+        )
+        pt_timer.finish(tokens=len(tokens))
+
+        prompt_len = len(tokens)
+        s_pad = _round_up(prompt_len, 128)
+        tokens_padded = np.zeros(s_pad, np.int32)
+        tokens_padded[:prompt_len] = tokens
+
+        embeds = self.params["decoder"]["embed_tokens"][
+            jnp.asarray(tokens_padded)
+        ].astype(self.dtype_)
+        if embeddings:
+            flat = jnp.concatenate(embeddings, axis=0)
+            mask_padded = np.zeros(s_pad, bool)
+            mask_padded[:prompt_len] = np.asarray(image_mask, bool)
+            idx = np.nonzero(mask_padded)[0]
+            embeds = embeds.at[jnp.asarray(idx)].set(flat.astype(self.dtype_))
+        embeds = embeds[None]
+        positions = jnp.arange(s_pad, dtype=jnp.int32)[None]
+
+        max_len = min(self.max_seq_len, _round_up(s_pad + params.max_new_tokens + 8, 128))
+        cache = reset(new_cache(cfg, 1, max_len, self.dtype_))
+
+        pf_timer = Timer("decode.prefill")
+        prefill_logits, cache = self._prefill_jit(
+            self.params, embeds, positions, cache, jnp.int32(prompt_len), seq_len=s_pad
+        )
+        prefill_logits.block_until_ready()
+        pf_timer.finish(prompt_tokens=prompt_len)
+
+        eos = cfg.eos_token_id
+        gen_params = GenerateParams(
+            max_new_tokens=params.max_new_tokens,
+            do_sample=params.do_sample,
+            temperature=params.temperature,
+            top_p=params.top_p,
+            top_k=params.top_k,
+            repetition_penalty=params.repetition_penalty,
+            no_repeat_ngram_size=params.no_repeat_ngram_size,
+            eos_ids=(eos,) if eos is not None else (),
+            emit_eos=False,  # deepseek loop never emits EOS
+            chunk_size=16 if stream is not None else 64,
+        )
+        generator = Generator(self._step_fn, gen_params)
+        g_timer = Timer("decode.generate")
+        result = generator.generate(
+            self.params,
+            prefill_logits,
+            cache,
+            None,
+            [tokens],
+            rng=jax.random.PRNGKey(params.seed or 0),
+            stream_callback=stream,
+        )
+        g_timer.finish(generated=len(result.tokens[0]))
+
+        generated = result.tokens[0]
+        text = normalize_text(tokenizer.decode(generated, skip_special_tokens=True))
+        return DecodeOutcome(
+            text=text,
+            prompt_tokens=prompt_len,
+            response_tokens=len(generated),
+            generated_tokens=generated,
+        )

@@ -1,0 +1,267 @@
+"""DeepSeek-OCR family: SAM window math, rel-pos bias, placeholder
+formulas, MoE decoder cache consistency, fusion assembly, tiny
+end-to-end decode (contracts: infer-deepseek)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from dsocr_tpu.core import DecodeParameters, VisionSettings
+from dsocr_tpu.models.deepseek import DeepseekOcrEngine
+from dsocr_tpu.models.deepseek.config import tiny_deepseek_config
+from dsocr_tpu.models.deepseek.decoder import (
+    build_decoder_rope,
+    deepseek_forward,
+    init_deepseek_params,
+    new_cache,
+)
+from dsocr_tpu.models.deepseek.fusion import (
+    append_row_breaks,
+    build_clip_sam_tokens,
+    build_image_placeholders,
+    format_local_tokens,
+)
+from dsocr_tpu.models.deepseek.sam import (
+    get_rel_pos,
+    rel_pos_bias,
+    window_partition,
+    window_unpartition,
+)
+from dsocr_tpu.runtime.kv_cache import bump_length, reset
+
+CFG = tiny_deepseek_config()
+
+
+class FakeTokenizer:
+    def encode(self, text):
+        return [ord(c) % 100 for c in text]
+
+    def decode(self, ids, skip_special_tokens=True):
+        return "".join(chr(97 + (i % 26)) for i in ids)
+
+    def token_to_id(self, token):
+        return 127 if token == "<image>" else None
+
+
+# -- SAM pieces ---------------------------------------------------------------
+
+
+def test_window_partition_roundtrip():
+    x = jnp.asarray(np.random.default_rng(0).normal(size=(2, 6, 10, 4)).astype(np.float32))
+    windows, pad_hw = window_partition(x, 4)
+    assert pad_hw == (8, 12)
+    assert windows.shape == (2 * 2 * 3, 4, 4, 4)
+    restored = window_unpartition(windows, 4, pad_hw, (6, 10))
+    np.testing.assert_allclose(np.asarray(restored), np.asarray(x))
+
+
+def test_window_partition_no_pad():
+    x = jnp.asarray(np.random.default_rng(1).normal(size=(1, 8, 8, 2)).astype(np.float32))
+    windows, pad_hw = window_partition(x, 4)
+    assert pad_hw == (8, 8)
+    # first window must equal the top-left 4x4 block
+    np.testing.assert_allclose(np.asarray(windows[0]), np.asarray(x[0, :4, :4]))
+
+
+def test_get_rel_pos_exact_table():
+    # table length == 2*size-1 → direct relative indexing
+    table = jnp.asarray(np.arange(7 * 2, dtype=np.float32).reshape(7, 2))
+    out = np.asarray(get_rel_pos(4, 4, table))
+    assert out.shape == (4, 4, 2)
+    # rel index for (qi, ki) = qi - ki + 3
+    np.testing.assert_allclose(out[0, 0], np.asarray(table[3]))
+    np.testing.assert_allclose(out[3, 0], np.asarray(table[6]))
+    np.testing.assert_allclose(out[0, 3], np.asarray(table[0]))
+
+
+def test_rel_pos_bias_matches_naive():
+    rng = np.random.default_rng(2)
+    qh = qw = 3
+    d = 4
+    q = rng.normal(size=(1, 2, qh * qw, d)).astype(np.float32)
+    rel_h = rng.normal(size=(2 * qh - 1, d)).astype(np.float32)
+    rel_w = rng.normal(size=(2 * qw - 1, d)).astype(np.float32)
+    bias = np.asarray(
+        rel_pos_bias(jnp.asarray(q), (qh, qw), jnp.asarray(rel_h), jnp.asarray(rel_w))
+    )
+    # naive: bias[q, k] = q·rel_h[qh_i - kh + qh-1] + q·rel_w[qw_i - kw + qw-1]
+    for head in range(2):
+        for qi in range(qh * qw):
+            qhi, qwi = divmod(qi, qw)
+            for ki in range(qh * qw):
+                khi, kwi = divmod(ki, qw)
+                expected = q[0, head, qi] @ rel_h[qhi - khi + qh - 1] + (
+                    q[0, head, qi] @ rel_w[qwi - kwi + qw - 1]
+                )
+                np.testing.assert_allclose(
+                    bias[0, head, qi, ki], expected, rtol=1e-4, atol=1e-5
+                )
+
+
+# -- placeholder math ------------------------------------------------------------
+
+
+def test_placeholders_no_crop():
+    # image_size 640 → grid 40 → ceil(40/4)=10 → 10 rows of 11 + 1 = 111
+    out = build_image_placeholders(5, None, 1024, 640, crop_mode=False)
+    assert len(out) == 10 * 11 + 1
+    assert all(t == 5 for t in out)
+
+
+def test_placeholders_crop_with_tiles():
+    # base 1024 → global 16x(16+1)+1 = 273; local 640, crop (3,2):
+    # rows = 10*2, cols = 10*3 → 20*31 = 620 → total 893
+    out = build_image_placeholders(5, (3, 2), 1024, 640, crop_mode=True)
+    assert len(out) == 620 + 273
+
+
+def test_placeholders_crop_single_tile_skips_local():
+    out = build_image_placeholders(5, (1, 1), 1024, 640, crop_mode=True)
+    assert len(out) == 273
+
+
+def test_placeholders_ocr2_flat():
+    out = build_image_placeholders(5, None, 1024, 640, crop_mode=False, variant="ocr2")
+    assert len(out) == 100 + 1
+
+
+# -- fusion ------------------------------------------------------------------------
+
+
+def test_build_clip_sam_tokens_shapes():
+    clip = jnp.asarray(np.random.default_rng(3).normal(size=(1, 5, 6)).astype(np.float32))
+    sam = jnp.asarray(np.random.default_rng(4).normal(size=(1, 10, 2, 2)).astype(np.float32))
+    fused = build_clip_sam_tokens(clip, sam)
+    assert fused.shape == (1, 4, 16)
+    # first 6 dims are clip (CLS dropped), rest flattened sam tokens
+    np.testing.assert_allclose(np.asarray(fused[0, 0, :6]), np.asarray(clip[0, 1]))
+    np.testing.assert_allclose(np.asarray(fused[0, 0, 6:]), np.asarray(sam[0, :, 0, 0]))
+
+
+def test_append_row_breaks():
+    grid = jnp.zeros((2, 3, 4))
+    newline = jnp.ones((4,))
+    out = np.asarray(append_row_breaks(grid, newline))
+    assert out.shape == (8, 4)
+    np.testing.assert_allclose(out[3], 1.0)  # newline after first row
+    np.testing.assert_allclose(out[7], 1.0)
+
+
+def test_format_local_tokens_tile_order():
+    # 2x1 crops (w=2, h=1), side 2: local grid rows interleave tiles horizontally
+    side, hidden = 2, 3
+    t0 = np.zeros((side * side, hidden), np.float32)
+    t1 = np.ones((side * side, hidden), np.float32)
+    projected = jnp.asarray(np.stack([t0, t1]))
+    out = np.asarray(format_local_tokens(projected, (2, 1), jnp.full((hidden,), 9.0)))
+    # rows: [t0 row0, t1 row0, newline, t0 row1, t1 row1, newline]
+    assert out.shape == (2 * (4 + 1), hidden)
+    np.testing.assert_allclose(out[0], 0.0)
+    np.testing.assert_allclose(out[2], 1.0)
+    np.testing.assert_allclose(out[4], 9.0)
+
+
+# -- decoder ------------------------------------------------------------------------
+
+
+def test_moe_decoder_prefill_then_decode_consistency():
+    lang = CFG.language
+    params = init_deepseek_params(lang, jax.random.PRNGKey(0), jnp.float32)
+    rope = build_decoder_rope(lang, 64)
+    S = 5
+    tokens = jax.random.randint(jax.random.PRNGKey(1), (S,), 0, lang.vocab_size)
+    embeds = params["embed_tokens"][tokens][None].astype(jnp.float32)
+    pos = jnp.arange(S, dtype=jnp.int32)[None]
+
+    cache_full = reset(new_cache(lang, 1, 16, jnp.float32))
+    full_logits, _ = deepseek_forward(
+        params, lang, embeds, pos, cache_full, rope, full_logits=True
+    )
+
+    cache = reset(new_cache(lang, 1, 16, jnp.float32))
+    logits3, cache = deepseek_forward(
+        params, lang, embeds[:, :3], pos[:, :3], cache, rope
+    )
+    cache = bump_length(cache, 3)
+    np.testing.assert_allclose(
+        np.asarray(logits3[0]), np.asarray(full_logits[0, 2]), rtol=5e-4, atol=5e-4
+    )
+    for s in range(3, S):
+        logits_s, cache = deepseek_forward(
+            params, lang, embeds[:, s : s + 1], pos[:, s : s + 1], cache, rope
+        )
+        cache = bump_length(cache, 1)
+        np.testing.assert_allclose(
+            np.asarray(logits_s[0]),
+            np.asarray(full_logits[0, s]),
+            rtol=5e-4,
+            atol=5e-4,
+        )
+
+
+def test_partial_rope_changes_only_rope_dims():
+    """qk_rope_head_dim < head_dim: positions must not affect tail dims'
+    contribution — verified indirectly: same token at two positions gives
+    different logits (rope active) but rope_dim=0 would not."""
+    lang = CFG.language
+    assert lang.rope_dim < lang.head_dim
+    params = init_deepseek_params(lang, jax.random.PRNGKey(3), jnp.float32)
+    rope = build_decoder_rope(lang, 64)
+    token = jnp.asarray([7])
+    embeds = params["embed_tokens"][token][None].astype(jnp.float32)
+    out = []
+    for p in (0, 5):
+        cache = reset(new_cache(lang, 1, 16, jnp.float32))
+        cache = bump_length(cache, p)  # pretend p tokens already cached (zeros)
+        logits, _ = deepseek_forward(
+            params, lang, embeds, jnp.asarray([[p]], jnp.int32), cache, rope
+        )
+        out.append(np.asarray(logits))
+    assert not np.allclose(out[0], out[1])
+
+
+# -- end-to-end -------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def tiny_engine():
+    return DeepseekOcrEngine(CFG, dtype=jnp.float32, max_seq_len=1024)
+
+
+def test_engine_decode_no_crop(tiny_engine):
+    rng = np.random.default_rng(8)
+    image = rng.integers(0, 256, size=(80, 100, 3), dtype=np.uint8)
+    # image_size 64 → grid 4 → ceil(4/4)=1 → 1 row of 2 + 1 = 3 tokens
+    outcome = tiny_engine.decode(
+        FakeTokenizer(),
+        "<image>\nOCR.",
+        [image],
+        VisionSettings(base_size=64, image_size=64, crop_mode=False),
+        DecodeParameters(max_new_tokens=6, no_repeat_ngram_size=None),
+    )
+    assert outcome.prompt_tokens > 3
+    assert 0 < outcome.response_tokens <= 6
+
+
+def test_engine_decode_crop_mode(tiny_engine):
+    rng = np.random.default_rng(9)
+    image = rng.integers(0, 256, size=(70, 140, 3), dtype=np.uint8)  # wide → 2x1 tiles
+    outcome = tiny_engine.decode(
+        FakeTokenizer(),
+        "<image>\nOCR.",
+        [image],
+        VisionSettings(base_size=64, image_size=64, crop_mode=True),
+        DecodeParameters(max_new_tokens=4, no_repeat_ngram_size=None),
+    )
+    assert outcome.response_tokens > 0
+
+
+def test_engine_deterministic(tiny_engine):
+    rng = np.random.default_rng(10)
+    image = rng.integers(0, 256, size=(50, 50, 3), dtype=np.uint8)
+    settings = VisionSettings(64, 64, False)
+    params = DecodeParameters(max_new_tokens=4, no_repeat_ngram_size=None)
+    out1 = tiny_engine.decode(FakeTokenizer(), "<image>a", [image], settings, params)
+    out2 = tiny_engine.decode(FakeTokenizer(), "<image>a", [image], settings, params)
+    assert out1.generated_tokens == out2.generated_tokens
