@@ -1,0 +1,233 @@
+"""DeepSeek-OCR checkpoint → parameter trees.
+
+Name map mirrors the reference loader (infer-deepseek/src/transformer/
+weights.rs:22-639 and model/mod.rs:946-1105): HF names under `model.*`
+(sam_model, vision_model, projector, layers.N...), lm_head at the root.
+Per-layer weights are stacked into [L, ...] arrays and linear weights
+transposed [out, in] → [in, out] for our row-major matmuls.
+"""
+
+from __future__ import annotations
+
+import pathlib
+from typing import Dict, Optional
+
+import numpy as np
+import jax.numpy as jnp
+
+from ...utils.safetensors_io import CheckpointReader
+from .config import DeepseekOcrConfig
+from .decoder import _split_layers
+
+
+def _lin(reader, name, dtype, transpose=True):
+    w = reader.get(f"{name}.weight", np.float32)
+    if transpose:
+        w = w.T
+    b = reader.get_optional(f"{name}.bias", np.float32)
+    out = {"w": jnp.asarray(w, dtype)}
+    out["b"] = jnp.asarray(b, dtype) if b is not None else jnp.zeros(w.shape[-1], dtype)
+    return out
+
+
+def _ln(reader, name, dtype):
+    return {
+        "w": jnp.asarray(reader.get(f"{name}.weight", np.float32), dtype),
+        "b": jnp.asarray(reader.get(f"{name}.bias", np.float32), dtype),
+    }
+
+
+def load_sam_params(reader: CheckpointReader, cfg: DeepseekOcrConfig, dtype=jnp.float32) -> Dict:
+    p = cfg.sam
+    root = "model.sam_model"
+    params = {
+        "patch_embed": {
+            "w": jnp.asarray(reader.get(f"{root}.patch_embed.proj.weight", np.float32), dtype),
+            "b": jnp.asarray(reader.get(f"{root}.patch_embed.proj.bias", np.float32), dtype),
+        },
+        "pos_embed": jnp.asarray(reader.get(f"{root}.pos_embed", np.float32), dtype),
+        "neck": {
+            "conv1": jnp.asarray(reader.get(f"{root}.neck.0.weight", np.float32), dtype),
+            "norm1": _ln(reader, f"{root}.neck.1", dtype),
+            "conv2": jnp.asarray(reader.get(f"{root}.neck.2.weight", np.float32), dtype),
+            "norm2": _ln(reader, f"{root}.neck.3", dtype),
+        },
+        "net_2": jnp.asarray(reader.get(f"{root}.net_2.weight", np.float32), dtype),
+        "net_3": jnp.asarray(reader.get(f"{root}.net_3.weight", np.float32), dtype),
+        "blocks": [],
+    }
+    for i in range(p.depth):
+        blk = f"{root}.blocks.{i}"
+        mlp1 = f"{blk}.mlp.fc1" if f"{blk}.mlp.fc1.weight" in reader else f"{blk}.mlp.lin1"
+        mlp2 = f"{blk}.mlp.fc2" if f"{blk}.mlp.fc2.weight" in reader else f"{blk}.mlp.lin2"
+        params["blocks"].append(
+            {
+                "norm1": _ln(reader, f"{blk}.norm1", dtype),
+                "norm2": _ln(reader, f"{blk}.norm2", dtype),
+                "qkv": _lin(reader, f"{blk}.attn.qkv", dtype),
+                "proj": _lin(reader, f"{blk}.attn.proj", dtype),
+                "rel_pos_h": jnp.asarray(reader.get(f"{blk}.attn.rel_pos_h", np.float32), dtype),
+                "rel_pos_w": jnp.asarray(reader.get(f"{blk}.attn.rel_pos_w", np.float32), dtype),
+                "fc1": _lin(reader, mlp1, dtype),
+                "fc2": _lin(reader, mlp2, dtype),
+            }
+        )
+    return params
+
+
+def load_clip_params(reader: CheckpointReader, cfg: DeepseekOcrConfig, dtype=jnp.float32) -> Dict:
+    p = cfg.clip
+    root = "model.vision_model"
+    params = {
+        "class_embedding": jnp.asarray(
+            reader.get(f"{root}.embeddings.class_embedding", np.float32), dtype
+        ),
+        "position_embedding": jnp.asarray(
+            reader.get(f"{root}.embeddings.position_embedding.weight", np.float32),
+            dtype,
+        ),
+        "pre_layernorm": _ln(reader, f"{root}.pre_layrnorm", dtype),  # sic
+        "layers": [],
+    }
+    for i in range(p.num_layers):
+        blk = f"{root}.transformer.layers.{i}"
+        params["layers"].append(
+            {
+                "ln1": _ln(reader, f"{blk}.layer_norm1", dtype),
+                "ln2": _ln(reader, f"{blk}.layer_norm2", dtype),
+                "qkv": _lin(reader, f"{blk}.self_attn.qkv_proj", dtype),
+                "out": _lin(reader, f"{blk}.self_attn.out_proj", dtype),
+                "fc1": _lin(reader, f"{blk}.mlp.fc1", dtype),
+                "fc2": _lin(reader, f"{blk}.mlp.fc2", dtype),
+            }
+        )
+    return params
+
+
+def load_projector_params(
+    reader: CheckpointReader, cfg: DeepseekOcrConfig, dtype=jnp.bfloat16
+) -> Dict:
+    n = cfg.projector_n_embed
+    bias = reader.get_optional("model.projector.layers.bias", np.float32)
+    newline = reader.get_optional("model.image_newline", np.float32)
+    sep = reader.get_optional("model.view_seperator", np.float32)
+    return {
+        "weight": jnp.asarray(
+            reader.get("model.projector.layers.weight", np.float32).T, dtype
+        ),
+        "bias": jnp.asarray(bias, dtype) if bias is not None else None,
+        "image_newline": jnp.asarray(
+            newline if newline is not None else np.zeros(n, np.float32), dtype
+        ),
+        "view_seperator": jnp.asarray(
+            sep if sep is not None else np.zeros(n, np.float32), dtype
+        ),
+    }
+
+
+def load_decoder_params(
+    reader: CheckpointReader, cfg: DeepseekOcrConfig, dtype=jnp.bfloat16
+) -> Dict:
+    lang = cfg.language
+    num_dense, num_moe = _split_layers(lang)
+
+    def stack_lin(indices, template, transpose=True):
+        arrs = []
+        for i in indices:
+            w = reader.get(template.format(i=i), np.float32)
+            arrs.append(w.T if transpose else w)
+        return jnp.asarray(np.stack(arrs), dtype)
+
+    def attn_stack(indices):
+        base = "model.layers.{i}."
+        return {
+            "input_layernorm": stack_lin(
+                indices, base + "input_layernorm.weight", transpose=False
+            ),
+            "post_attention_layernorm": stack_lin(
+                indices, base + "post_attention_layernorm.weight", transpose=False
+            ),
+            "q_proj": stack_lin(indices, base + "self_attn.q_proj.weight"),
+            "k_proj": stack_lin(indices, base + "self_attn.k_proj.weight"),
+            "v_proj": stack_lin(indices, base + "self_attn.v_proj.weight"),
+            "o_proj": stack_lin(indices, base + "self_attn.o_proj.weight"),
+        }
+
+    params: Dict = {
+        "embed_tokens": jnp.asarray(
+            reader.get("model.embed_tokens.weight", np.float32), dtype
+        ),
+        "norm": jnp.asarray(reader.get("model.norm.weight", np.float32), dtype),
+        "lm_head": jnp.asarray(reader.get("lm_head.weight", np.float32).T, dtype),
+    }
+    dense_idx = list(range(num_dense))
+    moe_idx = list(range(num_dense, num_dense + num_moe))
+    if dense_idx:
+        params["dense_layers"] = {
+            **attn_stack(dense_idx),
+            "gate_proj": stack_lin(dense_idx, "model.layers.{i}.mlp.gate_proj.weight"),
+            "up_proj": stack_lin(dense_idx, "model.layers.{i}.mlp.up_proj.weight"),
+            "down_proj": stack_lin(dense_idx, "model.layers.{i}.mlp.down_proj.weight"),
+        }
+    if moe_idx:
+        E = lang.n_routed_experts
+
+        def stack_experts(proj):
+            per_layer = []
+            for i in moe_idx:
+                experts = [
+                    reader.get(
+                        f"model.layers.{i}.mlp.experts.{e}.{proj}.weight", np.float32
+                    ).T
+                    for e in range(E)
+                ]
+                per_layer.append(np.stack(experts))
+            return jnp.asarray(np.stack(per_layer), dtype)
+
+        moe = {
+            **attn_stack(moe_idx),
+            "gate_weight": stack_lin(
+                moe_idx, "model.layers.{i}.mlp.gate.weight", transpose=False
+            ),
+            "experts_gate": stack_experts("gate_proj"),
+            "experts_up": stack_experts("up_proj"),
+            "experts_down": stack_experts("down_proj"),
+        }
+        bias_name = f"model.layers.{moe_idx[0]}.mlp.gate.e_score_correction_bias"
+        if bias_name in reader:
+            moe["gate_bias"] = stack_lin(
+                moe_idx,
+                "model.layers.{i}.mlp.gate.e_score_correction_bias",
+                transpose=False,
+            )
+        if f"model.layers.{moe_idx[0]}.mlp.shared_experts.gate_proj.weight" in reader:
+            moe["shared_gate"] = stack_lin(
+                moe_idx, "model.layers.{i}.mlp.shared_experts.gate_proj.weight"
+            )
+            moe["shared_up"] = stack_lin(
+                moe_idx, "model.layers.{i}.mlp.shared_experts.up_proj.weight"
+            )
+            moe["shared_down"] = stack_lin(
+                moe_idx, "model.layers.{i}.mlp.shared_experts.down_proj.weight"
+            )
+        params["moe_layers"] = moe
+    return params
+
+
+def load_deepseek_params(
+    weights_path: pathlib.Path,
+    cfg: DeepseekOcrConfig,
+    dtype=jnp.bfloat16,
+    vision_dtype=jnp.float32,
+) -> Dict:
+    """Full parameter tree from a safetensors checkpoint. Vision/projector
+    load at vision_dtype (the reference keeps f32 copies of these for
+    numeric stability — model/mod.rs:981-1052; we load them once in f32
+    instead of duplicating)."""
+    reader = CheckpointReader(weights_path)
+    return {
+        "sam": load_sam_params(reader, cfg, vision_dtype),
+        "clip": load_clip_params(reader, cfg, vision_dtype) if cfg.clip else None,
+        "projector": load_projector_params(reader, cfg, dtype),
+        "decoder": load_decoder_params(reader, cfg, dtype),
+    }

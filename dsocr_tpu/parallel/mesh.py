@@ -1,0 +1,101 @@
+"""Device mesh + sharding specs for the DeepSeek-V2 decoder.
+
+Sharding layout (("dp", "mp") mesh):
+- attention q/k/v projections: shard the fused head-output dim over mp
+  (head-parallel TP); o_proj shards its input dim and psums the output;
+- dense MLP gate/up shard the intermediate dim over mp; down shards its
+  input dim (psum on exit);
+- MoE expert stacks [L, E, H, I]: shard the intermediate dim over mp —
+  every device holds a slice of every expert, so `ragged_dot` partitions
+  without all_to_all and combines with one psum (expert-tensor
+  parallelism; classic EP over the E axis is a later optimization);
+- embeddings / lm_head: shard the vocab dim over mp;
+- KV cache: shard kv heads over mp when divisible, else replicate;
+- activations and token buffers: batch over dp.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(n_devices: int | None = None, dp: int | None = None) -> Mesh:
+    devices = jax.devices()
+    n = n_devices or len(devices)
+    devices = np.asarray(devices[:n])
+    if dp is None:
+        dp = 1
+        # prefer model parallelism for inference; dp grows only if asked
+    mp = n // dp
+    return Mesh(devices.reshape(dp, mp), axis_names=("dp", "mp"))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def batch_sharding(mesh: Mesh, ndim: int) -> NamedSharding:
+    return NamedSharding(mesh, P("dp", *([None] * (ndim - 1))))
+
+
+def cache_sharding(mesh: Mesh, num_kv_heads: int) -> NamedSharding:
+    mp = mesh.shape["mp"]
+    if num_kv_heads % mp == 0:
+        # [L, B, H_kv, S, D] — heads over mp, batch over dp
+        return NamedSharding(mesh, P(None, "dp", "mp", None, None))
+    return NamedSharding(mesh, P(None, "dp", None, None, None))
+
+
+def deepseek_param_shardings(params: Dict, mesh: Mesh) -> Dict:
+    """PartitionSpec tree matching init_deepseek_params' layout."""
+
+    def ns(*spec):
+        return NamedSharding(mesh, P(*spec))
+
+    def attn_specs():
+        return {
+            "input_layernorm": ns(),
+            "post_attention_layernorm": ns(),
+            "q_proj": ns(None, None, "mp"),
+            "k_proj": ns(None, None, "mp"),
+            "v_proj": ns(None, None, "mp"),
+            "o_proj": ns(None, "mp", None),
+        }
+
+    specs: Dict[str, Any] = {
+        "embed_tokens": ns("mp", None),
+        "norm": ns(),
+        "lm_head": ns(None, "mp"),
+    }
+    if "dense_layers" in params:
+        specs["dense_layers"] = {
+            **attn_specs(),
+            "gate_proj": ns(None, None, "mp"),
+            "up_proj": ns(None, None, "mp"),
+            "down_proj": ns(None, "mp", None),
+        }
+    if "moe_layers" in params:
+        moe = {
+            **attn_specs(),
+            "gate_weight": ns(),
+            "experts_gate": ns(None, None, None, "mp"),
+            "experts_up": ns(None, None, None, "mp"),
+            "experts_down": ns(None, None, "mp", None),
+        }
+        if "shared_gate" in params["moe_layers"]:
+            moe["shared_gate"] = ns(None, None, "mp")
+            moe["shared_up"] = ns(None, None, "mp")
+            moe["shared_down"] = ns(None, "mp", None)
+        specs["moe_layers"] = moe
+
+    # anything not covered explicitly → replicated
+    def fill(p, s):
+        if isinstance(p, dict):
+            return {k: fill(p[k], s.get(k) if isinstance(s, dict) else None) for k in p}
+        return s if s is not None else ns()
+
+    return fill(params, specs)
