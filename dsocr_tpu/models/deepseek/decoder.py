@@ -163,41 +163,45 @@ def deepseek_forward(
         routed_scaling_factor=cfg.routed_scaling_factor,
     )
 
-    def attn_block(x, layer, k_cache, v_cache):
+    zero = jnp.int32(0)
+
+    def attn_block(x, k_all, v_all, layer, li):
         normed = rms_norm(x, layer["input_layernorm"], cfg.rms_norm_eps)
         q = _proj(normed, layer["q_proj"]).reshape(B, S, NH, D).transpose(0, 2, 1, 3)
         k = _proj(normed, layer["k_proj"]).reshape(B, S, NKV, D).transpose(0, 2, 1, 3)
         v = _proj(normed, layer["v_proj"]).reshape(B, S, NKV, DV).transpose(0, 2, 1, 3)
         q = _partial_rope(q, cos, sin, rope_dim, cfg.use_mla)
         k = _partial_rope(k, cos, sin, rope_dim, cfg.use_mla)
-        k_cache = jax.lax.dynamic_update_slice(
-            k_cache, k.astype(k_cache.dtype), (0, 0, start, 0)
+        # In-place updates on the scan carry (XLA aliases the buffers;
+        # the old slice/concat layout copied the whole cache every step).
+        k_all = jax.lax.dynamic_update_slice(
+            k_all, k[None].astype(k_all.dtype), (li, zero, zero, start, zero)
         )
-        v_cache = jax.lax.dynamic_update_slice(
-            v_cache, v.astype(v_cache.dtype), (0, 0, start, 0)
+        v_all = jax.lax.dynamic_update_slice(
+            v_all, v[None].astype(v_all.dtype), (li, zero, zero, start, zero)
         )
-        attn = attention(
-            q, k_cache.astype(q.dtype), v_cache.astype(q.dtype), mask, scale
-        )
+        k_layer = jax.lax.dynamic_index_in_dim(k_all, li, 0, keepdims=False)
+        v_layer = jax.lax.dynamic_index_in_dim(v_all, li, 0, keepdims=False)
+        attn = attention(q, k_layer.astype(q.dtype), v_layer.astype(q.dtype), mask, scale)
         attn = _proj(attn, layer["o_proj"])
-        return (x.astype(jnp.float32) + attn.astype(jnp.float32)).astype(x.dtype), (
-            k_cache,
-            v_cache,
-        )
+        x = (x.astype(jnp.float32) + attn.astype(jnp.float32)).astype(x.dtype)
+        return x, k_all, v_all
 
-    def dense_body(x, xs):
-        layer, k_cache, v_cache = xs
-        x, kv = attn_block(x, layer, k_cache, v_cache)
+    def dense_body(carry, xs):
+        x, k_all, v_all = carry
+        layer, li = xs
+        x, k_all, v_all = attn_block(x, k_all, v_all, layer, li)
         normed = rms_norm(x, layer["post_attention_layernorm"], cfg.rms_norm_eps)
         gate = _proj(normed, layer["gate_proj"]).astype(jnp.float32)
         up = _proj(normed, layer["up_proj"]).astype(jnp.float32)
         mlp = _proj((jax.nn.silu(gate) * up).astype(x.dtype), layer["down_proj"])
         x = (x.astype(jnp.float32) + mlp.astype(jnp.float32)).astype(x.dtype)
-        return x, kv
+        return (x, k_all, v_all), None
 
-    def moe_body(x, xs):
-        layer, k_cache, v_cache = xs
-        x, kv = attn_block(x, layer, k_cache, v_cache)
+    def moe_body(carry, xs):
+        x, k_all, v_all = carry
+        layer, li = xs
+        x, k_all, v_all = attn_block(x, k_all, v_all, layer, li)
         normed = rms_norm(x, layer["post_attention_layernorm"], cfg.rms_norm_eps)
         tokens = normed.reshape(B * S, H)
         weights, indices = moe_router(
@@ -217,27 +221,17 @@ def deepseek_forward(
             )
             out = out + shared.reshape(B * S, H).astype(jnp.float32)
         x = (x.astype(jnp.float32) + out.reshape(B, S, H)).astype(x.dtype)
-        return x, kv
+        return (x, k_all, v_all), None
 
-    x = embeds
-    new_k, new_v = [], []
+    carry = (embeds, cache.k, cache.v)
     if num_dense:
-        dk = jax.lax.dynamic_slice_in_dim(cache.k, 0, num_dense, 0)
-        dv = jax.lax.dynamic_slice_in_dim(cache.v, 0, num_dense, 0)
-        x, (uk, uv) = jax.lax.scan(dense_body, x, (params["dense_layers"], dk, dv))
-        new_k.append(uk)
-        new_v.append(uv)
+        idx = jnp.arange(num_dense, dtype=jnp.int32)
+        carry, _ = jax.lax.scan(dense_body, carry, (params["dense_layers"], idx))
     if num_moe:
-        mk = jax.lax.dynamic_slice_in_dim(cache.k, num_dense, num_moe, 0)
-        mv = jax.lax.dynamic_slice_in_dim(cache.v, num_dense, num_moe, 0)
-        x, (uk, uv) = jax.lax.scan(moe_body, x, (params["moe_layers"], mk, mv))
-        new_k.append(uk)
-        new_v.append(uv)
-    cache = KVCache(
-        k=jnp.concatenate(new_k, axis=0),
-        v=jnp.concatenate(new_v, axis=0),
-        length=cache.length,
-    )
+        idx = jnp.arange(num_dense, num_dense + num_moe, dtype=jnp.int32)
+        carry, _ = jax.lax.scan(moe_body, carry, (params["moe_layers"], idx))
+    x, new_k, new_v = carry
+    cache = KVCache(k=new_k, v=new_v, length=cache.length)
 
     x = rms_norm(x, params["norm"], cfg.rms_norm_eps)
     head = params.get("lm_head")

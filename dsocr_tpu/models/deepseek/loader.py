@@ -219,12 +219,16 @@ def load_deepseek_params(
     cfg: DeepseekOcrConfig,
     dtype=jnp.bfloat16,
     vision_dtype=jnp.float32,
+    snapshot_path: pathlib.Path | None = None,
 ) -> Dict:
     """Full parameter tree from a safetensors checkpoint. Vision/projector
     load at vision_dtype (the reference keeps f32 copies of these for
     numeric stability — model/mod.rs:981-1052; we load them once in f32
-    instead of duplicating)."""
-    reader = CheckpointReader(weights_path)
+    instead of duplicating). A DSQ snapshot overrides matching linears
+    (dequantize-on-load, ref dsq-runtime SnapshotLoadPlan)."""
+    from ...dsq.runtime import WeightSource
+
+    reader = WeightSource.open(weights_path, snapshot_path)
     return {
         "sam": load_sam_params(reader, cfg, vision_dtype),
         "clip": load_clip_params(reader, cfg, vision_dtype) if cfg.clip else None,

@@ -143,8 +143,11 @@ def ernie_forward(
 
     lp = params["layers"]
 
-    def body(x, xs):
-        layer, k_cache, v_cache = xs  # k_cache: [B, NKV, S_max, D]
+    zero = jnp.int32(0)
+
+    def body(carry, xs):
+        x, k_all, v_all = carry
+        layer, li = xs
         normed = rms_norm(x, layer["input_layernorm"], cfg.rms_norm_eps)
         q = _proj(normed, layer["q_proj"]).reshape(B, S, NH, D).transpose(0, 2, 1, 3)
         k = _proj(normed, layer["k_proj"]).reshape(B, S, NKV, D).transpose(0, 2, 1, 3)
@@ -152,15 +155,16 @@ def ernie_forward(
         q = _apply_mrope(q, cos, sin)
         k = _apply_mrope(k, cos, sin)
 
-        k_cache = jax.lax.dynamic_update_slice(
-            k_cache, k.astype(k_cache.dtype), (0, 0, start, 0)
+        # in-place carry updates (no per-step cache copies)
+        k_all = jax.lax.dynamic_update_slice(
+            k_all, k[None].astype(k_all.dtype), (li, zero, zero, start, zero)
         )
-        v_cache = jax.lax.dynamic_update_slice(
-            v_cache, v.astype(v_cache.dtype), (0, 0, start, 0)
+        v_all = jax.lax.dynamic_update_slice(
+            v_all, v[None].astype(v_all.dtype), (li, zero, zero, start, zero)
         )
-        attn = attention(
-            q, k_cache.astype(q.dtype), v_cache.astype(q.dtype), mask, scale
-        )
+        k_layer = jax.lax.dynamic_index_in_dim(k_all, li, 0, keepdims=False)
+        v_layer = jax.lax.dynamic_index_in_dim(v_all, li, 0, keepdims=False)
+        attn = attention(q, k_layer.astype(q.dtype), v_layer.astype(q.dtype), mask, scale)
         attn = _proj(attn, layer["o_proj"])
         x = (x.astype(jnp.float32) + attn.astype(jnp.float32)).astype(x.dtype)
 
@@ -169,9 +173,10 @@ def ernie_forward(
         up = _proj(normed, layer["up_proj"]).astype(jnp.float32)
         mlp = _proj((jax.nn.silu(gate) * up).astype(x.dtype), layer["down_proj"])
         x = (x.astype(jnp.float32) + mlp.astype(jnp.float32)).astype(x.dtype)
-        return x, (k_cache, v_cache)
+        return (x, k_all, v_all), None
 
-    x, (new_k, new_v) = jax.lax.scan(body, embeds, (lp, cache.k, cache.v))
+    idx = jnp.arange(cfg.num_hidden_layers, dtype=jnp.int32)
+    (x, new_k, new_v), _ = jax.lax.scan(body, (embeds, cache.k, cache.v), (lp, idx))
     cache = KVCache(k=new_k, v=new_v, length=cache.length)
 
     x = rms_norm(x, params["norm"], cfg.rms_norm_eps)

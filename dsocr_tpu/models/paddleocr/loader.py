@@ -122,8 +122,11 @@ def load_paddle_params(
     cfg: PaddleConfig,
     dtype=jnp.bfloat16,
     vision_dtype=jnp.float32,
+    snapshot_path: pathlib.Path | None = None,
 ) -> Dict:
-    reader = CheckpointReader(weights_path)
+    from ...dsq.runtime import WeightSource
+
+    reader = WeightSource.open(weights_path, snapshot_path)
     return {
         "vision": load_siglip_params(reader, cfg, vision_dtype),
         "projector": load_projector_params(reader, cfg, dtype),

@@ -14,7 +14,7 @@ from .norms import rms_norm, layer_norm
 from .rope import build_rope_tables, apply_rope, rotate_half, mla_interleave_regroup
 from .activations import silu, gelu, gelu_tanh, quick_gelu, ACT2FN
 from .attention import repeat_kv, causal_mask, attention
-from .moe import MoeConfig, moe_router, moe_apply, swiglu_mlp
+from .moe import MoeConfig, moe_router, moe_apply, moe_apply_gather, swiglu_mlp
 
 __all__ = [
     "rms_norm",
@@ -34,5 +34,6 @@ __all__ = [
     "MoeConfig",
     "moe_router",
     "moe_apply",
+    "moe_apply_gather",
     "swiglu_mlp",
 ]

@@ -67,7 +67,7 @@ def moe_router(
     return topk_weights, topk_indices.astype(jnp.int32)
 
 
-def moe_apply(
+def moe_apply_gather(
     tokens: jnp.ndarray,  # [N, hidden]
     topk_weights: jnp.ndarray,  # [N, K] f32
     topk_indices: jnp.ndarray,  # [N, K] int32
@@ -75,8 +75,49 @@ def moe_apply(
     up_proj: jnp.ndarray,  # [E, hidden, inter]
     down_proj: jnp.ndarray,  # [E, inter, hidden]
 ) -> jnp.ndarray:
-    """Run the routed experts as grouped matmuls; returns [N, hidden] in
-    tokens.dtype."""
+    """Decode-path MoE: gather only the selected experts' weights.
+
+    For tiny token counts (autoregressive decode) the grouped-matmul path
+    streams the ENTIRE expert stack from HBM every step; gathering the
+    K selected experts reads K/E of the bytes. The gather itself is a
+    Pallas scalar-prefetch kernel (ops.pallas.gather_matmul) because XLA
+    materializes `w[idx]` as full HBM copies before the matmul.
+    """
+    from .pallas.gather_matmul import gather_matmul_auto
+
+    n, k = topk_indices.shape
+    hidden = tokens.shape[1]
+    flat_idx = topk_indices.reshape(n * k)
+    flat_x = jnp.repeat(tokens, k, axis=0)  # [N*K, H] — slot s uses token s//K
+    gates = gather_matmul_auto(flat_x, gate_proj, flat_idx)  # [N*K, I] f32
+    ups = gather_matmul_auto(flat_x, up_proj, flat_idx)
+    inter = (silu(gates) * ups).astype(tokens.dtype)
+    outs = gather_matmul_auto(inter, down_proj, flat_idx)  # [N*K, H] f32
+    combined = jnp.sum(
+        outs.reshape(n, k, hidden) * topk_weights[..., None], axis=1
+    )
+    return combined.astype(tokens.dtype)
+
+
+def moe_apply(
+    tokens: jnp.ndarray,  # [N, hidden]
+    topk_weights: jnp.ndarray,  # [N, K] f32
+    topk_indices: jnp.ndarray,  # [N, K] int32
+    gate_proj: jnp.ndarray,  # [E, hidden, inter]
+    up_proj: jnp.ndarray,  # [E, hidden, inter]
+    down_proj: jnp.ndarray,  # [E, inter, hidden]
+    *,
+    gather_threshold: int = 16,
+) -> jnp.ndarray:
+    """Run the routed experts; returns [N, hidden] in tokens.dtype.
+
+    Dispatches on the static token count: small N (decode steps) uses
+    the weight-gather path; large N (prefill) uses sorted grouped
+    matmuls via ragged_dot."""
+    if tokens.shape[0] <= gather_threshold:
+        return moe_apply_gather(
+            tokens, topk_weights, topk_indices, gate_proj, up_proj, down_proj
+        )
     n, hidden = tokens.shape
     k = topk_indices.shape[1]
     num_experts = gate_proj.shape[0]

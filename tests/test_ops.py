@@ -251,6 +251,26 @@ def test_moe_apply_matches_naive(seed):
     np.testing.assert_allclose(np.asarray(out), expected, rtol=2e-4, atol=2e-4)
 
 
+@pytest.mark.parametrize("seed", range(2))
+def test_moe_apply_ragged_path_matches_naive(seed):
+    # force the grouped-matmul path (prefill) regardless of token count
+    rng = np.random.default_rng(50 + seed)
+    N, H, I, E, K = 7, 8, 12, 4, 2
+    tokens = rng.normal(size=(N, H)).astype(np.float32)
+    gate_p = rng.normal(size=(E, H, I)).astype(np.float32) * 0.2
+    up_p = rng.normal(size=(E, H, I)).astype(np.float32) * 0.2
+    down_p = rng.normal(size=(E, I, H)).astype(np.float32) * 0.2
+    weights = rng.uniform(0.1, 1.0, size=(N, K)).astype(np.float32)
+    indices = rng.integers(0, E, size=(N, K)).astype(np.int32)
+    out = moe_apply(
+        jnp.asarray(tokens), jnp.asarray(weights), jnp.asarray(indices),
+        jnp.asarray(gate_p), jnp.asarray(up_p), jnp.asarray(down_p),
+        gather_threshold=0,
+    )
+    expected = _naive_moe(tokens, weights, indices, gate_p, up_p, down_p)
+    np.testing.assert_allclose(np.asarray(out), expected, rtol=2e-4, atol=2e-4)
+
+
 def test_moe_apply_unused_experts_ok():
     rng = np.random.default_rng(20)
     tokens = rng.normal(size=(2, 4)).astype(np.float32)
