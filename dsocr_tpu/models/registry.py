@@ -1,0 +1,93 @@
+"""Model loading dispatch: ModelKind + resolved paths → engine.
+
+Equivalent of the reference CLI's load_*_model dispatch
+(crates/cli/src/app.rs:105-110).
+"""
+
+from __future__ import annotations
+
+import pathlib
+from typing import Optional
+
+import jax.numpy as jnp
+
+from ..core.engine import ModelKind, OcrEngine
+
+
+_DTYPES = {
+    "bfloat16": jnp.bfloat16,
+    "bf16": jnp.bfloat16,
+    "float32": jnp.float32,
+    "f32": jnp.float32,
+    "float16": jnp.float16,
+    "f16": jnp.float16,
+}
+
+
+def resolve_dtype(name: Optional[str]):
+    if name is None:
+        return jnp.bfloat16
+    dtype = _DTYPES.get(name.lower())
+    if dtype is None:
+        raise ValueError(f"unsupported dtype {name!r}")
+    return dtype
+
+
+def load_engine(
+    kind: ModelKind,
+    config_path: Optional[pathlib.Path] = None,
+    weights_path: Optional[pathlib.Path] = None,
+    snapshot_path: Optional[pathlib.Path] = None,
+    dtype: Optional[str] = None,
+    max_seq_len: int = 8192,
+) -> OcrEngine:
+    jdtype = resolve_dtype(dtype)
+    if kind is ModelKind.DEEPSEEK:
+        from .deepseek import DeepseekOcrConfig, DeepseekOcrEngine
+        from .deepseek.loader import load_deepseek_params
+
+        cfg = (
+            DeepseekOcrConfig.from_json(config_path)
+            if config_path
+            else DeepseekOcrConfig()
+        )
+        params = None
+        if weights_path:
+            params = load_deepseek_params(
+                weights_path, cfg, dtype=jdtype, snapshot_path=snapshot_path
+            )
+        return DeepseekOcrEngine(cfg, params=params, dtype=jdtype, max_seq_len=max_seq_len)
+    if kind is ModelKind.PADDLE_OCR_VL:
+        from .paddleocr import PaddleConfig, PaddleOcrEngine
+        from .paddleocr.loader import load_paddle_params
+
+        cfg = PaddleConfig.from_json(config_path) if config_path else PaddleConfig()
+        params = None
+        if weights_path:
+            params = load_paddle_params(
+                weights_path, cfg, dtype=jdtype, snapshot_path=snapshot_path
+            )
+        return PaddleOcrEngine(cfg, params=params, dtype=jdtype, max_seq_len=max_seq_len)
+    if kind is ModelKind.DOTS_OCR:
+        from .dots import DotsConfig, DotsOcrEngine
+        from .dots.loader import load_dots_params
+
+        cfg = DotsConfig.from_json(config_path) if config_path else DotsConfig()
+        params = None
+        if weights_path:
+            params = load_dots_params(
+                weights_path, cfg, dtype=jdtype, snapshot_path=snapshot_path
+            )
+        return DotsOcrEngine(cfg, params=params, dtype=jdtype, max_seq_len=max_seq_len)
+    if kind is ModelKind.GLM_OCR:
+        from .glm import GlmConfig, GlmOcrEngine
+        from .glm.loader import load_glm_params
+
+        cfg = GlmConfig.from_json(config_path) if config_path else GlmConfig()
+        params = None
+        if weights_path:
+            params = load_glm_params(
+                weights_path, cfg, dtype=jdtype, snapshot_path=snapshot_path
+            )
+        return GlmOcrEngine(cfg, params=params, dtype=jdtype, max_seq_len=max_seq_len)
+    raise ValueError(f"unsupported model kind {kind}")
