@@ -1,0 +1,228 @@
+"""DotsOCR engine: smart-resize preprocess → packed DotsVision → prompt
+with <|img|>/<|imgpad|>/<|endofimg|> runs → Qwen2 prefill → jitted
+decode. Mirrors infer-dots/src/model.rs orchestration.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ...core import DecodeOutcome, DecodeParameters, ModelKind, VisionSettings
+from ...core.benchmark import Timer
+from ...core.text import normalize_text
+from ...image.smart_resize import SmartResizeConfig, preprocess_patches
+from ...runtime import GenerateParams, Generator
+from ...runtime.kv_cache import bump_length, reset
+from .config import DotsConfig
+from .decoder import build_qwen2_rope, init_qwen2_params, new_cache, qwen2_forward
+from .vision import SequenceLayout, dots_vision_forward, init_dots_vision_params
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+class DotsOcrEngine:
+    def __init__(
+        self,
+        cfg: DotsConfig,
+        params: Optional[Dict] = None,
+        dtype=jnp.bfloat16,
+        max_seq_len: int = 16384,
+        seed: int = 0,
+    ):
+        self.cfg = cfg
+        self.dtype_ = dtype
+        self.max_seq_len = max_seq_len
+        if params is None:
+            kv, kd = jax.random.split(jax.random.PRNGKey(seed))
+            params = {
+                "vision": init_dots_vision_params(cfg.vision, kv),
+                "decoder": init_qwen2_params(cfg.text, kd, dtype),
+            }
+        self.params = params
+        self._rope = build_qwen2_rope(cfg.text, max_seq_len)
+        self._prefill_jit = jax.jit(self._prefill_impl, static_argnames=("seq_len",))
+        self.prep_overrides: Dict = {}
+
+    def kind(self) -> ModelKind:
+        return ModelKind.DOTS_OCR
+
+    def device(self) -> str:
+        return jax.devices()[0].platform
+
+    def dtype(self) -> str:
+        return jnp.dtype(self.dtype_).name
+
+    def weights_path(self):
+        return None
+
+    # -- vision -----------------------------------------------------------------
+
+    def encode_images(
+        self, images: Sequence[np.ndarray], vision: VisionSettings
+    ) -> Tuple[List[jnp.ndarray], List[Tuple[int, int, int]]]:
+        """Pack all images into one DotsVision pass; split merged tokens
+        per image (ref model.rs:149-180)."""
+        if not images:
+            return [], []
+        prep = SmartResizeConfig(
+            patch_size=self.cfg.vision.patch_size,
+            merge_size=self.cfg.vision.spatial_merge_size,
+            **self.prep_overrides,
+        ).with_max_image_size(vision.image_size)
+        all_patches = []
+        grids = []
+        for image in images:
+            p = preprocess_patches(np.asarray(image), prep)
+            all_patches.append(p.patches)
+            grids.append(p.grid_thw)
+        packed = jnp.asarray(np.concatenate(all_patches), self.dtype_)
+        layout = SequenceLayout.from_grid(grids, self.cfg.vision.spatial_merge_size)
+        merged = dots_vision_forward(
+            self.params["vision"], self.cfg.vision, packed, layout
+        )
+        merge_area = self.cfg.vision.spatial_merge_size**2
+        outputs = []
+        offset = 0
+        for t, h, w in grids:
+            count = t * h * w // merge_area
+            outputs.append(merged[offset : offset + count])
+            offset += count
+        return outputs, grids
+
+    # -- prompt ------------------------------------------------------------------
+
+    def build_prompt_tokens(
+        self, tokenizer, prompt: str, grids: Sequence[Tuple[int, int, int]]
+    ) -> Tuple[List[int], List[int]]:
+        cfg = self.cfg
+        merge_area = cfg.vision.spatial_merge_size**2
+        segments = prompt.split("<image>")
+        if len(segments) - 1 != len(grids):
+            raise ValueError(
+                f"prompt/image mismatch: {len(segments) - 1} slots vs "
+                f"{len(grids)} grids"
+            )
+        tokens: List[int] = []
+        mask: List[int] = []
+        for idx, segment in enumerate(segments):
+            if segment:
+                ids = tokenizer.encode(segment)
+                tokens.extend(ids)
+                mask.extend([0] * len(ids))
+            if idx < len(grids):
+                t, h, w = grids[idx]
+                count = t * h * w // merge_area
+                tokens.append(cfg.image_start_token_id)
+                mask.append(0)
+                tokens.extend([cfg.image_token_id] * count)
+                mask.extend([1] * count)
+                tokens.append(cfg.image_end_token_id)
+                mask.append(0)
+        return tokens, mask
+
+    # -- decode -------------------------------------------------------------------
+
+    def _prefill_impl(self, params, embeds, positions, cache, true_len, seq_len: int):
+        logits, cache = qwen2_forward(
+            params["decoder"], self.cfg.text, embeds, positions, cache, self._rope,
+            last_index=(true_len - 1)[None],
+        )
+        return logits, bump_length(cache, true_len)
+
+    def _step_fn(self, params, token_ids, cache, pos_state):
+        embeds = params["decoder"]["embed_tokens"][token_ids][:, None, :].astype(
+            self.dtype_
+        )
+        positions = jnp.broadcast_to(
+            cache.length[None, None], (token_ids.shape[0], 1)
+        ).astype(jnp.int32)
+        logits, cache = qwen2_forward(
+            params["decoder"], self.cfg.text, embeds, positions, cache, self._rope
+        )
+        return logits, bump_length(cache, 1), pos_state
+
+    def decode(
+        self,
+        tokenizer,
+        prompt: str,
+        images: Sequence[np.ndarray],
+        vision: VisionSettings,
+        params: DecodeParameters,
+        stream=None,
+    ) -> DecodeOutcome:
+        if not params.use_cache:
+            raise ValueError("DotsOCR decoder requires use_cache=true")
+        cfg = self.cfg
+
+        vtimer = Timer("vision.compute_embeddings")
+        embeddings, grids = self.encode_images(images, vision)
+        vtimer.finish(images=len(images))
+
+        tokens, image_mask = self.build_prompt_tokens(tokenizer, prompt, grids)
+        prompt_len = len(tokens)
+        s_pad = _round_up(prompt_len, 128)
+        tokens_padded = np.zeros(s_pad, np.int32)
+        tokens_padded[:prompt_len] = tokens
+
+        embeds = self.params["decoder"]["embed_tokens"][
+            jnp.asarray(tokens_padded)
+        ].astype(self.dtype_)
+        if embeddings:
+            flat = jnp.concatenate(embeddings, axis=0)
+            mask_padded = np.zeros(s_pad, bool)
+            mask_padded[:prompt_len] = np.asarray(image_mask, bool)
+            idx = np.nonzero(mask_padded)[0]
+            embeds = embeds.at[jnp.asarray(idx)].set(flat.astype(self.dtype_))
+        embeds = embeds[None]
+        positions = jnp.arange(s_pad, dtype=jnp.int32)[None]
+
+        max_len = min(self.max_seq_len, _round_up(s_pad + params.max_new_tokens + 8, 128))
+        cache = reset(new_cache(cfg.text, 1, max_len, self.dtype_))
+
+        pf = Timer("decode.prefill")
+        prefill_logits, cache = self._prefill_jit(
+            self.params, embeds, positions, cache, jnp.int32(prompt_len), seq_len=s_pad
+        )
+        prefill_logits.block_until_ready()
+        pf.finish(prompt_tokens=prompt_len)
+
+        gen_params = GenerateParams(
+            max_new_tokens=params.max_new_tokens,
+            do_sample=params.do_sample,
+            temperature=params.temperature,
+            top_p=params.top_p,
+            top_k=params.top_k,
+            repetition_penalty=params.repetition_penalty,
+            no_repeat_ngram_size=params.no_repeat_ngram_size,
+            eos_ids=(cfg.eos_token_id,),
+            emit_eos=True,  # dots loop mirrors paddle's push-then-break
+            chunk_size=16 if stream is not None else 64,
+        )
+        generator = Generator(self._step_fn, gen_params)
+        gtimer = Timer("decode.generate")
+        result = generator.generate(
+            self.params,
+            prefill_logits,
+            cache,
+            None,
+            [tokens],
+            rng=jax.random.PRNGKey(params.seed or 0),
+            stream_callback=stream,
+        )
+        gtimer.finish(generated=len(result.tokens[0]))
+
+        generated = result.tokens[0]
+        text = normalize_text(tokenizer.decode(generated, skip_special_tokens=True))
+        return DecodeOutcome(
+            text=text,
+            prompt_tokens=prompt_len,
+            response_tokens=len(generated),
+            generated_tokens=generated,
+        )

@@ -1,0 +1,213 @@
+"""DotsOCR family: sequence layout, 2D rotary, packed vision, Qwen2
+cache consistency, end-to-end decode (contracts: infer-dots)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from dsocr_tpu.core import DecodeParameters, VisionSettings
+from dsocr_tpu.models.dots import DotsOcrEngine
+from dsocr_tpu.models.dots.config import tiny_dots_config
+from dsocr_tpu.models.dots.decoder import (
+    build_qwen2_rope,
+    init_qwen2_params,
+    new_cache,
+    qwen2_forward,
+)
+from dsocr_tpu.models.dots.vision import SequenceLayout, build_2d_rope
+from dsocr_tpu.runtime.kv_cache import bump_length, reset
+
+CFG = tiny_dots_config()
+
+
+class FakeTokenizer:
+    def encode(self, text):
+        return [ord(c) % 200 for c in text]
+
+    def decode(self, ids, skip_special_tokens=True):
+        return "".join(chr(97 + (i % 26)) for i in ids)
+
+    def token_to_id(self, token):
+        return None
+
+
+def test_sequence_layout_single_image():
+    layout = SequenceLayout.from_grid([(1, 4, 6)], merge=2)
+    assert layout.total_tokens == 24
+    assert layout.merge_groups == 6
+    assert layout.frames == ((0, 24),)
+    assert layout.uniform_frame_len == 24
+    # merge-window order: first four positions are the top-left 2x2 window
+    np.testing.assert_array_equal(
+        layout.positions[:4], [[0, 0], [0, 1], [1, 0], [1, 1]]
+    )
+
+
+def test_sequence_layout_multi_image_packing():
+    layout = SequenceLayout.from_grid([(1, 2, 2), (1, 2, 4)], merge=2)
+    assert layout.total_tokens == 4 + 8
+    assert layout.frames == ((0, 4), (4, 8))
+    assert layout.uniform_frame_len is None  # ragged
+
+
+def test_2d_rope_position_zero_identity():
+    cos, sin = build_2d_rope(np.zeros((3, 2), np.int32), head_dim=8)
+    np.testing.assert_allclose(np.asarray(cos), 1.0)
+    np.testing.assert_allclose(np.asarray(sin), 0.0)
+
+
+def test_qwen2_prefill_decode_consistency():
+    t = CFG.text
+    params = init_qwen2_params(t, jax.random.PRNGKey(0), jnp.float32)
+    rope = build_qwen2_rope(t, 64)
+    S = 5
+    tokens = jax.random.randint(jax.random.PRNGKey(1), (S,), 0, t.vocab_size)
+    embeds = params["embed_tokens"][tokens][None].astype(jnp.float32)
+    pos = jnp.arange(S, dtype=jnp.int32)[None]
+
+    cache_full = reset(new_cache(t, 1, 16, jnp.float32))
+    full_logits, _ = qwen2_forward(
+        params, t, embeds, pos, cache_full, rope, full_logits=True
+    )
+    cache = reset(new_cache(t, 1, 16, jnp.float32))
+    logits2, cache = qwen2_forward(params, t, embeds[:, :2], pos[:, :2], cache, rope)
+    cache = bump_length(cache, 2)
+    np.testing.assert_allclose(
+        np.asarray(logits2[0]), np.asarray(full_logits[0, 1]), rtol=5e-4, atol=5e-4
+    )
+    for s in range(2, S):
+        logits_s, cache = qwen2_forward(
+            params, t, embeds[:, s : s + 1], pos[:, s : s + 1], cache, rope
+        )
+        cache = bump_length(cache, 1)
+        np.testing.assert_allclose(
+            np.asarray(logits_s[0]), np.asarray(full_logits[0, s]),
+            rtol=5e-4, atol=5e-4,
+        )
+
+
+def test_qwen2_bias_changes_output():
+    t = CFG.text
+    params = init_qwen2_params(t, jax.random.PRNGKey(2), jnp.float32)
+    assert "q_bias" in params["layers"]  # attention_bias default true
+    rope = build_qwen2_rope(t, 16)
+    embeds = params["embed_tokens"][jnp.asarray([3])][None].astype(jnp.float32)
+    pos = jnp.asarray([[0]], jnp.int32)
+    cache = reset(new_cache(t, 1, 8, jnp.float32))
+    base, _ = qwen2_forward(params, t, embeds, pos, cache, rope)
+    params2 = jax.tree_util.tree_map(lambda x: x, params)
+    # v_bias feeds the value path directly (q_bias is invisible at S=1:
+    # softmax over a single key is 1 regardless of the query)
+    params2["layers"]["v_bias"] = params["layers"]["v_bias"] + 0.5
+    mod, _ = qwen2_forward(params2, t, embeds, pos, cache, rope)
+    assert not np.allclose(np.asarray(base), np.asarray(mod))
+
+
+@pytest.fixture(scope="module")
+def tiny_engine():
+    engine = DotsOcrEngine(CFG, dtype=jnp.float32, max_seq_len=512)
+    engine.prep_overrides = {"min_pixels": 1, "max_pixels": 28 * 56}
+    return engine
+
+
+def test_engine_decode_end_to_end(tiny_engine):
+    rng = np.random.default_rng(3)
+    image = rng.integers(0, 256, (28, 56, 3), dtype=np.uint8)
+    out = tiny_engine.decode(
+        FakeTokenizer(),
+        "<image>\nExtract text.",
+        [image],
+        VisionSettings(28, 56, False),
+        DecodeParameters(max_new_tokens=5, no_repeat_ngram_size=None),
+    )
+    assert out.prompt_tokens > 2
+    assert 0 < out.response_tokens <= 5
+
+
+def test_engine_multi_image(tiny_engine):
+    rng = np.random.default_rng(4)
+    imgs = [
+        rng.integers(0, 256, (28, 28, 3), dtype=np.uint8),
+        rng.integers(0, 256, (28, 56, 3), dtype=np.uint8),
+    ]
+    out = tiny_engine.decode(
+        FakeTokenizer(),
+        "<image>and<image>",
+        imgs,
+        VisionSettings(28, 56, False),
+        DecodeParameters(max_new_tokens=3, no_repeat_ngram_size=None),
+    )
+    assert out.response_tokens > 0
+
+
+def test_dots_loader_roundtrip(tmp_path):
+    from safetensors.numpy import save_file
+
+    from dsocr_tpu.models.dots.loader import load_dots_params
+
+    rng = np.random.default_rng(5)
+    v, t = CFG.vision, CFG.text
+
+    def r(*shape):
+        return (rng.normal(size=shape) * 0.05).astype(np.float32)
+
+    tensors = {}
+    root = "vision_tower"
+    tensors[f"{root}.patch_embed.patchifier.proj.weight"] = r(v.embed_dim, 3, 14, 14)
+    tensors[f"{root}.patch_embed.patchifier.proj.bias"] = r(v.embed_dim)
+    tensors[f"{root}.patch_embed.patchifier.norm.weight"] = np.ones(v.embed_dim, np.float32)
+    tensors[f"{root}.post_trunk_norm.weight"] = np.ones(v.embed_dim, np.float32)
+    merged = v.embed_dim * 4
+    tensors[f"{root}.merger.ln_q.weight"] = np.ones(v.embed_dim, np.float32)
+    tensors[f"{root}.merger.ln_q.bias"] = np.zeros(v.embed_dim, np.float32)
+    tensors[f"{root}.merger.mlp.0.weight"] = r(merged, merged)
+    tensors[f"{root}.merger.mlp.0.bias"] = r(merged)
+    tensors[f"{root}.merger.mlp.2.weight"] = r(v.hidden_size, merged)
+    tensors[f"{root}.merger.mlp.2.bias"] = r(v.hidden_size)
+    for i in range(v.num_hidden_layers):
+        blk = f"{root}.blocks.{i}"
+        tensors[f"{blk}.norm1.weight"] = np.ones(v.embed_dim, np.float32)
+        tensors[f"{blk}.norm2.weight"] = np.ones(v.embed_dim, np.float32)
+        tensors[f"{blk}.attn.qkv.weight"] = r(3 * v.embed_dim, v.embed_dim)
+        tensors[f"{blk}.attn.proj.weight"] = r(v.embed_dim, v.embed_dim)
+        tensors[f"{blk}.mlp.fc1.weight"] = r(v.intermediate_size, v.embed_dim)
+        tensors[f"{blk}.mlp.fc2.weight"] = r(v.embed_dim, v.intermediate_size)
+        tensors[f"{blk}.mlp.fc3.weight"] = r(v.intermediate_size, v.embed_dim)
+    tensors["model.embed_tokens.weight"] = r(t.vocab_size, t.hidden_size)
+    tensors["model.norm.weight"] = np.ones(t.hidden_size, np.float32)
+    tensors["lm_head.weight"] = r(t.vocab_size, t.hidden_size)
+    D, NH, NKV = t.head_dim, t.num_attention_heads, t.num_key_value_heads
+    for i in range(t.num_hidden_layers):
+        b = f"model.layers.{i}"
+        tensors[f"{b}.input_layernorm.weight"] = np.ones(t.hidden_size, np.float32)
+        tensors[f"{b}.post_attention_layernorm.weight"] = np.ones(t.hidden_size, np.float32)
+        tensors[f"{b}.self_attn.q_proj.weight"] = r(NH * D, t.hidden_size)
+        tensors[f"{b}.self_attn.q_proj.bias"] = r(NH * D)
+        tensors[f"{b}.self_attn.k_proj.weight"] = r(NKV * D, t.hidden_size)
+        tensors[f"{b}.self_attn.k_proj.bias"] = r(NKV * D)
+        tensors[f"{b}.self_attn.v_proj.weight"] = r(NKV * D, t.hidden_size)
+        tensors[f"{b}.self_attn.v_proj.bias"] = r(NKV * D)
+        tensors[f"{b}.self_attn.o_proj.weight"] = r(t.hidden_size, NH * D)
+        tensors[f"{b}.mlp.gate_proj.weight"] = r(t.intermediate_size, t.hidden_size)
+        tensors[f"{b}.mlp.up_proj.weight"] = r(t.intermediate_size, t.hidden_size)
+        tensors[f"{b}.mlp.down_proj.weight"] = r(t.hidden_size, t.intermediate_size)
+    path = tmp_path / "model.safetensors"
+    save_file(tensors, str(path))
+
+    params = load_dots_params(path, CFG, dtype=jnp.float32)
+    assert "q_bias" in params["decoder"]["layers"]
+    np.testing.assert_allclose(
+        np.asarray(params["decoder"]["layers"]["q_bias"][1]),
+        tensors["model.layers.1.self_attn.q_proj.bias"],
+    )
+    engine = DotsOcrEngine(CFG, params=params, dtype=jnp.float32, max_seq_len=256)
+    engine.prep_overrides = {"min_pixels": 1, "max_pixels": 28 * 28}
+    out = engine.decode(
+        FakeTokenizer(),
+        "<image>",
+        [np.zeros((28, 28, 3), np.uint8)],
+        VisionSettings(28, 28, False),
+        DecodeParameters(max_new_tokens=2, no_repeat_ngram_size=None),
+    )
+    assert out.response_tokens > 0
