@@ -1,0 +1,284 @@
+"""GLM-OCR engine.
+
+Mirrors infer-glm/src/model.rs: GLM smart-resize + CLIP-stat
+normalization + merge-window patchify with temporal duplication →
+GLM vision → hard-coded chat scaffold prompt
+([gMASK]<sop>user\\n … assistant\\n) → token-type 3-axis positions →
+greedy-only decode with multi-EOS.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ...core import DecodeOutcome, DecodeParameters, ModelKind, VisionSettings
+from ...core.benchmark import Timer
+from ...core.text import normalize_text
+from ...image.resample import resize_bicubic
+from ...runtime import GenerateParams, Generator
+from ...runtime.kv_cache import bump_length, reset
+from .config import (
+    GlmConfig,
+    TOKEN_ASSISTANT,
+    TOKEN_GMASK,
+    TOKEN_NEWLINE,
+    TOKEN_SOP,
+    TOKEN_USER,
+)
+from .decoder import (
+    compute_glm_position_ids,
+    glm_forward,
+    init_glm_text_params,
+    new_cache,
+)
+from .vision import glm_vision_forward, init_glm_vision_params
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def glm_smart_resize(
+    height: int, width: int, factor: int, temporal: int,
+    min_pixels: int, max_pixels: int,
+) -> Tuple[int, int]:
+    """GLM variant of smart_resize (ref vision.rs:259-300): round-half
+    initial snap, temporal frames weight the pixel budget."""
+    h, w = max(height, 1), max(width, 1)
+    if h < factor or w < factor:
+        scale = max(factor / h, factor / w)
+        h, w = int(h * scale), int(w * scale)
+    aspect = max(h, w) / min(h, w)
+    if aspect > 200.0:
+        raise ValueError(f"aspect ratio must be <= 200, got {aspect}")
+
+    def round_mult(v):
+        return max(int(round(v / factor)) * factor, factor)
+
+    h_bar, w_bar = round_mult(h), round_mult(w)
+    t_bar = max(int(round(temporal / temporal)) * temporal, temporal)
+    if t_bar * h_bar * w_bar > max_pixels:
+        beta = ((temporal * h * w) / max_pixels) ** 0.5
+        h_bar = max(factor, (int(h / beta) // factor) * factor)
+        w_bar = max(factor, (int(w / beta) // factor) * factor)
+    elif t_bar * h_bar * w_bar < min_pixels:
+        beta = (min_pixels / (temporal * h * w)) ** 0.5
+        h_bar = -(-int(np.ceil(h * beta)) // factor) * factor
+        w_bar = -(-int(np.ceil(w * beta)) // factor) * factor
+    return max(h_bar, factor), max(w_bar, factor)
+
+
+def preprocess_glm_image(image: np.ndarray, cfg: GlmConfig) -> Tuple[np.ndarray, Tuple[int, int, int]]:
+    """RGB uint8 → ([N, C·tps·ps·ps] f32 patches in merge-window order
+    with the frame duplicated across temporal, grid (1, gh, gw))."""
+    v = cfg.vision
+    ps, merge, tps = v.patch_size, v.spatial_merge_size, v.temporal_patch_size
+    factor = ps * merge
+    h, w = image.shape[:2]
+    rh, rw = glm_smart_resize(h, w, factor, tps, cfg.min_pixels, cfg.max_pixels)
+    if (rh, rw) != (h, w):
+        image = resize_bicubic(image, rw, rh)
+    mean = np.asarray(cfg.image_mean, np.float32)
+    std = np.asarray(cfg.image_std, np.float32)
+    norm = ((image.astype(np.float64) / 255.0).astype(np.float32) - mean) / std
+    gh, gw = rh // ps, rw // ps
+    # [rh, rw, C] → merge-window patch order, per patch [C, tps, ps, ps]
+    x = norm.reshape(gh // merge, merge, ps, gw // merge, merge, ps, 3)
+    x = x.transpose(0, 3, 1, 4, 6, 2, 5)  # [GH, GW, mh, mw, C, ps, ps]
+    x = x.reshape(gh * gw, 3, ps, ps)
+    x = np.repeat(x[:, :, None], tps, axis=2)  # duplicate frame across temporal
+    return x.reshape(gh * gw, -1), (1, gh, gw)
+
+
+class GlmOcrEngine:
+    def __init__(
+        self,
+        cfg: GlmConfig,
+        params: Optional[Dict] = None,
+        dtype=jnp.bfloat16,
+        max_seq_len: int = 16384,
+        seed: int = 0,
+    ):
+        self.cfg = cfg
+        self.dtype_ = dtype
+        self.max_seq_len = max_seq_len
+        if params is None:
+            kv, kd = jax.random.split(jax.random.PRNGKey(seed))
+            params = {
+                "vision": init_glm_vision_params(cfg.vision, kv),
+                "decoder": init_glm_text_params(cfg.text, kd, dtype),
+            }
+        self.params = params
+        self._prefill_jit = jax.jit(self._prefill_impl, static_argnames=("seq_len",))
+
+    def kind(self) -> ModelKind:
+        return ModelKind.GLM_OCR
+
+    def device(self) -> str:
+        return jax.devices()[0].platform
+
+    def dtype(self) -> str:
+        return jnp.dtype(self.dtype_).name
+
+    def weights_path(self):
+        return None
+
+    # -- prompt (ref model.rs:119-163) -------------------------------------------
+
+    def build_prompt_tokens(
+        self, tokenizer, prompt: str, grids: Sequence[Tuple[int, int, int]]
+    ) -> Tuple[List[int], List[int]]:
+        cfg = self.cfg
+        merge = cfg.vision.spatial_merge_size
+        slots = prompt.count("<image>")
+        if slots != len(grids):
+            raise ValueError(
+                f"prompt includes {slots} <image> placeholders but "
+                f"{len(grids)} images were provided"
+            )
+        tokens = [TOKEN_GMASK, TOKEN_SOP, TOKEN_USER, TOKEN_NEWLINE]
+        mask = [0, 0, 0, 0]
+        for idx, segment in enumerate(prompt.split("<image>")):
+            if segment:
+                ids = tokenizer.encode(segment)
+                tokens.extend(ids)
+                mask.extend([0] * len(ids))
+            if idx < len(grids):
+                t, h, w = grids[idx]
+                count = t * h * w // (merge * merge)
+                tokens.append(cfg.image_start_token_id)
+                mask.append(0)
+                tokens.extend([cfg.image_token_id] * count)
+                mask.extend([1] * count)
+                tokens.append(cfg.image_end_token_id)
+                mask.append(0)
+        tokens.extend([TOKEN_ASSISTANT, TOKEN_NEWLINE])
+        mask.extend([0, 0])
+        return tokens, mask
+
+    # -- decode --------------------------------------------------------------------
+
+    def _prefill_impl(self, params, embeds, position_ids, cache, true_len, seq_len: int):
+        logits, cache = glm_forward(
+            params["decoder"], self.cfg.text, embeds, position_ids, cache,
+            last_index=(true_len - 1)[None],
+        )
+        return logits, bump_length(cache, true_len)
+
+    def _step_fn(self, params, token_ids, cache, pos_state):
+        embeds = params["decoder"]["embed_tokens"][token_ids][:, None, :].astype(
+            self.dtype_
+        )
+        pos = jnp.broadcast_to(pos_state[None, :, None], (3, token_ids.shape[0], 1))
+        logits, cache = glm_forward(
+            params["decoder"], self.cfg.text, embeds, pos, cache
+        )
+        return logits, bump_length(cache, 1), pos_state + 1
+
+    def decode(
+        self,
+        tokenizer,
+        prompt: str,
+        images: Sequence[np.ndarray],
+        vision: VisionSettings,
+        params: DecodeParameters,
+        stream=None,
+    ) -> DecodeOutcome:
+        if params.do_sample or params.temperature != 0.0:
+            raise ValueError("GLM backend requires greedy decoding (do_sample=false)")
+        cfg = self.cfg
+
+        vtimer = Timer("vision.compute_embeddings")
+        grids: List[Tuple[int, int, int]] = []
+        patch_arrays = []
+        for image in images:
+            patches, grid = preprocess_glm_image(np.asarray(image), cfg)
+            patch_arrays.append(patches)
+            grids.append(grid)
+        embeddings = None
+        if patch_arrays:
+            packed = jnp.asarray(np.concatenate(patch_arrays), self.dtype_)
+            embeddings = glm_vision_forward(
+                self.params["vision"], cfg.vision, packed, grids
+            )
+        vtimer.finish(images=len(images))
+
+        tokens, image_mask = self.build_prompt_tokens(tokenizer, prompt, grids)
+        prompt_len = len(tokens)
+        pos_ids, next_base = compute_glm_position_ids(
+            cfg.image_token_id,
+            cfg.video_start_token_id,
+            cfg.video_end_token_id,
+            np.asarray(tokens, np.int64),
+            grids,
+            cfg.vision.spatial_merge_size,
+        )
+
+        s_pad = _round_up(prompt_len, 128)
+        tokens_padded = np.zeros(s_pad, np.int32)
+        tokens_padded[:prompt_len] = tokens
+        pos_padded = np.ones((3, s_pad), np.int32)
+        pos_padded[:, :prompt_len] = pos_ids
+
+        embeds = self.params["decoder"]["embed_tokens"][
+            jnp.asarray(tokens_padded)
+        ].astype(self.dtype_)
+        if embeddings is not None:
+            mask_padded = np.zeros(s_pad, bool)
+            mask_padded[:prompt_len] = np.asarray(image_mask, bool)
+            idx = np.nonzero(mask_padded)[0]
+            embeds = embeds.at[jnp.asarray(idx)].set(embeddings.astype(self.dtype_))
+        embeds = embeds[None]
+
+        max_len = min(self.max_seq_len, _round_up(s_pad + params.max_new_tokens + 8, 128))
+        cache = reset(new_cache(cfg.text, 1, max_len, self.dtype_))
+
+        pf = Timer("decode.prefill")
+        prefill_logits, cache = self._prefill_jit(
+            self.params,
+            embeds,
+            jnp.asarray(pos_padded)[:, None, :],
+            cache,
+            jnp.int32(prompt_len),
+            seq_len=s_pad,
+        )
+        prefill_logits.block_until_ready()
+        pf.finish(prompt_tokens=prompt_len)
+
+        gen_params = GenerateParams(
+            max_new_tokens=params.max_new_tokens,
+            do_sample=False,
+            temperature=0.0,
+            top_p=params.top_p,
+            top_k=params.top_k,
+            repetition_penalty=params.repetition_penalty,
+            no_repeat_ngram_size=params.no_repeat_ngram_size,
+            eos_ids=tuple(cfg.text.eos_token_ids),
+            emit_eos=False,
+            chunk_size=16 if stream is not None else 64,
+        )
+        generator = Generator(self._step_fn, gen_params)
+        gtimer = Timer("decode.generate")
+        result = generator.generate(
+            self.params,
+            prefill_logits,
+            cache,
+            jnp.asarray([next_base], jnp.int32),
+            [tokens],
+            rng=jax.random.PRNGKey(params.seed or 0),
+            stream_callback=stream,
+        )
+        gtimer.finish(generated=len(result.tokens[0]))
+
+        generated = result.tokens[0]
+        text = normalize_text(tokenizer.decode(generated, skip_special_tokens=True))
+        return DecodeOutcome(
+            text=text,
+            prompt_tokens=prompt_len,
+            response_tokens=len(generated),
+            generated_tokens=generated,
+        )

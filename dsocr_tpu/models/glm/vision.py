@@ -1,0 +1,205 @@
+"""GLM vision tower.
+
+Mirrors infer-glm/src/vision.rs: linear patch embed over flattened
+[C·tps·ps·ps] patches, blocks of (RMSNorm → attention with q/k RMSNorm +
+2D rotary → residual → RMSNorm → SwiGLU → residual), post RMSNorm, then
+a stride-merge conv downsample to out_hidden and a gated PatchMerger
+(proj → LN → erf-GELU → silu(gate)·up → down). Rotary ids are grouped in
+merge-window order (grouped_axis_ids).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ...ops import layer_norm, rms_norm, rotate_half
+from .config import GlmVisionConfig
+
+
+def grouped_axis_ids(h: int, w: int, merge: int) -> np.ndarray:
+    """[h*w, 2] (h, w) ids in merge-window order (ref vision.rs:585-600)."""
+    out = np.empty((h * w, 2), np.int32)
+    i = 0
+    for bh in range(h // merge):
+        for bw in range(w // merge):
+            for ih in range(merge):
+                for iw in range(merge):
+                    out[i] = (bh * merge + ih, bw * merge + iw)
+                    i += 1
+    return out
+
+
+def build_rotary(
+    grids: Sequence[Tuple[int, int, int]], cfg: GlmVisionConfig
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """(cos, sin) [N, head_dim] over packed frames (2-axis half split)."""
+    head_dim = cfg.head_dim
+    rope_dim = head_dim // 2
+    axis_dim = rope_dim // 2
+    inv_freq = 1.0 / np.power(
+        10000.0, (2 * np.arange(axis_dim, dtype=np.float32)) / rope_dim
+    )
+    rows = []
+    for t, h, w in grids:
+        ids = grouped_axis_ids(h, w, cfg.spatial_merge_size)
+        h_angles = ids[:, 0:1].astype(np.float32) * inv_freq
+        w_angles = ids[:, 1:2].astype(np.float32) * inv_freq
+        half = np.concatenate([h_angles, w_angles], axis=1)
+        full = np.concatenate([half, half], axis=1)
+        rows.append(np.tile(full, (t, 1)))
+    packed = np.concatenate(rows) if rows else np.zeros((0, head_dim), np.float32)
+    return jnp.asarray(np.cos(packed)), jnp.asarray(np.sin(packed))
+
+
+def init_glm_vision_params(cfg: GlmVisionConfig, key: jax.Array, dtype=jnp.float32) -> Dict:
+    keys = iter(jax.random.split(key, 10 + 8 * cfg.depth))
+    H = cfg.hidden_size
+    I = cfg.intermediate_size
+    patch_dim = cfg.in_channels * cfg.temporal_patch_size * cfg.patch_size**2
+    OH = cfg.out_hidden_size
+
+    def lin(k, i, o, bias=True):
+        out = {"w": (jax.random.normal(k, (i, o)) * (i**-0.5)).astype(dtype)}
+        out["b"] = jnp.zeros((o,), dtype) if bias else None
+        return out
+
+    params = {
+        "patch_embed": lin(next(keys), patch_dim, H),
+        "post_layernorm": jnp.ones((H,), dtype),
+        "downsample": (
+            jax.random.normal(
+                next(keys), (OH, H, cfg.spatial_merge_size, cfg.spatial_merge_size)
+            )
+            * 0.02
+        ).astype(dtype),
+        "merger": {
+            "proj": lin(next(keys), OH, OH, bias=False),
+            "norm": {"w": jnp.ones((OH,), dtype), "b": jnp.zeros((OH,), dtype)},
+            "gate": lin(next(keys), OH, OH * cfg.in_channels, bias=False),
+            "up": lin(next(keys), OH, OH * cfg.in_channels, bias=False),
+            "down": lin(next(keys), OH * cfg.in_channels, OH, bias=False),
+        },
+        "blocks": [],
+    }
+    for _ in range(cfg.depth):
+        params["blocks"].append(
+            {
+                "norm1": jnp.ones((H,), dtype),
+                "norm2": jnp.ones((H,), dtype),
+                "qkv": lin(next(keys), H, 3 * H, bias=cfg.attention_bias),
+                "proj": lin(next(keys), H, H, bias=cfg.attention_bias),
+                "q_norm": jnp.ones((cfg.head_dim,), dtype),
+                "k_norm": jnp.ones((cfg.head_dim,), dtype),
+                "gate_proj": lin(next(keys), H, I, bias=cfg.attention_bias),
+                "up_proj": lin(next(keys), H, I, bias=cfg.attention_bias),
+                "down_proj": lin(next(keys), I, H, bias=cfg.attention_bias),
+            }
+        )
+    return params
+
+
+def _linear(x, p):
+    out = jnp.einsum("...i,io->...o", x, p["w"], preferred_element_type=jnp.float32)
+    if p.get("b") is not None:
+        out = out + p["b"].astype(jnp.float32)
+    return out.astype(x.dtype)
+
+
+def _rope_apply(x, cos, sin):
+    x32 = x.astype(jnp.float32)
+    return (x32 * cos[:, None] + rotate_half(x32) * sin[:, None]).astype(x.dtype)
+
+
+def glm_vision_forward(
+    params: Dict,
+    cfg: GlmVisionConfig,
+    patches: jnp.ndarray,  # [N, C*tps*ps*ps]
+    grids: Sequence[Tuple[int, int, int]],
+) -> jnp.ndarray:
+    """Returns [total_groups, out_hidden] merged tokens."""
+    n = patches.shape[0]
+    H = cfg.hidden_size
+    NH = cfg.num_heads
+    D = cfg.head_dim
+    merge = cfg.spatial_merge_size
+
+    x = _linear(patches, params["patch_embed"])
+    cos, sin = build_rotary(grids, cfg)
+
+    frames = []
+    start = 0
+    for t, h, w in grids:
+        for _ in range(t):
+            frames.append((start, h * w))
+            start += h * w
+    frame_lens = {length for _, length in frames}
+    uniform = frame_lens.pop() if len(frame_lens) == 1 else None
+
+    for blk in params["blocks"]:
+        normed = rms_norm(x, blk["norm1"], cfg.rms_norm_eps)
+        qkv = _linear(normed, blk["qkv"]).reshape(n, 3, NH, D)
+        q = rms_norm(qkv[:, 0], blk["q_norm"], 1e-5)
+        k = rms_norm(qkv[:, 1], blk["k_norm"], 1e-5)
+        v = qkv[:, 2]
+        q = _rope_apply(q, cos, sin)
+        k = _rope_apply(k, cos, sin)
+        if uniform is not None:
+            nf = n // uniform
+            ctx = _frame_attention(
+                q.reshape(nf, uniform, NH, D).transpose(0, 2, 1, 3),
+                k.reshape(nf, uniform, NH, D).transpose(0, 2, 1, 3),
+                v.reshape(nf, uniform, NH, D).transpose(0, 2, 1, 3),
+            ).transpose(0, 2, 1, 3).reshape(n, NH * D)
+        else:
+            parts = []
+            for s, length in frames:
+                ctx = _frame_attention(
+                    q[s : s + length].transpose(1, 0, 2)[None],
+                    k[s : s + length].transpose(1, 0, 2)[None],
+                    v[s : s + length].transpose(1, 0, 2)[None],
+                )
+                parts.append(ctx[0].transpose(1, 0, 2).reshape(length, NH * D))
+            ctx = jnp.concatenate(parts)
+        x = (x.astype(jnp.float32) + _linear(ctx, blk["proj"]).astype(jnp.float32)).astype(x.dtype)
+
+        normed = rms_norm(x, blk["norm2"], cfg.rms_norm_eps)
+        gate = jax.nn.silu(_linear(normed, blk["gate_proj"]).astype(jnp.float32))
+        up = _linear(normed, blk["up_proj"]).astype(jnp.float32)
+        mlp = _linear((gate * up).astype(x.dtype), blk["down_proj"])
+        x = (x.astype(jnp.float32) + mlp.astype(jnp.float32)).astype(x.dtype)
+
+    x = rms_norm(x, params["post_layernorm"], cfg.rms_norm_eps)
+
+    total_groups = n // (merge * merge)
+    grid4 = x.reshape(total_groups, merge, merge, H).transpose(0, 3, 1, 2)
+    down = jax.lax.conv_general_dilated(
+        grid4.astype(jnp.float32),
+        params["downsample"].astype(jnp.float32),
+        window_strides=(merge, merge),
+        padding="VALID",
+        dimension_numbers=("NCHW", "OIHW", "NCHW"),
+    ).reshape(total_groups, cfg.out_hidden_size).astype(x.dtype)
+
+    m = params["merger"]
+    projected = _linear(down, m["proj"])
+    normed = layer_norm(projected, m["norm"]["w"], m["norm"]["b"], eps=1e-5)
+    activated = jax.nn.gelu(normed.astype(jnp.float32), approximate=False).astype(x.dtype)
+    gate = jax.nn.silu(_linear(activated, m["gate"]).astype(jnp.float32))
+    up = _linear(activated, m["up"]).astype(jnp.float32)
+    return _linear((gate * up).astype(x.dtype), m["down"])
+
+
+def _frame_attention(q, k, v):
+    scale = 1.0 / (q.shape[-1] ** 0.5)
+    scores = (
+        jnp.einsum("bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32) * scale
+    )
+    probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1)
+    return jnp.einsum(
+        "bhqk,bhkd->bhqd", probs, v.astype(jnp.float32),
+        preferred_element_type=jnp.float32,
+    ).astype(q.dtype)

@@ -1,0 +1,168 @@
+"""GLM-OCR family: chat scaffold, 3-axis grouped positions, interleaved
+partial M-RoPE, sandwich-norm decoder, end-to-end greedy decode
+(contracts: infer-glm)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from dsocr_tpu.core import DecodeParameters, VisionSettings
+from dsocr_tpu.models.glm import GlmOcrEngine
+from dsocr_tpu.models.glm.config import (
+    TOKEN_ASSISTANT,
+    TOKEN_GMASK,
+    TOKEN_NEWLINE,
+    TOKEN_SOP,
+    TOKEN_USER,
+    tiny_glm_config,
+)
+from dsocr_tpu.models.glm.decoder import (
+    compute_glm_position_ids,
+    glm_forward,
+    glm_mrope_cos_sin,
+    init_glm_text_params,
+    new_cache,
+)
+from dsocr_tpu.models.glm.engine import glm_smart_resize, preprocess_glm_image
+from dsocr_tpu.runtime.kv_cache import bump_length, reset
+
+CFG = tiny_glm_config()
+
+
+class FakeTokenizer:
+    def encode(self, text):
+        return [ord(c) % 100 for c in text]
+
+    def decode(self, ids, skip_special_tokens=True):
+        return "".join(chr(97 + (i % 26)) for i in ids)
+
+    def token_to_id(self, token):
+        return None
+
+
+def test_prompt_scaffold():
+    engine = GlmOcrEngine(CFG, dtype=jnp.float32, max_seq_len=256)
+    tokens, mask = engine.build_prompt_tokens(FakeTokenizer(), "<image>x", [(1, 4, 4)])
+    assert tokens[:4] == [TOKEN_GMASK, TOKEN_SOP, TOKEN_USER, TOKEN_NEWLINE]
+    assert tokens[-2:] == [TOKEN_ASSISTANT, TOKEN_NEWLINE]
+    assert tokens[4] == CFG.image_start_token_id
+    # grid (1,4,4) merge 2 → 4 image tokens
+    assert tokens[5:9] == [CFG.image_token_id] * 4
+    assert tokens[9] == CFG.image_end_token_id
+    assert mask[5:9] == [1, 1, 1, 1]
+
+
+def test_position_ids_grouped():
+    img = CFG.image_token_id
+    ids = np.asarray([7, 8, img, img, img, img, 9], np.int64)
+    pos, next_base = compute_glm_position_ids(
+        img, CFG.video_start_token_id, CFG.video_end_token_id, ids, [(1, 4, 4)], 2
+    )
+    # text group [0, 1]; image group base 2: h/w in 0..1 offset → 2..3
+    np.testing.assert_array_equal(pos[:, 0], [0, 0, 0])
+    np.testing.assert_array_equal(pos[0, 2:6], [2, 2, 2, 2])
+    np.testing.assert_array_equal(pos[1, 2:6], [2, 2, 3, 3])
+    np.testing.assert_array_equal(pos[2, 2:6], [2, 3, 2, 3])
+    # trailing text continues at max+1 = 4
+    np.testing.assert_array_equal(pos[:, 6], [4, 4, 4])
+    assert next_base == 5
+
+
+def test_mrope_interleaved_duplication():
+    # position 0 → cos 1 everywhere; distinct positions per axis exercise
+    # section select + pairwise interleave
+    pos = jnp.zeros((3, 1, 2), jnp.int32)
+    cos, sin = glm_mrope_cos_sin(pos, CFG.text)
+    assert cos.shape == (1, 2, CFG.text.rope_dim)
+    np.testing.assert_allclose(np.asarray(cos), 1.0)
+    np.testing.assert_allclose(np.asarray(sin), 0.0)
+    # pairwise duplication: entries come in equal pairs
+    pos2 = jnp.asarray(np.arange(6).reshape(3, 1, 2), jnp.int32)
+    cos2 = np.asarray(glm_mrope_cos_sin(pos2, CFG.text)[0])
+    np.testing.assert_allclose(cos2[..., 0::2], cos2[..., 1::2])
+
+
+def test_glm_decoder_cache_consistency():
+    t = CFG.text
+    params = init_glm_text_params(t, jax.random.PRNGKey(0), jnp.float32)
+    S = 4
+    tokens = jax.random.randint(jax.random.PRNGKey(1), (S,), 0, 100)
+    embeds = params["embed_tokens"][tokens][None].astype(jnp.float32)
+    pos = jnp.tile(jnp.arange(S, dtype=jnp.int32)[None, None], (3, 1, 1))
+
+    cache_full = reset(new_cache(t, 1, 16, jnp.float32))
+    full_logits, _ = glm_forward(params, t, embeds, pos, cache_full, full_logits=True)
+
+    cache = reset(new_cache(t, 1, 16, jnp.float32))
+    logits2, cache = glm_forward(params, t, embeds[:, :2], pos[:, :, :2], cache)
+    cache = bump_length(cache, 2)
+    np.testing.assert_allclose(
+        np.asarray(logits2[0]), np.asarray(full_logits[0, 1]), rtol=5e-4, atol=5e-4
+    )
+    for s in range(2, S):
+        logits_s, cache = glm_forward(
+            params, t, embeds[:, s : s + 1], pos[:, :, s : s + 1], cache
+        )
+        cache = bump_length(cache, 1)
+        np.testing.assert_allclose(
+            np.asarray(logits_s[0]), np.asarray(full_logits[0, s]),
+            rtol=5e-4, atol=5e-4,
+        )
+
+
+def test_glm_smart_resize_budgets():
+    rh, rw = glm_smart_resize(100, 200, 28, 2, min_pixels=1, max_pixels=10**9)
+    assert rh % 28 == 0 and rw % 28 == 0
+    rh2, rw2 = glm_smart_resize(1000, 1000, 28, 2, min_pixels=1, max_pixels=2 * 112 * 112)
+    assert 2 * rh2 * rw2 <= 2 * 112 * 112 + 28 * 28 * 4  # near budget
+
+
+def test_preprocess_patch_layout():
+    img = np.random.default_rng(0).integers(0, 256, (28, 56, 3), dtype=np.uint8)
+    patches, grid = preprocess_glm_image(img, CFG)
+    t, gh, gw = grid
+    v = CFG.vision
+    assert patches.shape == (gh * gw, 3 * v.temporal_patch_size * 14 * 14)
+    # temporal duplication: the two frame halves of a patch are identical
+    p = patches[0].reshape(3, v.temporal_patch_size, 14, 14)
+    np.testing.assert_allclose(p[:, 0], p[:, 1])
+
+
+def test_engine_greedy_only():
+    engine = GlmOcrEngine(CFG, dtype=jnp.float32, max_seq_len=256)
+    with pytest.raises(ValueError, match="greedy"):
+        engine.decode(
+            FakeTokenizer(), "<image>", [np.zeros((28, 28, 3), np.uint8)],
+            VisionSettings(336, 336, False),
+            DecodeParameters(do_sample=True, temperature=1.0, max_new_tokens=2),
+        )
+
+
+@pytest.fixture(scope="module")
+def tiny_engine():
+    return GlmOcrEngine(CFG, dtype=jnp.float32, max_seq_len=512)
+
+
+def test_engine_decode_end_to_end(tiny_engine):
+    rng = np.random.default_rng(2)
+    image = rng.integers(0, 256, (40, 60, 3), dtype=np.uint8)
+    out = tiny_engine.decode(
+        FakeTokenizer(),
+        "<image>OCR this",
+        [image],
+        VisionSettings(336, 336, False),
+        DecodeParameters(max_new_tokens=4, no_repeat_ngram_size=None),
+    )
+    assert out.prompt_tokens > 6
+    assert 0 < out.response_tokens <= 4
+
+
+def test_engine_deterministic(tiny_engine):
+    rng = np.random.default_rng(3)
+    image = rng.integers(0, 256, (30, 30, 3), dtype=np.uint8)
+    params = DecodeParameters(max_new_tokens=3, no_repeat_ngram_size=None)
+    settings = VisionSettings(336, 336, False)
+    a = tiny_engine.decode(FakeTokenizer(), "<image>", [image], settings, params)
+    b = tiny_engine.decode(FakeTokenizer(), "<image>", [image], settings, params)
+    assert a.generated_tokens == b.generated_tokens
