@@ -66,19 +66,31 @@ class DeepseekOcrEngine:
         dtype=jnp.bfloat16,
         max_seq_len: int = 8192,
         seed: int = 0,
+        ocr2_params=None,
     ):
         self.cfg = cfg
         self.dtype_ = dtype
         self.max_seq_len = max_seq_len
+        if cfg.variant == "ocr2":
+            from .ocr2 import Qwen2EncoderParams
+
+            self.ocr2_cfg = ocr2_params or Qwen2EncoderParams()
+        else:
+            self.ocr2_cfg = None
         if params is None:
             key = jax.random.PRNGKey(seed)
             ks, kc, kp, kd = jax.random.split(key, 4)
             params = {
                 "sam": init_sam_params(cfg.sam, ks),
-                "clip": init_clip_params(cfg.clip, kc) if cfg.clip else None,
-                "projector": init_projector_params(cfg, kp, dtype),
                 "decoder": init_deepseek_params(cfg.language, kd, dtype),
             }
+            if cfg.variant == "ocr2":
+                from .ocr2 import init_ocr2_params
+
+                params["ocr2"] = init_ocr2_params(self.ocr2_cfg, kc)
+            else:
+                params["clip"] = init_clip_params(cfg.clip, kc) if cfg.clip else None
+                params["projector"] = init_projector_params(cfg, kp, dtype)
         self.params = params
         self._rope = build_decoder_rope(cfg.language, max_seq_len)
         self._prefill_jit = jax.jit(self._prefill_impl, static_argnames=("seq_len",))
@@ -127,9 +139,34 @@ class DeepseekOcrEngine:
         fused = build_clip_sam_tokens(clip_out, sam_out)
         return project(params["projector"], fused)  # [B, S, n_embed] f32
 
+    def _ocr2_view(self, pixels):
+        from .ocr2 import ocr2_encode_view
+
+        sam_out = sam_forward(self.params["sam"], self.cfg.sam, pixels)
+        return ocr2_encode_view(self.params["ocr2"], self.ocr2_cfg, sam_out)
+
     def compute_image_embedding(self, vin: VisionInput) -> jnp.ndarray:
         """[n_tokens, n_embed] fused image tokens for one image."""
         params = self.params
+        if self.cfg.variant == "ocr2":
+            # OCR2 assembly: flat [local..., global, separator]
+            # (ref qwen2.rs encode:336-372)
+            if not hasattr(self, "_ocr2_jit"):
+                self._ocr2_jit = jax.jit(self._ocr2_view)
+            segments = []
+            if vin.patches is not None:
+                local = self._ocr2_jit(jnp.asarray(vin.patches, jnp.float32))
+                segments.append(
+                    local.reshape(-1, local.shape[-1]).astype(self.dtype_)
+                )
+            global_proj = self._ocr2_jit(jnp.asarray(vin.global_pixels, jnp.float32))
+            segments.append(
+                global_proj.reshape(-1, global_proj.shape[-1]).astype(self.dtype_)
+            )
+            segments.append(
+                params["ocr2"]["view_seperator"].astype(self.dtype_)[None, :]
+            )
+            return jnp.concatenate(segments, axis=0)
         newline = params["projector"]["image_newline"]
         global_proj = self._tower_jitted(jnp.asarray(vin.global_pixels, jnp.float32))
         global_tokens = format_global_tokens(

@@ -125,6 +125,65 @@ def load_projector_params(
     }
 
 
+def load_ocr2_params(reader: CheckpointReader, enc_params, dtype=jnp.float32) -> Dict:
+    """OCR2 Qwen2 decoder-as-encoder weights (ref vision/qwen2.rs:117-145):
+    core stack under model.qwen2_model.model.model.*, query embeddings at
+    model.qwen2_model.query_{768,1024}.weight, shared projector name."""
+    L = enc_params.num_layers
+    root = "model.qwen2_model"
+    core = f"{root}.model.model"
+
+    def stack(template, transpose=True):
+        arrs = []
+        for i in range(L):
+            w = reader.get(template.format(i=i), np.float32)
+            arrs.append(w.T if transpose else w)
+        return jnp.asarray(np.stack(arrs), dtype)
+
+    base = core + ".layers.{i}."
+    layers = {
+        "input_layernorm": stack(base + "input_layernorm.weight", transpose=False),
+        "post_attention_layernorm": stack(
+            base + "post_attention_layernorm.weight", transpose=False
+        ),
+        "q_proj": stack(base + "self_attn.q_proj.weight"),
+        "k_proj": stack(base + "self_attn.k_proj.weight"),
+        "v_proj": stack(base + "self_attn.v_proj.weight"),
+        "o_proj": stack(base + "self_attn.o_proj.weight"),
+        "q_bias": stack(base + "self_attn.q_proj.bias", transpose=False),
+        "k_bias": stack(base + "self_attn.k_proj.bias", transpose=False),
+        "v_bias": stack(base + "self_attn.v_proj.bias", transpose=False),
+        "gate_proj": stack(base + "mlp.gate_proj.weight"),
+        "up_proj": stack(base + "mlp.up_proj.weight"),
+        "down_proj": stack(base + "mlp.down_proj.weight"),
+    }
+    sep = reader.get_optional("model.view_seperator", np.float32)
+    return {
+        "layers": layers,
+        "norm": jnp.asarray(reader.get(f"{core}.norm.weight", np.float32), dtype),
+        "query_768": jnp.asarray(
+            reader.get(f"{root}.query_768.weight", np.float32), dtype
+        ),
+        "query_1024": jnp.asarray(
+            reader.get(f"{root}.query_1024.weight", np.float32), dtype
+        ),
+        "projector": {
+            "w": jnp.asarray(
+                reader.get("model.projector.layers.weight", np.float32).T, dtype
+            ),
+            "b": jnp.asarray(
+                reader.get_optional("model.projector.layers.bias", np.float32)
+                if "model.projector.layers.bias" in reader
+                else np.zeros(enc_params.projector_out),
+                dtype,
+            ),
+        },
+        "view_seperator": jnp.asarray(
+            sep if sep is not None else np.zeros(enc_params.projector_out), dtype
+        ),
+    }
+
+
 def load_decoder_params(
     reader: CheckpointReader, cfg: DeepseekOcrConfig, dtype=jnp.bfloat16
 ) -> Dict:
@@ -229,9 +288,15 @@ def load_deepseek_params(
     from ...dsq.runtime import WeightSource
 
     reader = WeightSource.open(weights_path, snapshot_path)
-    return {
+    params = {
         "sam": load_sam_params(reader, cfg, vision_dtype),
-        "clip": load_clip_params(reader, cfg, vision_dtype) if cfg.clip else None,
-        "projector": load_projector_params(reader, cfg, dtype),
         "decoder": load_decoder_params(reader, cfg, dtype),
     }
+    if cfg.variant == "ocr2":
+        from .ocr2 import Qwen2EncoderParams
+
+        params["ocr2"] = load_ocr2_params(reader, Qwen2EncoderParams(), vision_dtype)
+    else:
+        params["clip"] = load_clip_params(reader, cfg, vision_dtype) if cfg.clip else None
+        params["projector"] = load_projector_params(reader, cfg, dtype)
+    return params

@@ -265,3 +265,63 @@ def test_engine_deterministic(tiny_engine):
     out1 = tiny_engine.decode(FakeTokenizer(), "<image>a", [image], settings, params)
     out2 = tiny_engine.decode(FakeTokenizer(), "<image>a", [image], settings, params)
     assert out1.generated_tokens == out2.generated_tokens
+
+
+# -- OCR2 variant --------------------------------------------------------------
+
+
+def test_ocr2_attention_mask_semantics():
+    from dsocr_tpu.models.deepseek.ocr2 import ocr2_attention_mask
+
+    m = np.asarray(ocr2_attention_mask(2))  # [4, 4]
+    # image rows (0,1): attend image cols only
+    np.testing.assert_array_equal(m[0], [True, True, False, False])
+    np.testing.assert_array_equal(m[1], [True, True, False, False])
+    # query rows (2,3): all image cols + causal over queries
+    np.testing.assert_array_equal(m[2], [True, True, True, False])
+    np.testing.assert_array_equal(m[3], [True, True, True, True])
+
+
+def test_ocr2_encode_view_shapes():
+    from dsocr_tpu.models.deepseek.ocr2 import (
+        init_ocr2_params,
+        ocr2_encode_view,
+        tiny_qwen2_encoder_params,
+    )
+
+    p = tiny_qwen2_encoder_params()
+    params = init_ocr2_params(p, jax.random.PRNGKey(0))
+    # SAM features [1, hidden=16, 2, 2] → seq 4 == query_768 bucket
+    sam = jnp.asarray(np.random.default_rng(0).normal(size=(1, 16, 2, 2)).astype(np.float32))
+    out = ocr2_encode_view(params, p, sam)
+    assert out.shape == (1, 4, p.projector_out)
+    # 4x4 grid → seq 16 == query_1024 bucket
+    sam2 = jnp.asarray(np.random.default_rng(1).normal(size=(1, 16, 4, 4)).astype(np.float32))
+    assert ocr2_encode_view(params, p, sam2).shape == (1, 16, p.projector_out)
+    # unsupported grid errors
+    with pytest.raises(ValueError, match="unsupported"):
+        ocr2_encode_view(params, p, jnp.zeros((1, 16, 3, 3)))
+
+
+def test_ocr2_engine_end_to_end():
+    import dataclasses as dc
+
+    from dsocr_tpu.models.deepseek.ocr2 import tiny_qwen2_encoder_params
+
+    cfg = dc.replace(tiny_deepseek_config(), variant="ocr2", clip=None)
+    p = tiny_qwen2_encoder_params()
+    # sam tiny config out_channels (8, 16) → hidden 16 matches p.hidden_size
+    engine = DeepseekOcrEngine(
+        cfg, dtype=jnp.float32, max_seq_len=512, ocr2_params=p
+    )
+    # image_size 128 → sam grid 128/64 = 2 → seq 4 (query_768 bucket);
+    # placeholders: ceil((128/16)/4)=2 → flat 2x2 + 1 = 5 tokens
+    image = np.random.default_rng(11).integers(0, 256, (100, 100, 3), dtype=np.uint8)
+    out = engine.decode(
+        FakeTokenizer(),
+        "<image>ocr",
+        [image],
+        VisionSettings(base_size=128, image_size=128, crop_mode=False),
+        DecodeParameters(max_new_tokens=3, no_repeat_ngram_size=None),
+    )
+    assert out.response_tokens > 0
