@@ -1,0 +1,96 @@
+"""Benchsuite CLI (ref benchsuite/cli.py:97-186):
+
+    python -m dsocr_tpu.bench gate --baseline base.json --candidate cand.json
+    python -m dsocr_tpu.bench perf --models deepseek-ocr --dtypes bfloat16 \
+        --image page.png --history perf_history.json
+    python -m dsocr_tpu.bench matrix-gate --pairs base1.json:cand1.json ...
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import pathlib
+import sys
+
+
+def cmd_gate(args) -> int:
+    from .gate import gate_files
+
+    result = gate_files(
+        pathlib.Path(args.baseline),
+        pathlib.Path(args.candidate),
+        stop_ids=tuple(int(x) for x in args.stop_ids.split(",") if x),
+    )
+    print(json.dumps(result.to_json(), indent=2))
+    return 0 if result.passed else 1
+
+
+def cmd_matrix_gate(args) -> int:
+    from .gate import gate_files
+
+    failures = 0
+    for pair in args.pairs:
+        base, cand = pair.split(":", 1)
+        result = gate_files(pathlib.Path(base), pathlib.Path(cand))
+        status = "PASS" if result.passed else f"FAIL ({result.detail})"
+        print(f"{base} vs {cand}: {status}")
+        failures += 0 if result.passed else 1
+    return 1 if failures else 0
+
+
+def cmd_perf(args) -> int:
+    from .perf import compare_history, run_perf_matrix, save_history
+
+    entries = run_perf_matrix(
+        models=args.models.split(","),
+        dtypes=args.dtypes.split(","),
+        image_path=pathlib.Path(args.image),
+        max_new_tokens=args.max_new_tokens,
+    )
+    for e in entries:
+        print(
+            f"{e.model}/{e.dtype}: wall {e.wall_s:.2f}s, "
+            f"{e.tokens_per_sec:.1f} tok/s"
+        )
+        for stage, ms in sorted(e.stage_totals.items()):
+            print(f"    {stage:30s} {ms:10.1f} ms")
+    if args.history:
+        history_path = pathlib.Path(args.history)
+        report = compare_history(entries, history_path)
+        print(json.dumps(report, indent=2))
+        save_history(entries, history_path)
+        if report.get("regressions") and args.fail_on_regression:
+            return 1
+    return 0
+
+
+def main(argv=None) -> int:
+    parser = argparse.ArgumentParser(prog="dsocr-bench", description=__doc__)
+    sub = parser.add_subparsers(dest="command", required=True)
+
+    g = sub.add_parser("gate", help="strict token comparison")
+    g.add_argument("--baseline", required=True)
+    g.add_argument("--candidate", required=True)
+    g.add_argument("--stop-ids", default="1,100001")
+    g.set_defaults(fn=cmd_gate)
+
+    m = sub.add_parser("matrix-gate", help="gate a list of baseline:candidate pairs")
+    m.add_argument("pairs", nargs="+")
+    m.set_defaults(fn=cmd_matrix_gate)
+
+    p = sub.add_parser("perf", help="perf matrix with history compare")
+    p.add_argument("--models", default="paddleocr-vl")
+    p.add_argument("--dtypes", default="bfloat16")
+    p.add_argument("--image", required=True)
+    p.add_argument("--max-new-tokens", type=int, default=64)
+    p.add_argument("--history", default=None)
+    p.add_argument("--fail-on-regression", action="store_true")
+    p.set_defaults(fn=cmd_perf)
+
+    args = parser.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,126 @@
+"""Performance matrix with history comparison.
+
+Mirrors benchsuite perf/matrix-gate semantics (orchestrator.py:199-254,
+524-595): run a model×dtype matrix, record per-stage totals using the
+same stage-event JSON schema as the reference CLI, and compare against
+the previous run's history file.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import pathlib
+import time
+from typing import Any, Dict, List, Optional
+
+
+@dataclasses.dataclass
+class PerfEntry:
+    model: str
+    dtype: str
+    stage_totals: Dict[str, float]
+    wall_s: float
+    tokens_per_sec: float
+
+
+def compare_history(
+    current: List[PerfEntry], history_path: pathlib.Path, tolerance: float = 0.15
+) -> Dict[str, Any]:
+    """Report per-stage regressions vs the stored previous run."""
+    report: Dict[str, Any] = {"regressions": [], "improvements": [], "new": []}
+    if not pathlib.Path(history_path).exists():
+        report["note"] = "no history; baseline recorded"
+        return report
+    history = json.loads(pathlib.Path(history_path).read_text())
+    prev = {
+        (e["model"], e["dtype"]): e for e in history.get("entries", [])
+    }
+    for entry in current:
+        key = (entry.model, entry.dtype)
+        if key not in prev:
+            report["new"].append(f"{entry.model}/{entry.dtype}")
+            continue
+        for stage, value in entry.stage_totals.items():
+            old = prev[key].get("stage_totals", {}).get(stage)
+            if old is None or old <= 0:
+                continue
+            ratio = value / old
+            line = f"{entry.model}/{entry.dtype} {stage}: {old:.1f} -> {value:.1f} ms"
+            if ratio > 1 + tolerance:
+                report["regressions"].append(line)
+            elif ratio < 1 - tolerance:
+                report["improvements"].append(line)
+    return report
+
+
+def save_history(entries: List[PerfEntry], path: pathlib.Path) -> None:
+    payload = {
+        "recorded_at": time.time(),
+        "entries": [dataclasses.asdict(e) for e in entries],
+    }
+    pathlib.Path(path).write_text(json.dumps(payload, indent=2))
+
+
+def run_perf_matrix(
+    models: List[str],
+    dtypes: List[str],
+    image_path: pathlib.Path,
+    prompt: str = "<image>\nFree OCR.",
+    max_new_tokens: int = 64,
+    tiny: bool = False,
+) -> List[PerfEntry]:
+    """Run the matrix in-process with random-init weights (no weights ship
+    with this machine); stage totals use the reference schema."""
+    import numpy as np
+    from PIL import Image
+
+    from ..core import DecodeParameters, VisionSettings
+    from ..core.benchmark import BenchRecorder, set_recorder
+    from ..models.registry import load_engine
+    from ..core.engine import ModelKind
+
+    kind_of = {
+        "deepseek-ocr": ModelKind.DEEPSEEK,
+        "deepseek-ocr-2": ModelKind.DEEPSEEK,
+        "paddleocr-vl": ModelKind.PADDLE_OCR_VL,
+        "dots-ocr": ModelKind.DOTS_OCR,
+        "glm-ocr": ModelKind.GLM_OCR,
+    }
+
+    class _Tok:
+        def encode(self, t):
+            return [(ord(c) * 7 + 13) % 50000 for c in t]
+
+        def decode(self, ids, skip_special_tokens=True):
+            return " ".join(map(str, ids))
+
+        def token_to_id(self, t):
+            return 128815 if t == "<image>" else None
+
+    image = np.asarray(Image.open(image_path).convert("RGB"))
+    entries = []
+    for model in models:
+        for dtype in dtypes:
+            engine = load_engine(kind_of[model], dtype=dtype)
+            recorder = BenchRecorder()
+            set_recorder(recorder)
+            params = DecodeParameters(max_new_tokens=max_new_tokens)
+            if model == "glm-ocr":
+                settings = VisionSettings(336, 336, False)
+            else:
+                settings = VisionSettings(1024, 640, model.startswith("deepseek"))
+            t0 = time.perf_counter()
+            out = engine.decode(_Tok(), prompt, [image], settings, params)
+            wall = time.perf_counter() - t0
+            set_recorder(None)
+            entries.append(
+                PerfEntry(
+                    model=model,
+                    dtype=dtype,
+                    stage_totals=recorder.stage_totals(),
+                    wall_s=wall,
+                    tokens_per_sec=out.response_tokens / wall if wall else 0.0,
+                )
+            )
+    return entries
