@@ -26,9 +26,17 @@ _ROUNDING_BIAS = 1 << (_PRECISION_BITS - 1)
 
 
 def resize_bicubic(image: np.ndarray, width: int, height: int) -> np.ndarray:
-    """Resize an RGB uint8 array [H, W, 3] with Pillow's bicubic filter."""
+    """Resize an RGB uint8 array [H, W, 3] with Pillow's bicubic filter.
+
+    Prefers the native C++ kernel (bit-exact vs Pillow, no PIL round
+    trip); falls back to Pillow itself when the toolchain is absent."""
     if width <= 0 or height <= 0:
         return np.zeros((max(height, 0), max(width, 0), 3), dtype=np.uint8)
+    from ..native import resize_bicubic_native
+
+    out = resize_bicubic_native(image, width, height)
+    if out is not None:
+        return out
     pil = Image.fromarray(np.ascontiguousarray(image), mode="RGB")
     return np.asarray(pil.resize((width, height), Image.Resampling.BICUBIC))
 
