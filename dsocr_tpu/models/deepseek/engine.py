@@ -92,6 +92,7 @@ class DeepseekOcrEngine:
                 params["clip"] = init_clip_params(cfg.clip, kc) if cfg.clip else None
                 params["projector"] = init_projector_params(cfg, kp, dtype)
         self.params = params
+        self._generator_cache = {}
         self._rope = build_decoder_rope(cfg.language, max_seq_len)
         self._prefill_jit = jax.jit(self._prefill_impl, static_argnames=("seq_len",))
 
@@ -324,7 +325,12 @@ class DeepseekOcrEngine:
             emit_eos=False,  # deepseek loop never emits EOS
             chunk_size=16 if stream is not None else 64,
         )
-        generator = Generator(self._step_fn, gen_params)
+        generator = self._generator_cache.get(gen_params)
+        if generator is None:
+            # memoized per static params: a fresh Generator would retrace
+            # and recompile the decode chunk on every request
+            generator = Generator(self._step_fn, gen_params)
+            self._generator_cache[gen_params] = generator
         g_timer = Timer("decode.generate")
         result = generator.generate(
             self.params,

@@ -46,6 +46,7 @@ class DotsOcrEngine:
                 "decoder": init_qwen2_params(cfg.text, kd, dtype),
             }
         self.params = params
+        self._generator_cache = {}
         self._rope = build_qwen2_rope(cfg.text, max_seq_len)
         self._prefill_jit = jax.jit(self._prefill_impl, static_argnames=("seq_len",))
         self.prep_overrides: Dict = {}
@@ -205,7 +206,12 @@ class DotsOcrEngine:
             emit_eos=True,  # dots loop mirrors paddle's push-then-break
             chunk_size=16 if stream is not None else 64,
         )
-        generator = Generator(self._step_fn, gen_params)
+        generator = self._generator_cache.get(gen_params)
+        if generator is None:
+            # memoized per static params: a fresh Generator would retrace
+            # and recompile the decode chunk on every request
+            generator = Generator(self._step_fn, gen_params)
+            self._generator_cache[gen_params] = generator
         gtimer = Timer("decode.generate")
         result = generator.generate(
             self.params,

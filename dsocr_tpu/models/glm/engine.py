@@ -113,6 +113,7 @@ class GlmOcrEngine:
                 "decoder": init_glm_text_params(cfg.text, kd, dtype),
             }
         self.params = params
+        self._generator_cache = {}
         self._prefill_jit = jax.jit(self._prefill_impl, static_argnames=("seq_len",))
 
     def kind(self) -> ModelKind:
@@ -261,7 +262,12 @@ class GlmOcrEngine:
             emit_eos=False,
             chunk_size=16 if stream is not None else 64,
         )
-        generator = Generator(self._step_fn, gen_params)
+        generator = self._generator_cache.get(gen_params)
+        if generator is None:
+            # memoized per static params: a fresh Generator would retrace
+            # and recompile the decode chunk on every request
+            generator = Generator(self._step_fn, gen_params)
+            self._generator_cache[gen_params] = generator
         gtimer = Timer("decode.generate")
         result = generator.generate(
             self.params,

@@ -71,6 +71,7 @@ class PaddleOcrEngine:
                 "decoder": init_ernie_params(cfg, kd, dtype),
             }
         self.params = params
+        self._generator_cache = {}
         self._prefill_jit = jax.jit(
             partial(self._prefill_impl), static_argnames=("seq_len",)
         )
@@ -287,7 +288,12 @@ class PaddleOcrEngine:
             emit_eos=True,  # paddle loop pushes EOS before stopping
             chunk_size=16 if stream is not None else 64,
         )
-        generator = Generator(self._step_fn, gen_params)
+        generator = self._generator_cache.get(gen_params)
+        if generator is None:
+            # memoized per static params: a fresh Generator would retrace
+            # and recompile the decode chunk on every request
+            generator = Generator(self._step_fn, gen_params)
+            self._generator_cache[gen_params] = generator
         gtimer = Timer("decode.generate")
         result = generator.generate(
             self.params,

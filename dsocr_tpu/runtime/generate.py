@@ -181,28 +181,12 @@ class Generator:
             return in_chunk & jnp.any(~s.done)
 
         def body(s: LoopState):
-            # Skip the trailing forward when this append exhausts the budget
-            # (reference breaks before the final forward, mod/mod.rs:1987).
-            is_last = (s.steps + 1) >= jnp.int32(p.max_new_tokens)
-
-            def full(st):
-                return self._body(model_params, st)
-
-            def append_only(st):
-                active = ~st.done
-                rows = jnp.arange(st.context.shape[0])
-                safe_pos = jnp.minimum(st.ctx_len, st.context.shape[1] - 1)
-                appended = st.context.at[rows, safe_pos].set(
-                    jnp.where(active, st.current, st.context[rows, safe_pos])
-                )
-                return st._replace(
-                    context=appended,
-                    ctx_len=st.ctx_len + active.astype(jnp.int32),
-                    steps=st.steps + 1,
-                    done=jnp.ones_like(st.done),
-                )
-
-            return jax.lax.cond(is_last, append_only, full, s)
+            # Always run the full body: the final iteration's forward is
+            # wasted (its selection never lands because `cond` stops the
+            # loop), but avoiding a lax.cond here keeps the carried KV
+            # cache aliasable — the cond variant copied the cache buffers
+            # every step.
+            return self._body(model_params, s)
 
         return jax.lax.while_loop(cond, body, state)
 
@@ -243,7 +227,7 @@ class Generator:
         )
 
         # EOS on the prefill token → empty generation (ref :1963-1974).
-        if bool(jax.device_get(jnp.all(state.done))):
+        if bool(np.all(jax.device_get(state.done))):
             return GenerationResult(
                 tokens=[[] for _ in range(B)],
                 prompt_tokens=max(prompt_lens),
@@ -251,24 +235,29 @@ class Generator:
             )
 
         emitted = 0
-        chunk = max(p.chunk_size, 1)
+        # One device round-trip per chunk; without streaming the whole
+        # generation is a single dispatch (EOS exits the while_loop on
+        # device). Chunk-boundary state lands in ONE fused device_get —
+        # per-get latency dominates on tunneled platforms.
+        chunk = p.max_new_tokens if stream_callback is None else max(p.chunk_size, 1)
         while True:
             state = self._chunk(model_params, state, n_steps=chunk)
-            steps = int(jax.device_get(state.steps))
+            steps, done_host, ctx_host, len_host = jax.device_get(
+                (state.steps, state.done, state.context, state.ctx_len)
+            )
+            steps = int(steps)
             if stream_callback is not None and steps > emitted:
-                ctx_host = np.asarray(jax.device_get(state.context))
-                len_host = np.asarray(jax.device_get(state.ctx_len))
                 for row in range(B):
-                    gen = ctx_host[row, prompt_lens[row] : len_host[row]].tolist()
+                    gen = np.asarray(ctx_host)[
+                        row, prompt_lens[row] : len_host[row]
+                    ].tolist()
                     stream_callback(steps, gen)
             emitted = steps
-            if steps >= p.max_new_tokens or bool(
-                jax.device_get(jnp.all(state.done))
-            ):
+            if steps >= p.max_new_tokens or bool(np.all(done_host)):
                 break
 
-        ctx_host = np.asarray(jax.device_get(state.context))
-        len_host = np.asarray(jax.device_get(state.ctx_len))
+        ctx_host = np.asarray(ctx_host)
+        len_host = np.asarray(len_host)
         tokens = [
             ctx_host[row, prompt_lens[row] : len_host[row]].tolist() for row in range(B)
         ]

@@ -43,11 +43,17 @@ def init_kv_cache(
     v_head_dim: int,
     dtype=jnp.bfloat16,
 ) -> KVCache:
-    return KVCache(
+    cache = KVCache(
         k=jnp.zeros((num_layers, batch, num_kv_heads, max_len, k_head_dim), dtype),
         v=jnp.zeros((num_layers, batch, num_kv_heads, max_len, v_head_dim), dtype),
         length=jnp.zeros((), jnp.int32),
     )
+    from ..core import memlog
+
+    if memlog.enabled():
+        memlog.set_kv(cache.k.nbytes + cache.v.nbytes)
+        memlog.log_snapshot("kv_cache.init")
+    return cache
 
 
 def write_kv(

@@ -77,6 +77,8 @@ async def _decode(
     patch: DecodeParametersPatch,
     stream_cb=None,
 ) -> DecodeOutcome:
+    import time as _time
+
     loaded = await state.ensure_model_loaded(model_id)
     settings = state.model_settings(model_id)
     settings.decode += patch
@@ -87,19 +89,41 @@ async def _decode(
         crop_mode=settings.crop_mode,
     )
     loop = asyncio.get_running_loop()
-    async with state.lock:  # serialize inference on the single model slot
-        return await loop.run_in_executor(
-            None,
-            functools.partial(
-                loaded.engine.decode,
-                loaded.tokenizer,
-                rendered,
-                images,
-                vision,
-                settings.decode,
-                stream=stream_cb,
-            ),
-        )
+    state.metrics["requests_total"] += 1
+    t0 = _time.perf_counter()
+    try:
+        async with state.lock:  # serialize inference on the single model slot
+            outcome = await loop.run_in_executor(
+                None,
+                functools.partial(
+                    loaded.engine.decode,
+                    loaded.tokenizer,
+                    rendered,
+                    images,
+                    vision,
+                    settings.decode,
+                    stream=stream_cb,
+                ),
+            )
+    except Exception:
+        state.metrics["requests_failed"] += 1
+        raise
+    state.metrics["decode_seconds_total"] += _time.perf_counter() - t0
+    state.metrics["prompt_tokens_total"] += outcome.prompt_tokens
+    state.metrics["completion_tokens_total"] += outcome.response_tokens
+    return outcome
+
+
+async def metrics(request: web.Request) -> web.Response:
+    """Prometheus text exposition of serving counters."""
+    state = _state(request)
+    lines = []
+    for name, value in state.metrics.items():
+        lines.append(f"# TYPE dsocr_{name} counter")
+        lines.append(f"dsocr_{name} {value}")
+    return web.Response(
+        text="\n".join(lines) + "\n", content_type="text/plain"
+    )
 
 
 def _patch_from_request(body: Dict[str, Any], max_tokens) -> DecodeParametersPatch:
@@ -337,6 +361,7 @@ def build_app(state: AppState) -> web.Application:
     app["state"] = state
     app.router.add_get("/v1/health", health)
     app.router.add_get("/v1/models", models)
+    app.router.add_get("/metrics", metrics)
     app.router.add_post("/v1/responses", responses)
     app.router.add_post("/v1/chat/completions", chat_completions)
     return app

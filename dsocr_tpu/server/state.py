@@ -45,6 +45,15 @@ class AppState:
         self._engine_factory = engine_factory or self._default_factory
         self._loaded: Optional[LoadedModel] = None
         self._lock = asyncio.Lock()  # model swap + inference serialization
+        # /metrics counters (the reference lists richer metrics as roadmap)
+        self.metrics = {
+            "requests_total": 0,
+            "requests_failed": 0,
+            "prompt_tokens_total": 0,
+            "completion_tokens_total": 0,
+            "decode_seconds_total": 0.0,
+            "model_swaps_total": 0,
+        }
 
     def validate_model(self, model_id: str) -> None:
         if model_id not in self.config.models.entries:
@@ -80,6 +89,7 @@ class AppState:
                 self._loaded = await loop.run_in_executor(
                     None, self._engine_factory, model_id
                 )
+                self.metrics["model_swaps_total"] += 1
             return self._loaded
 
     @property

@@ -307,3 +307,34 @@ def test_cors_headers():
 
     headers = asyncio.run(go())
     assert headers["Access-Control-Allow-Origin"] == "*"
+
+
+def test_metrics_endpoint():
+    async def go():
+        app = build_app(_make_state())
+        client = TestClient(TestServer(app))
+        await client.start_server()
+        try:
+            await client.post(
+                "/v1/chat/completions",
+                json={
+                    "model": "paddleocr-vl",
+                    "messages": [
+                        {
+                            "role": "user",
+                            "content": [
+                                {"type": "image_url", "image_url": {"url": _data_url()}}
+                            ],
+                        }
+                    ],
+                },
+            )
+            resp = await client.get("/metrics")
+            return resp.status, await resp.text()
+        finally:
+            await client.close()
+
+    status, text = asyncio.run(go())
+    assert status == 200
+    assert "dsocr_requests_total 1" in text
+    assert "dsocr_completion_tokens_total 2" in text
