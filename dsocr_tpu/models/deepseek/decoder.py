@@ -138,6 +138,7 @@ def deepseek_forward(
     *,
     full_logits: bool = False,
     last_index: Optional[jnp.ndarray] = None,  # [B] int32
+    pad_start: Optional[jnp.ndarray] = None,  # [B] int32 left-pad boundary
 ) -> Tuple[jnp.ndarray, KVCache]:
     B, S, H = embeds.shape
     NH = cfg.num_attention_heads
@@ -153,6 +154,10 @@ def deepseek_forward(
     cos = cos_t[positions][:, None]  # [B, 1, S, rope_dim]
     sin = sin_t[positions][:, None]
     mask = causal_mask(S, S_max, start)[None, None]
+    if pad_start is not None:
+        # left-padded batching: row r ignores kv positions < pad_start[r]
+        _kv_pos = jnp.arange(S_max, dtype=jnp.int32)
+        mask = mask & (_kv_pos[None, None, None, :] >= pad_start[:, None, None, None])
     scale = 1.0 / (D**0.5)
 
     moe_cfg = MoeConfig(

@@ -258,6 +258,129 @@ class DeepseekOcrEngine:
         )
         return logits, bump_length(cache, 1), pos_state
 
+    def _step_fn_batched(self, params, token_ids, cache, pos_state):
+        """Batched decode step: pos_state carries each row's left-pad
+        boundary; row r's absolute position is cache.length - pad_start[r]."""
+        embeds = params["decoder"]["embed_tokens"][token_ids][:, None, :].astype(
+            self.dtype_
+        )
+        positions = (cache.length - pos_state)[:, None].astype(jnp.int32)
+        logits, cache = deepseek_forward(
+            params["decoder"], self.cfg.language, embeds, positions, cache,
+            self._rope, pad_start=pos_state,
+        )
+        return logits, bump_length(cache, 1), pos_state
+
+    def _prefill_batched_impl(self, params, embeds, positions, cache, pad_start, seq_len: int):
+        B = embeds.shape[0]
+        last = jnp.full((B,), seq_len - 1, jnp.int32)  # right-aligned rows
+        logits, cache = deepseek_forward(
+            params["decoder"], self.cfg.language, embeds, positions, cache,
+            self._rope, last_index=last, pad_start=pad_start,
+        )
+        return logits, bump_length(cache, seq_len)
+
+    def decode_batch(
+        self,
+        tokenizer,
+        prompts: Sequence[str],
+        images_per_prompt: Sequence[Sequence[np.ndarray]],
+        vision: VisionSettings,
+        params: DecodeParameters,
+    ) -> List[DecodeOutcome]:
+        """Batched multi-page decode: prompts are LEFT-padded to a common
+        bucket so every row's cache stays aligned (per-row `pad_start`
+        masks hide the padding); decode runs in lockstep with per-row
+        EOS. This is the throughput path the batch=1 reference lacks."""
+        B = len(prompts)
+        if B == 0:
+            return []
+        cfg = self.cfg.language
+
+        per_row = []
+        for prompt, images in zip(prompts, images_per_prompt):
+            vins = [self.prepare_vision_input(np.asarray(i), vision) for i in images]
+            embeds = [self.compute_image_embedding(v) for v in vins]
+            tokens, image_mask = self.build_prompt_tokens(
+                tokenizer, prompt, vins, embeds, vision
+            )
+            per_row.append((tokens, image_mask, embeds))
+
+        s_pad = _round_up(max(len(t) for t, _, _ in per_row), 128)
+        tokens_padded = np.zeros((B, s_pad), np.int32)
+        positions = np.zeros((B, s_pad), np.int32)
+        pad_start = np.zeros(B, np.int32)
+        batch_embeds = []
+        for r, (tokens, image_mask, embeds) in enumerate(per_row):
+            pad = s_pad - len(tokens)
+            pad_start[r] = pad
+            tokens_padded[r, pad:] = tokens
+            positions[r, pad:] = np.arange(len(tokens))
+            row = self.params["decoder"]["embed_tokens"][
+                jnp.asarray(tokens_padded[r])
+            ].astype(self.dtype_)
+            if embeds:
+                flat = jnp.concatenate(embeds, axis=0)
+                idx = pad + np.nonzero(np.asarray(image_mask, bool))[0]
+                row = row.at[jnp.asarray(idx)].set(flat.astype(self.dtype_))
+            batch_embeds.append(row)
+        embeds = jnp.stack(batch_embeds)
+
+        max_len = min(
+            self.max_seq_len, _round_up(s_pad + params.max_new_tokens + 8, 128)
+        )
+        cache = reset(new_cache(cfg, B, max_len, self.dtype_))
+        if not hasattr(self, "_prefill_batched_jit"):
+            self._prefill_batched_jit = jax.jit(
+                self._prefill_batched_impl, static_argnames=("seq_len",)
+            )
+        prefill_logits, cache = self._prefill_batched_jit(
+            self.params, embeds, jnp.asarray(positions), cache,
+            jnp.asarray(pad_start), seq_len=s_pad,
+        )
+
+        eos = cfg.eos_token_id
+        gen_params = GenerateParams(
+            max_new_tokens=params.max_new_tokens,
+            do_sample=params.do_sample,
+            temperature=params.temperature,
+            top_p=params.top_p,
+            top_k=params.top_k,
+            repetition_penalty=params.repetition_penalty,
+            no_repeat_ngram_size=params.no_repeat_ngram_size,
+            eos_ids=(eos,) if eos is not None else (),
+            emit_eos=False,
+            chunk_size=64,
+        )
+        key = ("batched", gen_params, B)
+        generator = self._generator_cache.get(key)
+        if generator is None:
+            generator = Generator(self._step_fn_batched, gen_params)
+            self._generator_cache[key] = generator
+        result = generator.generate(
+            self.params,
+            prefill_logits,
+            cache,
+            jnp.asarray(pad_start),
+            [t for t, _, _ in per_row],
+            rng=jax.random.PRNGKey(params.seed or 0),
+        )
+        outcomes = []
+        for r, (tokens, _, _) in enumerate(per_row):
+            generated = result.tokens[r]
+            text = normalize_text(
+                tokenizer.decode(generated, skip_special_tokens=True)
+            )
+            outcomes.append(
+                DecodeOutcome(
+                    text=text,
+                    prompt_tokens=len(tokens),
+                    response_tokens=len(generated),
+                    generated_tokens=generated,
+                )
+            )
+        return outcomes
+
     def decode(
         self,
         tokenizer,

@@ -115,6 +115,7 @@ def glm_forward(
     *,
     full_logits: bool = False,
     last_index: Optional[jnp.ndarray] = None,
+    pad_start: Optional[jnp.ndarray] = None,  # [B] int32 left-pad boundary
 ) -> Tuple[jnp.ndarray, KVCache]:
     B, S, H = embeds.shape
     NH, NKV, D = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim
@@ -125,6 +126,10 @@ def glm_forward(
 
     cos, sin = glm_mrope_cos_sin(position_ids, cfg)
     mask = causal_mask(S, S_max, start)[None, None]
+    if pad_start is not None:
+        # left-padded batching: row r ignores kv positions < pad_start[r]
+        _kv_pos = jnp.arange(S_max, dtype=jnp.int32)
+        mask = mask & (_kv_pos[None, None, None, :] >= pad_start[:, None, None, None])
     scale = 1.0 / (D**0.5)
     lp = params["layers"]
     zero = jnp.int32(0)

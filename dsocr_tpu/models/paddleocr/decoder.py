@@ -124,6 +124,7 @@ def ernie_forward(
     *,
     full_logits: bool = False,
     last_index: Optional[jnp.ndarray] = None,  # [B] int32: index of last real token
+    pad_start: Optional[jnp.ndarray] = None,  # [B] int32 left-pad boundary
 ) -> Tuple[jnp.ndarray, KVCache]:
     """Run the decoder over S positions starting at cache.length.
 
@@ -139,6 +140,10 @@ def ernie_forward(
 
     cos, sin = mrope_cos_sin(position_ids, cfg)
     mask = causal_mask(S, S_max, start)[None, None]  # [1,1,S,S_max]
+    if pad_start is not None:
+        # left-padded batching: row r ignores kv positions < pad_start[r]
+        _kv_pos = jnp.arange(S_max, dtype=jnp.int32)
+        mask = mask & (_kv_pos[None, None, None, :] >= pad_start[:, None, None, None])
     scale = 1.0 / (D**0.5)
 
     lp = params["layers"]

@@ -92,19 +92,26 @@ async def _decode(
     state.metrics["requests_total"] += 1
     t0 = _time.perf_counter()
     try:
-        async with state.lock:  # serialize inference on the single model slot
-            outcome = await loop.run_in_executor(
-                None,
-                functools.partial(
-                    loaded.engine.decode,
-                    loaded.tokenizer,
-                    rendered,
-                    images,
-                    vision,
-                    settings.decode,
-                    stream=stream_cb,
-                ),
+        if stream_cb is None and state.scheduler is not None:
+            # micro-batching path: concurrent requests coalesce into one
+            # left-padded batched decode
+            outcome = await state.scheduler.submit(
+                rendered, images, vision, settings.decode
             )
+        else:
+            async with state.lock:  # serialize on the single model slot
+                outcome = await loop.run_in_executor(
+                    None,
+                    functools.partial(
+                        loaded.engine.decode,
+                        loaded.tokenizer,
+                        rendered,
+                        images,
+                        vision,
+                        settings.decode,
+                        stream=stream_cb,
+                    ),
+                )
     except Exception:
         state.metrics["requests_failed"] += 1
         raise

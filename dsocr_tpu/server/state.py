@@ -90,7 +90,16 @@ class AppState:
                     None, self._engine_factory, model_id
                 )
                 self.metrics["model_swaps_total"] += 1
+                from .scheduler import BatchScheduler
+
+                self._scheduler = BatchScheduler(
+                    self._loaded.engine, self._loaded.tokenizer, lock=self._lock
+                )
             return self._loaded
+
+    @property
+    def scheduler(self):
+        return getattr(self, "_scheduler", None)
 
     @property
     def lock(self) -> asyncio.Lock:

@@ -325,3 +325,28 @@ def test_ocr2_engine_end_to_end():
         DecodeParameters(max_new_tokens=3, no_repeat_ngram_size=None),
     )
     assert out.response_tokens > 0
+
+
+def test_decode_batch_matches_single(tiny_engine):
+    """Left-padded batched decode must reproduce per-request greedy
+    outputs exactly (the batching math is masking-only)."""
+    rng = np.random.default_rng(20)
+    img_a = rng.integers(0, 256, (60, 60, 3), dtype=np.uint8)
+    img_b = rng.integers(0, 256, (90, 50, 3), dtype=np.uint8)
+    settings = VisionSettings(64, 64, False)
+    params = DecodeParameters(max_new_tokens=5, no_repeat_ngram_size=None)
+    tok = FakeTokenizer()
+
+    single_a = tiny_engine.decode(tok, "<image>short", [img_a], settings, params)
+    single_b = tiny_engine.decode(
+        tok, "<image>a much longer prompt here", [img_b], settings, params
+    )
+    batch = tiny_engine.decode_batch(
+        tok,
+        ["<image>short", "<image>a much longer prompt here"],
+        [[img_a], [img_b]],
+        settings,
+        params,
+    )
+    assert batch[0].generated_tokens == single_a.generated_tokens
+    assert batch[1].generated_tokens == single_b.generated_tokens
