@@ -187,6 +187,45 @@ class DeepseekOcrEngine:
             self._tower_jit = jax.jit(self._tower)
         return self._tower_jit(self.params, pixels)
 
+    def _compute_image_embeddings_batched(self, vins: Sequence[VisionInput]):
+        """Fused-token embeddings for many images with batched tower calls
+        (OCR1 path; OCR2 falls back to per-image encodes)."""
+        if not vins:
+            return []
+        if self.cfg.variant == "ocr2":
+            return [self.compute_image_embedding(v) for v in vins]
+        params = self.params
+        newline = params["projector"]["image_newline"]
+        globals_stacked = jnp.asarray(
+            np.concatenate([v.global_pixels for v in vins]), jnp.float32
+        )
+        global_proj = self._tower_jitted(globals_stacked)  # [B, S, n_embed]
+        tile_batches = [v.patches for v in vins if v.patches is not None]
+        tile_projs = {}
+        if tile_batches:
+            stacked = jnp.asarray(np.concatenate(tile_batches), jnp.float32)
+            projected = self._tower_jitted(stacked)
+            offset = 0
+            for idx, v in enumerate(vins):
+                if v.patches is not None:
+                    n = v.patches.shape[0]
+                    tile_projs[idx] = projected[offset : offset + n]
+                    offset += n
+        outputs = []
+        for idx, v in enumerate(vins):
+            global_tokens = format_global_tokens(
+                global_proj[idx : idx + 1].astype(self.dtype_), newline
+            )
+            local_tokens = None
+            if idx in tile_projs:
+                local_tokens = format_local_tokens(
+                    tile_projs[idx].astype(self.dtype_), v.crop_shape, newline
+                )
+            outputs.append(
+                assemble_image_tokens(params["projector"], global_tokens, local_tokens)
+            )
+        return outputs
+
     # -- prompt ---------------------------------------------------------------------
 
     def build_prompt_tokens(
@@ -297,10 +336,20 @@ class DeepseekOcrEngine:
             return []
         cfg = self.cfg.language
 
+        # Vision: batch the tower passes across ALL pages — global views
+        # share a shape and stack into one SAM+CLIP call; tiles concat into
+        # one batched call and split back per view.
+        all_vins = [
+            [self.prepare_vision_input(np.asarray(i), vision) for i in images]
+            for images in images_per_prompt
+        ]
+        flat_vins = [v for row in all_vins for v in row]
+        embeddings_flat = self._compute_image_embeddings_batched(flat_vins)
         per_row = []
-        for prompt, images in zip(prompts, images_per_prompt):
-            vins = [self.prepare_vision_input(np.asarray(i), vision) for i in images]
-            embeds = [self.compute_image_embedding(v) for v in vins]
+        cursor = 0
+        for prompt, vins in zip(prompts, all_vins):
+            embeds = embeddings_flat[cursor : cursor + len(vins)]
+            cursor += len(vins)
             tokens, image_mask = self.build_prompt_tokens(
                 tokenizer, prompt, vins, embeds, vision
             )

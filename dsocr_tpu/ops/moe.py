@@ -136,13 +136,16 @@ def moe_apply(
     up_proj: jnp.ndarray,  # [E, hidden, inter]
     down_proj: jnp.ndarray,  # [E, inter, hidden]
     *,
-    gather_threshold: int = 16,
+    gather_threshold: int = 1,
 ) -> jnp.ndarray:
     """Run the routed experts; returns [N, hidden] in tokens.dtype.
 
     Dispatches on the static token count: batch-1 decode uses unrolled
-    dynamic expert slices; small N uses the Pallas weight-gather path;
-    large N (prefill) uses sorted grouped matmuls via ragged_dot."""
+    dynamic expert slices (reads only the K selected experts); everything
+    else uses sorted grouped matmuls via ragged_dot (streams the full
+    expert stack once — already cheaper than per-row gathers at N≥2).
+    The Pallas gather path (moe_apply_gather) measured slower than both
+    and is kept for experimentation via gather_threshold."""
     if tokens.shape[0] == 1:
         return moe_apply_single(
             tokens, topk_weights, topk_indices, gate_proj, up_proj, down_proj
