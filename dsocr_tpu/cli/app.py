@@ -74,6 +74,9 @@ def run_weights_snapshot(args) -> int:
 
 def run_inference(args) -> int:
     quiet = args.quiet
+    from ..utils.logging import init_logging
+
+    init_logging(quiet=quiet)
     recorder: Optional[BenchRecorder] = None
     if args.bench or args.bench_output:
         recorder = BenchRecorder()

@@ -196,15 +196,36 @@ class DeepseekOcrEngine:
             return [self.compute_image_embedding(v) for v in vins]
         params = self.params
         newline = params["projector"]["image_newline"]
-        globals_stacked = jnp.asarray(
-            np.concatenate([v.global_pixels for v in vins]), jnp.float32
-        )
-        global_proj = self._tower_jitted(globals_stacked)  # [B, S, n_embed]
+        # SAM's global-attention blocks materialize [B, heads, 4096, 4096]
+        # f32 scores at 1024px — cap the tower micro-batch so activations
+        # fit HBM alongside the decoder weights.
+        def tower_chunked(pixels: np.ndarray, vb: int) -> jnp.ndarray:
+            outs = []
+            for i in range(0, pixels.shape[0], vb):
+                chunk = pixels[i : i + vb]
+                if chunk.shape[0] != vb and pixels.shape[0] > vb:
+                    pad = vb - chunk.shape[0]
+                    chunk = np.concatenate([chunk, chunk[-1:].repeat(pad, 0)])
+                    outs.append(
+                        self._tower_jitted(jnp.asarray(chunk, jnp.float32))[:-pad]
+                    )
+                else:
+                    outs.append(self._tower_jitted(jnp.asarray(chunk, jnp.float32)))
+            return jnp.concatenate(outs, axis=0)
+
+        # globals are 1024px (4096 SAM tokens) → small chunks; tiles are
+        # 640px (1600 tokens) → larger chunks amortize dispatch latency
+        global_proj = tower_chunked(
+            np.concatenate([v.global_pixels for v in vins]),
+            getattr(self, "vision_batch_global", 2),
+        )  # [B, S, n_embed]
         tile_batches = [v.patches for v in vins if v.patches is not None]
         tile_projs = {}
         if tile_batches:
-            stacked = jnp.asarray(np.concatenate(tile_batches), jnp.float32)
-            projected = self._tower_jitted(stacked)
+            projected = tower_chunked(
+                np.concatenate(tile_batches),
+                getattr(self, "vision_batch_tiles", 8),
+            )
             offset = 0
             for idx, v in enumerate(vins):
                 if v.patches is not None:

@@ -20,6 +20,9 @@ def main(argv=None) -> int:
     parser.add_argument("--max-seq-len", type=int, default=8192)
     args = parser.parse_args(argv)
 
+    from ..utils.logging import init_logging
+    init_logging()
+
     config = (
         AppConfig.load_or_init(pathlib.Path(args.config))
         if args.config
