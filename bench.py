@@ -62,19 +62,40 @@ def main():
     settings = VisionSettings(base_size=1024, image_size=640, crop_mode=True)
     params = DecodeParameters(max_new_tokens=max_new)  # greedy, ngram=20 defaults
 
+    batch = int(os.environ.get("BENCH_BATCH", "1"))
+
     def run_once():
         t0 = time.perf_counter()
-        out = engine.decode(BenchTokenizer(), "<image>\nFree OCR.", [image], settings, params)
+        if batch > 1:
+            outs = engine.decode_batch(
+                BenchTokenizer(),
+                ["<image>\nFree OCR."] * batch,
+                [[image]] * batch,
+                settings,
+                params,
+            )
+            out = outs[0]
+        else:
+            out = engine.decode(
+                BenchTokenizer(), "<image>\nFree OCR.", [image], settings, params
+            )
         return time.perf_counter() - t0, out
 
     # warmup/compile
     run_once()
+    profile_dir = os.environ.get("DSOCR_PROFILE_DIR")
+    if profile_dir:
+        import jax
+
+        jax.profiler.start_trace(profile_dir)
     times = []
     for _ in range(int(os.environ.get("BENCH_REPS", "2"))):
         dt, out = run_once()
         times.append(dt)
+    if profile_dir:
+        jax.profiler.stop_trace()
     best = min(times)
-    pages_per_sec = 1.0 / best
+    pages_per_sec = batch / best
     print(
         json.dumps(
             {

@@ -53,8 +53,8 @@ def _round_up(x: int, m: int) -> int:
 
 @dataclasses.dataclass
 class VisionInput:
-    global_pixels: np.ndarray  # [1, 3, G, G]
-    patches: Optional[np.ndarray]  # [T, 3, I, I] or None
+    global_pixels: np.ndarray  # [1, 3, G, G] uint8
+    patches: Optional[np.ndarray]  # [T, 3, I, I] uint8 or None
     crop_shape: Optional[Tuple[int, int]]  # (width_crops, height_crops)
 
 
@@ -119,7 +119,9 @@ class DeepseekOcrEngine:
         (ref model/mod.rs:1707-1758)."""
         global_size = vision.base_size if vision.crop_mode else vision.image_size
         global_view = build_global_view(image, global_size)
-        global_pixels = image_to_tensor(global_view)[None]
+        # pixels ship to the device as uint8 (4x less tunnel traffic);
+        # normalization happens inside the jitted tower
+        global_pixels = np.transpose(global_view, (2, 0, 1))[None]
         patches = None
         crop_shape = None
         if vision.crop_mode:
@@ -131,18 +133,23 @@ class DeepseekOcrEngine:
             result = dynamic_preprocess(image, params, use_thumbnail=False)
             crop_shape = result.ratio
             if result.tiles:
-                patches = np.stack([image_to_tensor(t) for t in result.tiles])
+                patches = np.stack(
+                    [np.transpose(t, (2, 0, 1)) for t in result.tiles]
+                )
         return VisionInput(global_pixels, patches, crop_shape)
 
-    def _tower(self, params, pixels):
+    def _tower(self, params, pixels_u8):
+        # (x/255 - 0.5)/0.5 on device (ref image_to_tensor semantics)
+        pixels = (pixels_u8.astype(jnp.float32) / 255.0 - 0.5) / 0.5
         sam_out = sam_forward(params["sam"], self.cfg.sam, pixels)
         clip_out = clip_forward(params["clip"], self.cfg.clip, sam_out)
         fused = build_clip_sam_tokens(clip_out, sam_out)
         return project(params["projector"], fused)  # [B, S, n_embed] f32
 
-    def _ocr2_view(self, pixels):
+    def _ocr2_view(self, pixels_u8):
         from .ocr2 import ocr2_encode_view
 
+        pixels = (pixels_u8.astype(jnp.float32) / 255.0 - 0.5) / 0.5
         sam_out = sam_forward(self.params["sam"], self.cfg.sam, pixels)
         return ocr2_encode_view(self.params["ocr2"], self.ocr2_cfg, sam_out)
 
@@ -156,11 +163,11 @@ class DeepseekOcrEngine:
                 self._ocr2_jit = jax.jit(self._ocr2_view)
             segments = []
             if vin.patches is not None:
-                local = self._ocr2_jit(jnp.asarray(vin.patches, jnp.float32))
+                local = self._ocr2_jit(jnp.asarray(vin.patches))
                 segments.append(
                     local.reshape(-1, local.shape[-1]).astype(self.dtype_)
                 )
-            global_proj = self._ocr2_jit(jnp.asarray(vin.global_pixels, jnp.float32))
+            global_proj = self._ocr2_jit(jnp.asarray(vin.global_pixels))
             segments.append(
                 global_proj.reshape(-1, global_proj.shape[-1]).astype(self.dtype_)
             )
@@ -169,13 +176,13 @@ class DeepseekOcrEngine:
             )
             return jnp.concatenate(segments, axis=0)
         newline = params["projector"]["image_newline"]
-        global_proj = self._tower_jitted(jnp.asarray(vin.global_pixels, jnp.float32))
+        global_proj = self._tower_jitted(jnp.asarray(vin.global_pixels))
         global_tokens = format_global_tokens(
             global_proj.astype(self.dtype_), newline
         )
         local_tokens = None
         if vin.patches is not None:
-            local_proj = self._tower_jitted(jnp.asarray(vin.patches, jnp.float32))
+            local_proj = self._tower_jitted(jnp.asarray(vin.patches))
             local_tokens = format_local_tokens(
                 local_proj.astype(self.dtype_), vin.crop_shape, newline
             )
@@ -207,10 +214,10 @@ class DeepseekOcrEngine:
                     pad = vb - chunk.shape[0]
                     chunk = np.concatenate([chunk, chunk[-1:].repeat(pad, 0)])
                     outs.append(
-                        self._tower_jitted(jnp.asarray(chunk, jnp.float32))[:-pad]
+                        self._tower_jitted(jnp.asarray(chunk))[:-pad]
                     )
                 else:
-                    outs.append(self._tower_jitted(jnp.asarray(chunk, jnp.float32)))
+                    outs.append(self._tower_jitted(jnp.asarray(chunk)))
             return jnp.concatenate(outs, axis=0)
 
         # globals are 1024px (4096 SAM tokens) → small chunks; tiles are
@@ -360,12 +367,18 @@ class DeepseekOcrEngine:
         # Vision: batch the tower passes across ALL pages — global views
         # share a shape and stack into one SAM+CLIP call; tiles concat into
         # one batched call and split back per view.
+        vp_timer = Timer("vision.prepare_inputs")
         all_vins = [
             [self.prepare_vision_input(np.asarray(i), vision) for i in images]
             for images in images_per_prompt
         ]
         flat_vins = [v for row in all_vins for v in row]
+        vp_timer.finish(images=len(flat_vins))
+        ve_timer = Timer("vision.compute_embeddings")
         embeddings_flat = self._compute_image_embeddings_batched(flat_vins)
+        if embeddings_flat:
+            embeddings_flat[-1].block_until_ready()
+        ve_timer.finish(images=len(flat_vins))
         per_row = []
         cursor = 0
         for prompt, vins in zip(prompts, all_vins):
@@ -404,10 +417,13 @@ class DeepseekOcrEngine:
             self._prefill_batched_jit = jax.jit(
                 self._prefill_batched_impl, static_argnames=("seq_len",)
             )
+        pf_timer = Timer("decode.prefill")
         prefill_logits, cache = self._prefill_batched_jit(
             self.params, embeds, jnp.asarray(positions), cache,
             jnp.asarray(pad_start), seq_len=s_pad,
         )
+        np.asarray(prefill_logits[0, :1])  # true sync (tunnel ignores block)
+        pf_timer.finish(batch=B, seq=s_pad)
 
         eos = cfg.eos_token_id
         gen_params = GenerateParams(
@@ -427,6 +443,7 @@ class DeepseekOcrEngine:
         if generator is None:
             generator = Generator(self._step_fn_batched, gen_params)
             self._generator_cache[key] = generator
+        g_timer = Timer("decode.generate")
         result = generator.generate(
             self.params,
             prefill_logits,
@@ -435,6 +452,7 @@ class DeepseekOcrEngine:
             [t for t, _, _ in per_row],
             rng=jax.random.PRNGKey(params.seed or 0),
         )
+        g_timer.finish(batch=B, steps=result.steps)
         outcomes = []
         for r, (tokens, _, _) in enumerate(per_row):
             generated = result.tokens[r]
@@ -450,6 +468,47 @@ class DeepseekOcrEngine:
                 )
             )
         return outcomes
+
+    def _decode_without_cache(
+        self, tokenizer, tokens, embeds_fn, params: DecodeParameters, stream
+    ) -> DecodeOutcome:
+        """No-cache debug path: recompute the full prefix every step
+        (ref generate_without_cache, model/mod.rs:2050-2288). Selection
+        runs the host sampler for step-by-step inspectability."""
+        from ...core.sampling import select_token_id_host
+
+        cfg = self.cfg.language
+        context = list(tokens)
+        generated: List[int] = []
+        rng = np.random.default_rng(params.seed or 0)
+        for step in range(params.max_new_tokens):
+            s_pad = _round_up(len(context), 128)
+            embeds = embeds_fn(context, s_pad)
+            cache = reset(new_cache(cfg, 1, s_pad, self.dtype_))
+            logits, _ = self._prefill_jit(
+                self.params,
+                embeds,
+                jnp.arange(s_pad, dtype=jnp.int32)[None],
+                cache,
+                jnp.int32(len(context)),
+                seq_len=s_pad,
+            )
+            current = select_token_id_host(
+                np.asarray(logits[0]), params, context, rng
+            )
+            if cfg.eos_token_id is not None and current == cfg.eos_token_id:
+                break
+            context.append(current)
+            generated.append(current)
+            if stream is not None:
+                stream(len(generated), generated)
+        text = normalize_text(tokenizer.decode(generated, skip_special_tokens=True))
+        return DecodeOutcome(
+            text=text,
+            prompt_tokens=len(tokens),
+            response_tokens=len(generated),
+            generated_tokens=generated,
+        )
 
     def decode(
         self,
@@ -479,20 +538,28 @@ class DeepseekOcrEngine:
         pt_timer.finish(tokens=len(tokens))
 
         prompt_len = len(tokens)
-        s_pad = _round_up(prompt_len, 128)
-        tokens_padded = np.zeros(s_pad, np.int32)
-        tokens_padded[:prompt_len] = tokens
 
-        embeds = self.params["decoder"]["embed_tokens"][
-            jnp.asarray(tokens_padded)
-        ].astype(self.dtype_)
-        if embeddings:
-            flat = jnp.concatenate(embeddings, axis=0)
-            mask_padded = np.zeros(s_pad, bool)
-            mask_padded[:prompt_len] = np.asarray(image_mask, bool)
-            idx = np.nonzero(mask_padded)[0]
-            embeds = embeds.at[jnp.asarray(idx)].set(flat.astype(self.dtype_))
-        embeds = embeds[None]
+        def build_embeds(context_tokens, s_pad_local):
+            padded = np.zeros(s_pad_local, np.int32)
+            padded[: len(context_tokens)] = context_tokens
+            out = self.params["decoder"]["embed_tokens"][
+                jnp.asarray(padded)
+            ].astype(self.dtype_)
+            if embeddings:
+                flat = jnp.concatenate(embeddings, axis=0)
+                mask_padded = np.zeros(s_pad_local, bool)
+                mask_padded[:prompt_len] = np.asarray(image_mask, bool)
+                idx = np.nonzero(mask_padded)[0]
+                out = out.at[jnp.asarray(idx)].set(flat.astype(self.dtype_))
+            return out[None]
+
+        if not params.use_cache:
+            return self._decode_without_cache(
+                tokenizer, tokens, build_embeds, params, stream
+            )
+
+        s_pad = _round_up(prompt_len, 128)
+        embeds = build_embeds(tokens, s_pad)
         positions = jnp.arange(s_pad, dtype=jnp.int32)[None]
 
         max_len = min(self.max_seq_len, _round_up(s_pad + params.max_new_tokens + 8, 128))

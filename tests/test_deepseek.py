@@ -350,3 +350,20 @@ def test_decode_batch_matches_single(tiny_engine):
     )
     assert batch[0].generated_tokens == single_a.generated_tokens
     assert batch[1].generated_tokens == single_b.generated_tokens
+
+
+def test_no_cache_matches_cached_decode(tiny_engine):
+    """--no-cache recompute path must reproduce the cached greedy decode
+    (ref generate_without_cache, model/mod.rs:2050-2288)."""
+    rng = np.random.default_rng(30)
+    image = rng.integers(0, 256, (50, 50, 3), dtype=np.uint8)
+    settings = VisionSettings(64, 64, False)
+    cached = tiny_engine.decode(
+        FakeTokenizer(), "<image>q", [image], settings,
+        DecodeParameters(max_new_tokens=4, no_repeat_ngram_size=None),
+    )
+    uncached = tiny_engine.decode(
+        FakeTokenizer(), "<image>q", [image], settings,
+        DecodeParameters(max_new_tokens=4, no_repeat_ngram_size=None, use_cache=False),
+    )
+    assert uncached.generated_tokens == cached.generated_tokens
