@@ -9,7 +9,6 @@ and :1707-1758 (vision inputs); execution is the TPU runtime.
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
 from typing import Dict, List, Optional, Sequence, Tuple
 
 import jax
@@ -19,12 +18,7 @@ import numpy as np
 from ...core import DecodeOutcome, DecodeParameters, ModelKind, VisionSettings
 from ...core.benchmark import Timer
 from ...core.text import normalize_text
-from ...image import (
-    PreprocessParams,
-    build_global_view,
-    dynamic_preprocess,
-    image_to_tensor,
-)
+from ...image import PreprocessParams, build_global_view, dynamic_preprocess
 from ...runtime import GenerateParams, Generator
 from ...runtime.kv_cache import bump_length, reset
 from .clip import clip_forward, init_clip_params
