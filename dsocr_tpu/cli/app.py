@@ -141,6 +141,7 @@ def run_inference(args) -> int:
         snapshot_path=snapshot_path,
         dtype=settings.precision,
         max_seq_len=args.max_seq_len,
+        mesh=args.mesh,
     )
     load_timer.finish(model=model_id)
     tokenizer = load_tokenizer(tokenizer_path)

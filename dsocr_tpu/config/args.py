@@ -19,6 +19,10 @@ def add_common_model_args(parser: argparse.ArgumentParser) -> None:
     group.add_argument("--tokenizer", default=None, help="tokenizer.json path")
     group.add_argument("--weights", default=None, help="safetensors weights path")
     group.add_argument("--snapshot", default=None, help="DSQ snapshot path")
+    group.add_argument(
+        "--mesh", default=None,
+        help="device mesh spec for sharded execution, e.g. dp=1,mp=4",
+    )
 
 
 def add_common_inference_args(parser: argparse.ArgumentParser) -> None:

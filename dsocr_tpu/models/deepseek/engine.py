@@ -61,10 +61,12 @@ class DeepseekOcrEngine:
         max_seq_len: int = 8192,
         seed: int = 0,
         ocr2_params=None,
+        mesh=None,
     ):
         self.cfg = cfg
         self.dtype_ = dtype
         self.max_seq_len = max_seq_len
+        self.mesh = mesh
         if cfg.variant == "ocr2":
             from .ocr2 import Qwen2EncoderParams
 
@@ -85,6 +87,31 @@ class DeepseekOcrEngine:
             else:
                 params["clip"] = init_clip_params(cfg.clip, kc) if cfg.clip else None
                 params["projector"] = init_projector_params(cfg, kp, dtype)
+        if mesh is not None:
+            # shard the decoder over the mesh (TP heads + expert/MLP
+            # intermediate dims); vision/projector stay replicated —
+            # GSPMD propagates shardings through the jitted forwards
+            from ...parallel import deepseek_param_shardings, replicated
+
+            shardings = {
+                key: (
+                    deepseek_param_shardings(params["decoder"], mesh)
+                    if key == "decoder"
+                    else jax.tree_util.tree_map(
+                        lambda _: replicated(mesh), value
+                    )
+                )
+                for key, value in params.items()
+                if value is not None
+            }
+            params = {
+                key: (
+                    jax.device_put(value, shardings[key])
+                    if value is not None
+                    else None
+                )
+                for key, value in params.items()
+            }
         self.params = params
         self._generator_cache = {}
         self._rope = build_decoder_rope(cfg.language, max_seq_len)

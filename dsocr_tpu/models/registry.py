@@ -7,7 +7,7 @@ Equivalent of the reference CLI's load_*_model dispatch
 from __future__ import annotations
 
 import pathlib
-from typing import Optional
+from typing import Any, Optional
 
 import jax.numpy as jnp
 
@@ -33,6 +33,18 @@ def resolve_dtype(name: Optional[str]):
     return dtype
 
 
+def parse_mesh_spec(spec: Optional[str]):
+    """'dp=2,mp=4' → jax.sharding.Mesh (None → single-device)."""
+    if not spec:
+        return None
+    from ..parallel import make_mesh
+
+    parts = dict(p.split("=") for p in spec.split(","))
+    dp = int(parts.get("dp", 1))
+    mp = int(parts.get("mp", 1))
+    return make_mesh(dp * mp, dp=dp)
+
+
 def load_engine(
     kind: ModelKind,
     config_path: Optional[pathlib.Path] = None,
@@ -40,8 +52,11 @@ def load_engine(
     snapshot_path: Optional[pathlib.Path] = None,
     dtype: Optional[str] = None,
     max_seq_len: int = 8192,
+    mesh: Optional[Any] = None,
 ) -> OcrEngine:
     jdtype = resolve_dtype(dtype)
+    if isinstance(mesh, str):
+        mesh = parse_mesh_spec(mesh)
     if kind is ModelKind.DEEPSEEK:
         from .deepseek import DeepseekOcrConfig, DeepseekOcrEngine
         from .deepseek.loader import load_deepseek_params
@@ -56,7 +71,9 @@ def load_engine(
             params = load_deepseek_params(
                 weights_path, cfg, dtype=jdtype, snapshot_path=snapshot_path
             )
-        return DeepseekOcrEngine(cfg, params=params, dtype=jdtype, max_seq_len=max_seq_len)
+        return DeepseekOcrEngine(
+            cfg, params=params, dtype=jdtype, max_seq_len=max_seq_len, mesh=mesh
+        )
     if kind is ModelKind.PADDLE_OCR_VL:
         from .paddleocr import PaddleConfig, PaddleOcrEngine
         from .paddleocr.loader import load_paddle_params

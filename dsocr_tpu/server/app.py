@@ -33,7 +33,7 @@ def main(argv=None) -> int:
     host = args.host or config.server.host
     port = args.port or config.server.port
 
-    state = AppState(config)
+    state = AppState(config, mesh=args.mesh)
     app = build_app(state)
     web.run_app(app, host=host, port=port)
     return 0

@@ -37,11 +37,13 @@ class AppState:
         allow_download: bool = True,
         max_seq_len: int = 8192,
         engine_factory=None,
+        mesh=None,
     ):
         self.config = config
         self.vfs = vfs or VirtualFileSystem()
         self.allow_download = allow_download
         self.max_seq_len = max_seq_len
+        self.mesh = mesh
         self._engine_factory = engine_factory or self._default_factory
         self._loaded: Optional[LoadedModel] = None
         self._lock = asyncio.Lock()  # model swap + inference serialization
@@ -75,6 +77,7 @@ class AppState:
             snapshot_path=paths.snapshot,
             dtype=settings.precision,
             max_seq_len=self.max_seq_len,
+            mesh=self.mesh,
         )
         tokenizer = load_tokenizer(paths.tokenizer)
         return LoadedModel(

@@ -94,3 +94,41 @@ def test_param_shardings_cover_tree(cfg):
     assert len(flat_p) == len(flat_s)
     assert shardings["moe_layers"]["experts_gate"].spec == P(None, None, None, "mp")
     assert shardings["embed_tokens"].spec == P("mp", None)
+
+
+def test_engine_decode_with_mesh():
+    """Full engine decode with a sharded decoder on the CPU mesh matches
+    the unsharded engine token-for-token."""
+    import jax.numpy as jnp
+
+    from dsocr_tpu.core import DecodeParameters, VisionSettings
+    from dsocr_tpu.models.deepseek import DeepseekOcrEngine
+    from dsocr_tpu.models.deepseek.config import tiny_deepseek_config
+
+    class FakeTokenizer:
+        def encode(self, text):
+            return [ord(c) % 100 for c in text]
+
+        def decode(self, ids, skip_special_tokens=True):
+            return "".join(chr(97 + (i % 26)) for i in ids)
+
+        def token_to_id(self, token):
+            return 127 if token == "<image>" else None
+
+    cfg = tiny_deepseek_config()
+    image = np.random.default_rng(0).integers(0, 256, (50, 50, 3), dtype=np.uint8)
+    settings = VisionSettings(64, 64, False)
+    params = DecodeParameters(max_new_tokens=4, no_repeat_ngram_size=None)
+
+    plain = DeepseekOcrEngine(cfg, dtype=jnp.float32, max_seq_len=512, seed=3)
+    out_plain = plain.decode(FakeTokenizer(), "<image>x", [image], settings, params)
+
+    mesh = make_mesh(8, dp=1)
+    sharded = DeepseekOcrEngine(
+        cfg, dtype=jnp.float32, max_seq_len=512, seed=3, mesh=mesh
+    )
+    with mesh:
+        out_sharded = sharded.decode(
+            FakeTokenizer(), "<image>x", [image], settings, params
+        )
+    assert out_sharded.generated_tokens == out_plain.generated_tokens
