@@ -514,9 +514,9 @@ class DeepseekOcrEngine:
                 jnp.int32(len(context)),
                 seq_len=s_pad,
             )
-            current = select_token_id_host(
-                np.asarray(logits[0]), params, context, rng
-            )
+            step_logits = np.asarray(logits[0])
+            current = select_token_id_host(step_logits, params, context, rng)
+            self._maybe_dump_debug_logits(step, step_logits, current)
             if cfg.eos_token_id is not None and current == cfg.eos_token_id:
                 break
             context.append(current)
@@ -530,6 +530,31 @@ class DeepseekOcrEngine:
             response_tokens=len(generated),
             generated_tokens=generated,
         )
+
+    @staticmethod
+    def _maybe_dump_debug_logits(step: int, logits: np.ndarray, chosen: int) -> None:
+        """Debug hook (ref cli-debug feature, model/mod.rs:1952-1960 /
+        2013-2023): DSOCR_DEBUG_LOGITS_STEP + DSOCR_DEBUG_LOGITS_PATH dump
+        the top-2 logits at a chosen step for near-tie analysis."""
+        import json
+        import os
+
+        target = os.environ.get("DSOCR_DEBUG_LOGITS_STEP")
+        path = os.environ.get("DSOCR_DEBUG_LOGITS_PATH")
+        if target is None or path is None or int(target) != step:
+            return
+        top2 = np.argsort(-logits)[:2]
+        payload = {
+            "step": step,
+            "top1_id": int(top2[0]),
+            "top1_logit": float(logits[top2[0]]),
+            "top2_id": int(top2[1]),
+            "top2_logit": float(logits[top2[1]]),
+            "margin": float(logits[top2[0]] - logits[top2[1]]),
+            "chosen": int(chosen),
+        }
+        with open(path, "w") as fh:
+            json.dump(payload, fh)
 
     def decode(
         self,

@@ -128,6 +128,33 @@ def moe_apply_gather(
     return combined.astype(tokens.dtype)
 
 
+def moe_apply_dense(
+    tokens: jnp.ndarray,  # [N, hidden]
+    topk_weights: jnp.ndarray,  # [N, K]
+    topk_indices: jnp.ndarray,  # [N, K]
+    gate_proj: jnp.ndarray,
+    up_proj: jnp.ndarray,
+    down_proj: jnp.ndarray,
+) -> jnp.ndarray:
+    """Small-batch decode MoE: run EVERY expert on every token and select
+    afterwards. At N ≤ ~32 the step is bound by streaming the expert
+    weights once (which ragged_dot also pays), and the dense einsum
+    avoids ragged_dot's per-group overhead at tiny group sizes."""
+    gates = jnp.einsum(
+        "nh,ehi->nei", tokens, gate_proj, preferred_element_type=jnp.float32
+    )
+    ups = jnp.einsum(
+        "nh,ehi->nei", tokens, up_proj, preferred_element_type=jnp.float32
+    )
+    inter = (silu(gates) * ups).astype(tokens.dtype)
+    outs = jnp.einsum(
+        "nei,eih->neh", inter, down_proj, preferred_element_type=jnp.float32
+    )  # [N, E, H]
+    sel = jnp.take_along_axis(outs, topk_indices[..., None], axis=1)  # [N, K, H]
+    combined = jnp.sum(sel * topk_weights[..., None], axis=1)
+    return combined.astype(tokens.dtype)
+
+
 def moe_apply(
     tokens: jnp.ndarray,  # [N, hidden]
     topk_weights: jnp.ndarray,  # [N, K] f32
@@ -137,6 +164,7 @@ def moe_apply(
     down_proj: jnp.ndarray,  # [E, inter, hidden]
     *,
     gather_threshold: int = 1,
+    dense_threshold: int = 32,
 ) -> jnp.ndarray:
     """Run the routed experts; returns [N, hidden] in tokens.dtype.
 
@@ -152,6 +180,10 @@ def moe_apply(
         )
     if tokens.shape[0] <= gather_threshold:
         return moe_apply_gather(
+            tokens, topk_weights, topk_indices, gate_proj, up_proj, down_proj
+        )
+    if tokens.shape[0] <= dense_threshold:
+        return moe_apply_dense(
             tokens, topk_weights, topk_indices, gate_proj, up_proj, down_proj
         )
     n, hidden = tokens.shape

@@ -367,3 +367,22 @@ def test_no_cache_matches_cached_decode(tiny_engine):
         DecodeParameters(max_new_tokens=4, no_repeat_ngram_size=None, use_cache=False),
     )
     assert uncached.generated_tokens == cached.generated_tokens
+
+def test_debug_logits_dump(tiny_engine, tmp_path, monkeypatch):
+    """cli-debug hook (ref model/mod.rs:1952-1960): dumping top-2 logits
+    at a chosen step writes a JSON file with margin + chosen token."""
+    import json
+
+    out = tmp_path / "logits.json"
+    monkeypatch.setenv("DSOCR_DEBUG_LOGITS_STEP", "1")
+    monkeypatch.setenv("DSOCR_DEBUG_LOGITS_PATH", str(out))
+    rng = np.random.default_rng(31)
+    image = rng.integers(0, 256, (50, 50, 3), dtype=np.uint8)
+    tiny_engine.decode(
+        FakeTokenizer(), "<image>q", [image], VisionSettings(64, 64, False),
+        DecodeParameters(max_new_tokens=4, no_repeat_ngram_size=None, use_cache=False),
+    )
+    payload = json.loads(out.read_text())
+    assert payload["step"] == 1
+    assert payload["top1_id"] == payload["chosen"]
+    assert payload["margin"] >= 0.0

@@ -298,3 +298,23 @@ def test_swiglu_mlp_matches_naive():
     h = x @ g
     expected = (h / (1 + np.exp(-h)) * (x @ u)) @ d
     np.testing.assert_allclose(np.asarray(out), expected, rtol=2e-4, atol=2e-4)
+
+
+@pytest.mark.parametrize("seed", range(2))
+def test_moe_apply_dense_matches_naive(seed):
+    rng = np.random.default_rng(70 + seed)
+    N, H, I, E, K = 8, 8, 12, 4, 2
+    tokens = rng.normal(size=(N, H)).astype(np.float32)
+    gate_p = rng.normal(size=(E, H, I)).astype(np.float32) * 0.2
+    up_p = rng.normal(size=(E, H, I)).astype(np.float32) * 0.2
+    down_p = rng.normal(size=(E, I, H)).astype(np.float32) * 0.2
+    weights = rng.uniform(0.1, 1.0, size=(N, K)).astype(np.float32)
+    indices = rng.integers(0, E, size=(N, K)).astype(np.int32)
+    from dsocr_tpu.ops.moe import moe_apply_dense
+
+    out = moe_apply_dense(
+        jnp.asarray(tokens), jnp.asarray(weights), jnp.asarray(indices),
+        jnp.asarray(gate_p), jnp.asarray(up_p), jnp.asarray(down_p),
+    )
+    expected = _naive_moe(tokens, weights, indices, gate_p, up_p, down_p)
+    np.testing.assert_allclose(np.asarray(out), expected, rtol=2e-4, atol=2e-4)
