@@ -101,8 +101,13 @@ def clip_forward(
             .transpose(0, 2, 1, 3)
             for i in range(3)
         )
-        scores = jnp.einsum("bnqd,bnkd->bnqk", q, k) * (head_dim**-0.5)
-        probs = jax.nn.softmax(scores, axis=-1)
+        # ref CLIP attention runs entirely in weight dtype
+        # (clip.rs:449-453 — no f32 upcast); softmax in f32 for stability,
+        # probs stored back in weight dtype for the value matmul.
+        scores = jnp.einsum(
+            "bnqd,bnkd->bnqk", q, k, preferred_element_type=jnp.float32
+        ) * (head_dim**-0.5)
+        probs = jax.nn.softmax(scores, axis=-1).astype(v.dtype)
         ctx = jnp.einsum("bnqk,bnkd->bnqd", probs, v)
         ctx = ctx.transpose(0, 2, 1, 3).reshape(b, s, hidden)
         x = x + _linear(ctx, layer["out"])

@@ -241,3 +241,23 @@ def tiny_deepseek_config() -> DeepseekOcrConfig:
         projector_n_embed=32,
         projector_input_dim=32,  # clip 16 + sam 16
     )
+
+
+def vision_compute_dtype(model_dtype):
+    """Vision-tower weight/compute dtype for a given model dtype.
+
+    The reference upcasts the whole vision tower to f32 whenever the
+    model runs half precision (model/mod.rs:74-80 low_precision_compute_dtype,
+    mod.rs:1282-1286 select_f32 — it keeps duplicate f32 weight copies).
+    On TPU we default the tower to the model dtype instead: bf16 matmuls
+    on the MXU with f32 attention scores, norms, and residual stream —
+    about half the HBM traffic for negligible embedding drift. Set
+    DSOCR_VISION_F32=1 to reproduce the reference's f32 tower exactly.
+    """
+    import os
+
+    import jax.numpy as jnp
+
+    if os.environ.get("DSOCR_VISION_F32"):
+        return jnp.float32
+    return jnp.dtype(model_dtype)

@@ -22,7 +22,7 @@ from ...image import PreprocessParams, build_global_view, dynamic_preprocess
 from ...runtime import GenerateParams, Generator
 from ...runtime.kv_cache import bump_length, reset
 from .clip import clip_forward, init_clip_params
-from .config import DeepseekOcrConfig
+from .config import DeepseekOcrConfig, vision_compute_dtype
 from .decoder import (
     build_decoder_rope,
     deepseek_forward,
@@ -76,8 +76,9 @@ class DeepseekOcrEngine:
         if params is None:
             key = jax.random.PRNGKey(seed)
             ks, kc, kp, kd = jax.random.split(key, 4)
+            vdtype = vision_compute_dtype(dtype)
             params = {
-                "sam": init_sam_params(cfg.sam, ks),
+                "sam": init_sam_params(cfg.sam, ks, vdtype),
                 "decoder": init_deepseek_params(cfg.language, kd, dtype),
             }
             if cfg.variant == "ocr2":
@@ -85,7 +86,9 @@ class DeepseekOcrEngine:
 
                 params["ocr2"] = init_ocr2_params(self.ocr2_cfg, kc)
             else:
-                params["clip"] = init_clip_params(cfg.clip, kc) if cfg.clip else None
+                params["clip"] = (
+                    init_clip_params(cfg.clip, kc, vdtype) if cfg.clip else None
+                )
                 params["projector"] = init_projector_params(cfg, kp, dtype)
         if mesh is not None:
             # shard the decoder over the mesh (TP heads + expert/MLP

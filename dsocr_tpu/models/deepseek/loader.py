@@ -16,7 +16,7 @@ import numpy as np
 import jax.numpy as jnp
 
 from ...utils.safetensors_io import CheckpointReader
-from .config import DeepseekOcrConfig
+from .config import DeepseekOcrConfig, vision_compute_dtype
 from .decoder import _split_layers
 
 
@@ -277,16 +277,18 @@ def load_deepseek_params(
     weights_path: pathlib.Path,
     cfg: DeepseekOcrConfig,
     dtype=jnp.bfloat16,
-    vision_dtype=jnp.float32,
+    vision_dtype=None,
     snapshot_path: pathlib.Path | None = None,
 ) -> Dict:
-    """Full parameter tree from a safetensors checkpoint. Vision/projector
-    load at vision_dtype (the reference keeps f32 copies of these for
-    numeric stability — model/mod.rs:981-1052; we load them once in f32
-    instead of duplicating). A DSQ snapshot overrides matching linears
-    (dequantize-on-load, ref dsq-runtime SnapshotLoadPlan)."""
+    """Full parameter tree from a safetensors checkpoint. Vision tower
+    dtype defaults via vision_compute_dtype (bf16 on TPU; the reference
+    keeps duplicate f32 copies instead — model/mod.rs:981-1052). A DSQ
+    snapshot overrides matching linears (dequantize-on-load, ref
+    dsq-runtime SnapshotLoadPlan)."""
     from ...dsq.runtime import WeightSource
 
+    if vision_dtype is None:
+        vision_dtype = vision_compute_dtype(dtype)
     reader = WeightSource.open(weights_path, snapshot_path)
     params = {
         "sam": load_sam_params(reader, cfg, vision_dtype),

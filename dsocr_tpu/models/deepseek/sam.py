@@ -9,9 +9,11 @@ two stride-2 downsample convs (net_2/net_3).
 
 TPU notes: window partition/unpartition are pure reshapes with static
 pad; the decomposed rel-pos bias is computed as two einsums (the
-reference uses a scalar host loop, sam.rs:1124-1196); attention math is
-f32 like the reference (the tower is parity-sensitive and small relative
-to decode).
+reference uses a scalar host loop, sam.rs:1124-1196). Projections and
+MLPs run in the weight dtype (bf16 by default — see
+config.vision_compute_dtype; the reference upcasts the whole tower to
+f32 instead, model/mod.rs:74-80) while attention scores/softmax, norms,
+and the residual stream stay f32 like the reference (sam.rs:838-840).
 """
 
 from __future__ import annotations
@@ -118,10 +120,12 @@ def _layer_norm_2d(x, p, eps=1e-6):
 
 
 def _linear(x, p):
-    return (
-        jnp.einsum("...i,io->...o", x.astype(jnp.float32), p["w"].astype(jnp.float32))
-        + p["b"].astype(jnp.float32)
-    )
+    # Compute in weight dtype (ref casts inputs to weight_dtype before
+    # every projection, sam.rs:452/508/516) — bf16 weights → bf16 matmul
+    # with f32 accumulation on the MXU, half the HBM traffic of f32.
+    w = p["w"]
+    out = jnp.einsum("...i,io->...o", x.astype(w.dtype), w)
+    return out + p["b"].astype(out.dtype)
 
 
 def window_partition(x: jnp.ndarray, window: int) -> Tuple[jnp.ndarray, Tuple[int, int]]:
@@ -197,7 +201,11 @@ def _sam_attention(x, blk, num_heads, head_dim, spatial):
     b, h, w, _ = x.shape
     s = h * w
     qkv = _linear(x, blk["qkv"]).reshape(b, s, 3, num_heads, head_dim)
-    q, k, v = (qkv[:, :, i].transpose(0, 2, 1, 3) for i in range(3))
+    # attention math in f32 like the reference (sam.rs:838-840 casts
+    # q/k/v to F32 even when projections ran in bf16)
+    q, k, v = (
+        qkv[:, :, i].transpose(0, 2, 1, 3).astype(jnp.float32) for i in range(3)
+    )
     scores = jnp.einsum("bnqd,bnkd->bnqk", q, k) * (head_dim**-0.5)
     scores = scores + rel_pos_bias(q, spatial, blk["rel_pos_h"], blk["rel_pos_w"])
     probs = jax.nn.softmax(scores, axis=-1)
