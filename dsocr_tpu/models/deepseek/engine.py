@@ -227,36 +227,47 @@ class DeepseekOcrEngine:
             return [self.compute_image_embedding(v) for v in vins]
         params = self.params
         newline = params["projector"]["image_newline"]
-        # SAM's global-attention blocks materialize [B, heads, 4096, 4096]
-        # f32 scores at 1024px — cap the tower micro-batch so activations
-        # fit HBM alongside the decoder weights.
-        def tower_chunked(pixels: np.ndarray, vb: int) -> jnp.ndarray:
-            outs = []
+        # SAM's global-attention blocks keep large activations at 1024px —
+        # cap the tower micro-batch so they fit HBM alongside the decoder
+        # weights. Chunks are device_put up front so the (slow) host→device
+        # pixel transfers pipeline with the tower compute.
+        def chunk_pixels(pixels: np.ndarray, vb: int):
+            chunks = []
             for i in range(0, pixels.shape[0], vb):
                 chunk = pixels[i : i + vb]
+                pad = 0
                 if chunk.shape[0] != vb and pixels.shape[0] > vb:
                     pad = vb - chunk.shape[0]
                     chunk = np.concatenate([chunk, chunk[-1:].repeat(pad, 0)])
-                    outs.append(
-                        self._tower_jitted(jnp.asarray(chunk))[:-pad]
-                    )
-                else:
-                    outs.append(self._tower_jitted(jnp.asarray(chunk)))
+                chunks.append((jax.device_put(chunk), pad))
+            return chunks
+
+        def tower_chunks(chunks) -> jnp.ndarray:
+            outs = []
+            for dev_chunk, pad in chunks:
+                out = self._tower_jitted(dev_chunk)
+                outs.append(out[:-pad] if pad else out)
             return jnp.concatenate(outs, axis=0)
 
         # globals are 1024px (4096 SAM tokens) → small chunks; tiles are
         # 640px (1600 tokens) → larger chunks amortize dispatch latency
-        global_proj = tower_chunked(
+        global_chunks = chunk_pixels(
             np.concatenate([v.global_pixels for v in vins]),
-            getattr(self, "vision_batch_global", 2),
-        )  # [B, S, n_embed]
+            getattr(self, "vision_batch_global", 4),
+        )
         tile_batches = [v.patches for v in vins if v.patches is not None]
-        tile_projs = {}
-        if tile_batches:
-            projected = tower_chunked(
+        tile_chunks = (
+            chunk_pixels(
                 np.concatenate(tile_batches),
-                getattr(self, "vision_batch_tiles", 8),
+                getattr(self, "vision_batch_tiles", 16),
             )
+            if tile_batches
+            else None
+        )
+        global_proj = tower_chunks(global_chunks)  # [B, S, n_embed]
+        tile_projs = {}
+        if tile_chunks is not None:
+            projected = tower_chunks(tile_chunks)
             offset = 0
             for idx, v in enumerate(vins):
                 if v.patches is not None:
@@ -392,10 +403,30 @@ class DeepseekOcrEngine:
         # share a shape and stack into one SAM+CLIP call; tiles concat into
         # one batched call and split back per view.
         vp_timer = Timer("vision.prepare_inputs")
-        all_vins = [
-            [self.prepare_vision_input(np.asarray(i), vision) for i in images]
-            for images in images_per_prompt
+        # host-side bicubic resizing dominates prep; the native resampler
+        # releases the GIL so threads parallelize across pages
+        from concurrent.futures import ThreadPoolExecutor
+
+        flat_images = [
+            (row, np.asarray(img))
+            for row, images in enumerate(images_per_prompt)
+            for img in images
         ]
+        if len(flat_images) > 1:
+            with ThreadPoolExecutor(max_workers=min(8, len(flat_images))) as pool:
+                prepared = list(
+                    pool.map(
+                        lambda item: self.prepare_vision_input(item[1], vision),
+                        flat_images,
+                    )
+                )
+        else:
+            prepared = [
+                self.prepare_vision_input(img, vision) for _, img in flat_images
+            ]
+        all_vins = [[] for _ in prompts]
+        for (row, _), vin in zip(flat_images, prepared):
+            all_vins[row].append(vin)
         flat_vins = [v for row in all_vins for v in row]
         vp_timer.finish(images=len(flat_vins))
         ve_timer = Timer("vision.compute_embeddings")

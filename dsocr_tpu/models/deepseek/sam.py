@@ -197,6 +197,43 @@ def rel_pos_bias(
     return bias.reshape(b, heads, qh * qw, qh * qw)
 
 
+_TPU_BACKEND = None
+# minimum token count for the Pallas global-attention kernel (S below
+# this uses the XLA einsum path — also the CPU/test path)
+_FLASH_MIN_S = 1024
+
+
+def _on_tpu() -> bool:
+    global _TPU_BACKEND
+    if _TPU_BACKEND is None:
+        _TPU_BACKEND = any(d.platform == "tpu" for d in jax.devices())
+    return _TPU_BACKEND
+
+
+def _flash_attention_ctx(q, k, v, blk, spatial):
+    """Global-attention context via the Pallas kernel — the decomposed
+    bias is reconstructed tile-wise in VMEM so no [S, S] tensor ever
+    reaches HBM (ops/pallas/sam_attention.py)."""
+    from ...ops.pallas.sam_attention import sam_flash_attention
+
+    qh, qw = spatial
+    b, n, s, d = q.shape
+    rh = get_rel_pos(qh, qh, blk["rel_pos_h"])  # [qh, kh, D]
+    rw = get_rel_pos(qw, qw, blk["rel_pos_w"])  # [qw, kw, D]
+    q_r = q.reshape(b, n, qh, qw, d)
+    bias_h = jnp.einsum("bnhwc,hkc->bnhwk", q_r, rh).reshape(b * n, s, qh)
+    bias_w = jnp.einsum("bnhwc,wkc->bnhwk", q_r, rw).reshape(b * n, s, qw)
+    out = sam_flash_attention(
+        (q * (d**-0.5)).reshape(b * n, s, d),
+        k.reshape(b * n, s, d),
+        v.reshape(b * n, s, d),
+        bias_h,
+        bias_w,
+        width=qw,
+    )
+    return out.reshape(b, n, s, d)
+
+
 def _sam_attention(x, blk, num_heads, head_dim, spatial):
     b, h, w, _ = x.shape
     s = h * w
@@ -206,10 +243,15 @@ def _sam_attention(x, blk, num_heads, head_dim, spatial):
     q, k, v = (
         qkv[:, :, i].transpose(0, 2, 1, 3).astype(jnp.float32) for i in range(3)
     )
-    scores = jnp.einsum("bnqd,bnkd->bnqk", q, k) * (head_dim**-0.5)
-    scores = scores + rel_pos_bias(q, spatial, blk["rel_pos_h"], blk["rel_pos_w"])
-    probs = jax.nn.softmax(scores, axis=-1)
-    ctx = jnp.einsum("bnqk,bnkd->bnqd", probs, v)
+    if s >= _FLASH_MIN_S and _on_tpu():
+        ctx = _flash_attention_ctx(q, k, v, blk, spatial)
+    else:
+        scores = jnp.einsum("bnqd,bnkd->bnqk", q, k) * (head_dim**-0.5)
+        scores = scores + rel_pos_bias(
+            q, spatial, blk["rel_pos_h"], blk["rel_pos_w"]
+        )
+        probs = jax.nn.softmax(scores, axis=-1)
+        ctx = jnp.einsum("bnqk,bnkd->bnqd", probs, v)
     ctx = ctx.transpose(0, 2, 1, 3).reshape(b, h, w, num_heads * head_dim)
     return _linear(ctx, blk["proj"])
 
