@@ -20,7 +20,13 @@ import jax
 import jax.numpy as jnp
 
 from ...ops import attention, causal_mask, rms_norm
-from ...ops.moe import MoeConfig, moe_apply, moe_router
+from ...ops.moe import (
+    MoeConfig,
+    dequant_q8_stack,
+    moe_apply,
+    moe_apply_q8,
+    moe_router,
+)
 from ...ops.rope import apply_rope, build_rope_tables
 from ...runtime.kv_cache import KVCache, init_kv_cache
 from .config import DeepseekV2Config
@@ -113,6 +119,13 @@ def new_cache(
 
 
 def _proj(x, w):
+    if isinstance(w, dict):  # packed Q8_0 linear (models/deepseek/quantize.py)
+        from ...ops.pallas.dequant_matmul import q8_matmul_auto
+
+        lead = x.shape[:-1]
+        x2 = x.reshape(-1, x.shape[-1])
+        out = q8_matmul_auto(x2, w["codes"], w["scales"])
+        return out.reshape(*lead, out.shape[-1]).astype(x.dtype)
     return jnp.einsum(
         "...i,io->...o", x, w, preferred_element_type=jnp.float32
     ).astype(x.dtype)
@@ -213,10 +226,19 @@ def deepseek_forward(
             tokens, layer["gate_weight"], moe_cfg,
             aux_bias=layer.get("gate_bias"),
         )
-        routed = moe_apply(
-            tokens, weights, indices,
-            layer["experts_gate"], layer["experts_up"], layer["experts_down"],
-        )
+        eg = layer["experts_gate"]
+        eu = layer["experts_up"]
+        ed = layer["experts_down"]
+        if isinstance(eg, dict):  # packed Q8_0 expert stacks
+            if B * S <= 32:  # decode: fused gather kernel reads q8 bytes only
+                routed = moe_apply_q8(tokens, weights, indices, eg, eu, ed)
+            else:  # prefill: once-per-layer dequant feeds the grouped matmul
+                routed = moe_apply(
+                    tokens, weights, indices,
+                    dequant_q8_stack(eg), dequant_q8_stack(eu), dequant_q8_stack(ed),
+                )
+        else:
+            routed = moe_apply(tokens, weights, indices, eg, eu, ed)
         out = routed.astype(jnp.float32)
         if "shared_gate" in layer:
             sg = _proj(normed, layer["shared_gate"]).astype(jnp.float32)
@@ -242,6 +264,17 @@ def deepseek_forward(
     head = params.get("lm_head")
     if head is None:
         head = params["embed_tokens"].T
+    if isinstance(head, dict):  # packed Q8_0 lm_head
+        from ...ops.pallas.dequant_matmul import q8_matmul_auto
+
+        if full_logits:
+            flat = q8_matmul_auto(x.reshape(B * S, H), head["codes"], head["scales"])
+            return flat.reshape(B, S, -1).astype(jnp.float32), cache
+        if last_index is None:
+            x_last = x[:, -1]
+        else:
+            x_last = jnp.take_along_axis(x, last_index[:, None, None], axis=1)[:, 0]
+        return q8_matmul_auto(x_last, head["codes"], head["scales"]), cache
     if full_logits:
         logits = jnp.einsum("bsh,hv->bsv", x, head, preferred_element_type=jnp.float32)
         return logits.astype(jnp.float32), cache

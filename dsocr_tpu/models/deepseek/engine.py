@@ -62,9 +62,15 @@ class DeepseekOcrEngine:
         seed: int = 0,
         ocr2_params=None,
         mesh=None,
+        quantize: Optional[str] = None,
     ):
         self.cfg = cfg
         self.dtype_ = dtype
+        if quantize is None:
+            import os
+
+            quantize = os.environ.get("DSOCR_QUANT") or None
+        self.quantize_ = quantize
         self.max_seq_len = max_seq_len
         self.mesh = mesh
         if cfg.variant == "ocr2":
@@ -90,6 +96,15 @@ class DeepseekOcrEngine:
                     init_clip_params(cfg.clip, kc, vdtype) if cfg.clip else None
                 )
                 params["projector"] = init_projector_params(cfg, kp, dtype)
+        if quantize:
+            if mesh is not None:
+                raise NotImplementedError(
+                    "quantized serving + mesh sharding not combined yet"
+                )
+            from .quantize import quantize_decoder_params
+
+            params = dict(params)
+            params["decoder"] = quantize_decoder_params(params["decoder"], quantize)
         if mesh is not None:
             # shard the decoder over the mesh (TP heads + expert/MLP
             # intermediate dims); vision/projector stay replicated —
@@ -224,6 +239,53 @@ class DeepseekOcrEngine:
                 local_proj.astype(self.dtype_), vin.crop_shape, newline
             )
         return assemble_image_tokens(params["projector"], global_tokens, local_tokens)
+
+    def vision_debug_trace(self, vin: "VisionInput") -> Dict:
+        """Per-stage vision pipeline stats (ref cli-debug SamDebugTrace /
+        ClipDebugTrace, vision/sam.rs:128-141, model/mod.rs:1461-1700):
+        shape/mean/std/min/max after SAM, CLIP, fusion, and projection.
+        Dumped to DSOCR_DEBUG_VISION_PATH when set during decode."""
+
+        def stats(name, arr):
+            a = np.asarray(arr, np.float32)
+            return {
+                "stage": name,
+                "shape": list(a.shape),
+                "mean": float(a.mean()),
+                "std": float(a.std()),
+                "min": float(a.min()),
+                "max": float(a.max()),
+            }
+
+        pixels = (
+            jnp.asarray(vin.global_pixels).astype(jnp.float32) / 255.0 - 0.5
+        ) / 0.5
+        out = []
+        sam_out = sam_forward(self.params["sam"], self.cfg.sam, pixels)
+        out.append(stats("sam", sam_out))
+        if self.cfg.variant == "ocr2":
+            from .ocr2 import ocr2_encode_view
+
+            proj = ocr2_encode_view(self.params["ocr2"], self.ocr2_cfg, sam_out)
+            out.append(stats("ocr2_encoder", proj))
+            return {"stages": out}
+        clip_out = clip_forward(self.params["clip"], self.cfg.clip, sam_out)
+        out.append(stats("clip", clip_out))
+        fused = build_clip_sam_tokens(clip_out, sam_out)
+        out.append(stats("fusion", fused))
+        proj = project(self.params["projector"], fused)
+        out.append(stats("projector", proj))
+        return {"stages": out}
+
+    def _maybe_dump_vision_trace(self, vins) -> None:
+        import json
+        import os
+
+        path = os.environ.get("DSOCR_DEBUG_VISION_PATH")
+        if not path or not vins:
+            return
+        with open(path, "w") as fh:
+            json.dump(self.vision_debug_trace(vins[0]), fh)
 
     def _tower_jitted(self, pixels):
         # jit keyed by pixel shape (global vs tile batches)
@@ -622,6 +684,7 @@ class DeepseekOcrEngine:
         ]
         vp_timer.finish(images=len(images))
 
+        self._maybe_dump_vision_trace(vision_inputs)
         ve_timer = Timer("vision.compute_embeddings")
         embeddings = [self.compute_image_embedding(v) for v in vision_inputs]
         ve_timer.finish(images=len(images))

@@ -53,6 +53,7 @@ def load_engine(
     dtype: Optional[str] = None,
     max_seq_len: int = 8192,
     mesh: Optional[Any] = None,
+    quantize: Optional[str] = None,
 ) -> OcrEngine:
     jdtype = resolve_dtype(dtype)
     if isinstance(mesh, str):
@@ -66,13 +67,30 @@ def load_engine(
             if config_path
             else DeepseekOcrConfig()
         )
+        if quantize is None and snapshot_path:
+            # Q8_0 snapshots serve packed (the reference's QMatMul path);
+            # k-quant snapshots dequantize on load — the Pallas serving
+            # kernels cover Q8_0 so far.
+            from ..dsq.format import DsqReader
+
+            reader = DsqReader(pathlib.Path(snapshot_path))
+            try:
+                if reader.header.default_qdtype == "Q8_0":
+                    quantize = "q8_0"
+            finally:
+                reader.close()
         params = None
         if weights_path:
             params = load_deepseek_params(
                 weights_path, cfg, dtype=jdtype, snapshot_path=snapshot_path
             )
         return DeepseekOcrEngine(
-            cfg, params=params, dtype=jdtype, max_seq_len=max_seq_len, mesh=mesh
+            cfg,
+            params=params,
+            dtype=jdtype,
+            max_seq_len=max_seq_len,
+            mesh=mesh,
+            quantize=quantize,
         )
     if kind is ModelKind.PADDLE_OCR_VL:
         from .paddleocr import PaddleConfig, PaddleOcrEngine

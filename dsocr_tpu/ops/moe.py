@@ -155,6 +155,44 @@ def moe_apply_dense(
     return combined.astype(tokens.dtype)
 
 
+def dequant_q8_stack(q) -> jnp.ndarray:
+    """{codes [E, in, out] int8, scales [E, in/32, out] f32} → bf16
+    [E, in, out]. Used by the prefill path: grouped matmuls want bf16
+    stacks, and a once-per-layer dequant write is cheap relative to the
+    prefill matmuls (decode uses the fused q8 gather kernel instead)."""
+    codes = q["codes"]
+    scales = q["scales"]
+    full = jnp.repeat(scales, codes.shape[1] // scales.shape[1], axis=1)
+    return (codes.astype(jnp.float32) * full).astype(jnp.bfloat16)
+
+
+def moe_apply_q8(
+    tokens: jnp.ndarray,  # [N, hidden]
+    topk_weights: jnp.ndarray,  # [N, K]
+    topk_indices: jnp.ndarray,  # [N, K]
+    gate_q,  # {codes [E, H, I] int8, scales [E, H/32, I] f32}
+    up_q,
+    down_q,  # {codes [E, I, H], scales [E, I/32, H]}
+) -> jnp.ndarray:
+    """Decode MoE straight from Q8_0 weights: the scalar-prefetch gather
+    kernel DMAs only the K selected experts' quantized tiles (~0.53
+    B/weight — a quarter of the bf16 decode traffic)."""
+    from .pallas.dequant_matmul import q8_gather_matmul_auto
+
+    n, k = topk_indices.shape
+    hidden = tokens.shape[1]
+    flat_idx = topk_indices.reshape(n * k)
+    flat_x = jnp.repeat(tokens, k, axis=0)
+    gates = q8_gather_matmul_auto(flat_x, gate_q["codes"], gate_q["scales"], flat_idx)
+    ups = q8_gather_matmul_auto(flat_x, up_q["codes"], up_q["scales"], flat_idx)
+    inter = (silu(gates) * ups).astype(tokens.dtype)
+    outs = q8_gather_matmul_auto(inter, down_q["codes"], down_q["scales"], flat_idx)
+    combined = jnp.sum(
+        outs.reshape(n, k, hidden) * topk_weights[..., None], axis=1
+    )
+    return combined.astype(tokens.dtype)
+
+
 def moe_apply(
     tokens: jnp.ndarray,  # [N, hidden]
     topk_weights: jnp.ndarray,  # [N, K] f32

@@ -53,39 +53,61 @@ def _kernel(x_ref, q_ref, s_ref, out_ref):
         dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
-    w = q * s_full
+    # bf16 MXU dot (f32 accumulate) — int8 codes are exact in bf16, the
+    # scale product rounds like any bf16-served weight
+    w = (q * s_full).astype(jnp.bfloat16)
     out_ref[...] = jax.lax.dot_general(
-        x_ref[...].astype(jnp.float32),
+        x_ref[...].astype(jnp.bfloat16),
         w,
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
 
 
-@functools.partial(jax.jit, static_argnames=("interpret", "m_tile"))
+def _pick_tile(dim: int, want: int, align: int) -> int:
+    """Largest tile ≤ want that divides dim and satisfies Mosaic's
+    alignment (multiple of `align`, or the whole dim)."""
+    tile = min(want, dim)
+    while dim % tile or (tile % align and tile != dim):
+        if tile <= align:
+            return dim
+        tile //= 2
+    return tile
+
+
+@functools.partial(jax.jit, static_argnames=("interpret", "m_tile", "n_tile"))
 def q8_matmul(
     x: jnp.ndarray,  # [N, K]
     codes: jnp.ndarray,  # [M, K] int8
     scales: jnp.ndarray,  # [M, K/32] f32
     interpret: bool = False,
     m_tile: int = 256,
+    n_tile: int = 256,
 ) -> jnp.ndarray:
     """Returns x @ dequant(W)^T as [N, M] f32."""
     n, k = x.shape
     m = codes.shape[0]
-    m_tile = min(m_tile, m)
-    while m % m_tile:
-        m_tile //= 2
-    grid = (m // m_tile,)
+    # Mosaic needs the output lane dim (m_tile) to be a 128-multiple or
+    # the whole array; callers pad awkward out-dims (see
+    # models/deepseek/quantize.py) so this only falls back for tiny m.
+    # N (sublanes) tiles at multiples of 8 so prefill-sized x stays
+    # within VMEM.
+    m_tile = _pick_tile(m, m_tile, 128)
+    n_tile = _pick_tile(n, n_tile, 8)
+    grid = (n // n_tile, m // m_tile)
     out = pl.pallas_call(
         _kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((n, k), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((m_tile, k), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((m_tile, k // Q8_BLOCK), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_tile, k), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((m_tile, k), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (m_tile, k // Q8_BLOCK), lambda i, j: (j, 0), memory_space=pltpu.VMEM
+            ),
         ],
-        out_specs=pl.BlockSpec((n, m_tile), lambda i: (0, i), memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec(
+            (n_tile, m_tile), lambda i, j: (i, j), memory_space=pltpu.VMEM
+        ),
         out_shape=jax.ShapeDtypeStruct((n, m), jnp.float32),
         interpret=interpret,
     )(x, codes, scales)
@@ -95,3 +117,79 @@ def q8_matmul(
 def q8_matmul_auto(x, codes, scales):
     """Pallas on TPU, interpreter elsewhere (CPU tests)."""
     return q8_matmul(x, codes, scales, interpret=jax.default_backend() != "tpu")
+
+
+def _gather_kernel(idx_ref, x_ref, q_ref, s_ref, out_ref):
+    del idx_ref  # consumed by the index maps
+    ni = pl.program_id(1)
+    n, h = x_ref.shape
+    q = q_ref[0].astype(jnp.float32)  # [H, tile]
+    s = s_ref[0]  # [H // 32, tile]
+    nb = s.shape[0]
+    # expand block scales down the sublane (contraction) dim:
+    # s_full[h, t] = s[h // 32, t]
+    rows = jax.lax.broadcasted_iota(jnp.int32, (h, nb), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (h, nb), 1)
+    expand = (rows // Q8_BLOCK == cols).astype(jnp.float32)
+    s_full = jax.lax.dot_general(
+        expand, s, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )  # [H, tile]
+    w = (q * s_full).astype(jnp.bfloat16)
+    row_ids = jax.lax.broadcasted_iota(jnp.int32, (n, h), 0)
+    xrow = jnp.sum(
+        jnp.where(row_ids == ni, x_ref[...].astype(jnp.float32), 0),
+        axis=0,
+        keepdims=True,
+    ).astype(jnp.bfloat16)
+    row = jax.lax.dot_general(
+        xrow, w, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )  # [1, tile]
+    out_rows = jax.lax.broadcasted_iota(jnp.int32, out_ref.shape, 0)
+    out_ref[...] = jnp.where(out_rows == ni, row, out_ref[...])
+
+
+@functools.partial(jax.jit, static_argnames=("interpret", "tile"))
+def q8_gather_matmul(
+    x: jnp.ndarray,  # [N, H]
+    codes: jnp.ndarray,  # [E, H, M] int8 (in-major — see ops.moe layout note)
+    scales: jnp.ndarray,  # [E, H/32, M] f32
+    idx: jnp.ndarray,  # [N] int32
+    interpret: bool = False,
+    tile: int = 0,
+) -> jnp.ndarray:
+    """out[n] = x[n] @ dequant(W[idx[n]]) → [N, M] f32.
+
+    Scalar-prefetch gather: each grid step DMAs only the selected
+    expert's quantized tile (≈0.53 B/weight) HBM→VMEM, dequantizes on
+    the VPU, and runs a bf16 MXU dot — the decode-path MoE reads about
+    a quarter of the bf16 bytes."""
+    n, h = x.shape
+    e, _, m = codes.shape
+    if not tile:
+        tile = m if (m % 128 or m <= 512) else 512
+        while m % tile:
+            tile //= 2
+    grid = (m // tile, n)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((n, h), lambda ji, ni, idx: (0, 0)),
+            pl.BlockSpec((1, h, tile), lambda ji, ni, idx: (idx[ni], 0, ji)),
+            pl.BlockSpec((1, h // Q8_BLOCK, tile), lambda ji, ni, idx: (idx[ni], 0, ji)),
+        ],
+        out_specs=pl.BlockSpec((n, tile), lambda ji, ni, idx: (0, ji)),
+    )
+    return pl.pallas_call(
+        _gather_kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((n, m), jnp.float32),
+        interpret=interpret,
+    )(idx.astype(jnp.int32), x, codes, scales)
+
+
+def q8_gather_matmul_auto(x, codes, scales, idx):
+    """Pallas on TPU, interpreter elsewhere (CPU tests)."""
+    return q8_gather_matmul(
+        x, codes, scales, idx, interpret=jax.default_backend() != "tpu"
+    )

@@ -386,3 +386,48 @@ def test_debug_logits_dump(tiny_engine, tmp_path, monkeypatch):
     assert payload["step"] == 1
     assert payload["top1_id"] == payload["chosen"]
     assert payload["margin"] >= 0.0
+
+def test_quantized_decode_runs_and_tracks_float():
+    """Q8 runtime quantization (ref quantized variants serve from packed
+    ggml weights via QMatMul): the quantized engine must decode through
+    the same path and stay close to the float engine — greedy tokens may
+    legitimately differ at near-ties, so compare decode shape only."""
+    import dataclasses
+
+    # Q8_0 blocks need every contraction dim % 32
+    qcfg = dataclasses.replace(
+        CFG,
+        language=dataclasses.replace(
+            CFG.language, moe_intermediate_size=32, intermediate_size=64
+        ),
+    )
+    eng_f = DeepseekOcrEngine(qcfg, dtype=jnp.float32, max_seq_len=512)
+    eng_q = DeepseekOcrEngine(
+        qcfg, params=jax.tree_util.tree_map(lambda x: x, eng_f.params),
+        dtype=jnp.float32, max_seq_len=512, quantize="q8_0",
+    )
+    rng = np.random.default_rng(40)
+    image = rng.integers(0, 256, size=(60, 60, 3), dtype=np.uint8)
+    settings = VisionSettings(64, 64, False)
+    params = DecodeParameters(max_new_tokens=3, no_repeat_ngram_size=None)
+    out_f = eng_f.decode(FakeTokenizer(), "<image>q", [image], settings, params)
+    out_q = eng_q.decode(FakeTokenizer(), "<image>q", [image], settings, params)
+    assert len(out_q.generated_tokens) == len(out_f.generated_tokens)
+
+def test_vision_debug_trace(tiny_engine, tmp_path, monkeypatch):
+    """cli-debug vision trace parity: per-stage stats dumped when
+    DSOCR_DEBUG_VISION_PATH is set."""
+    import json
+
+    out = tmp_path / "vision.json"
+    monkeypatch.setenv("DSOCR_DEBUG_VISION_PATH", str(out))
+    rng = np.random.default_rng(41)
+    image = rng.integers(0, 256, (50, 50, 3), dtype=np.uint8)
+    tiny_engine.decode(
+        FakeTokenizer(), "<image>q", [image], VisionSettings(64, 64, False),
+        DecodeParameters(max_new_tokens=2, no_repeat_ngram_size=None),
+    )
+    payload = json.loads(out.read_text())
+    names = [s["stage"] for s in payload["stages"]]
+    assert names == ["sam", "clip", "fusion", "projector"]
+    assert all("mean" in s and "shape" in s for s in payload["stages"])

@@ -318,3 +318,39 @@ def test_moe_apply_dense_matches_naive(seed):
     )
     expected = _naive_moe(tokens, weights, indices, gate_p, up_p, down_p)
     np.testing.assert_allclose(np.asarray(out), expected, rtol=2e-4, atol=2e-4)
+
+
+def test_moe_apply_q8_matches_dequantized_float():
+    """The q8 decode path must match moe_apply run on the explicitly
+    dequantized stacks (same math, fused dequant)."""
+    from dsocr_tpu.models.deepseek.quantize import quantize_expert_stack
+    from dsocr_tpu.ops.moe import dequant_q8_stack, moe_apply, moe_apply_q8
+
+    rng = np.random.default_rng(77)
+    N, H, I, E, K = 4, 32, 64, 4, 2
+    tokens = rng.normal(size=(N, H)).astype(np.float32)
+    gate_p = rng.normal(size=(1, E, H, I)).astype(np.float32) * 0.2
+    up_p = rng.normal(size=(1, E, H, I)).astype(np.float32) * 0.2
+    down_p = rng.normal(size=(1, E, I, H)).astype(np.float32) * 0.2
+    weights = rng.uniform(0.1, 1.0, size=(N, K)).astype(np.float32)
+    indices = rng.integers(0, E, size=(N, K)).astype(np.int32)
+
+    def layer0(q):
+        return {k: v[0] for k, v in q.items()}
+
+    gq = layer0(quantize_expert_stack(gate_p))
+    uq = layer0(quantize_expert_stack(up_p))
+    dq = layer0(quantize_expert_stack(down_p))
+
+    out_q8 = moe_apply_q8(
+        jnp.asarray(tokens), jnp.asarray(weights), jnp.asarray(indices), gq, uq, dq
+    )
+    out_deq = moe_apply(
+        jnp.asarray(tokens), jnp.asarray(weights), jnp.asarray(indices),
+        dequant_q8_stack(gq).astype(jnp.float32),
+        dequant_q8_stack(uq).astype(jnp.float32),
+        dequant_q8_stack(dq).astype(jnp.float32),
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_q8), np.asarray(out_deq), rtol=5e-2, atol=5e-2
+    )
