@@ -431,3 +431,46 @@ def test_vision_debug_trace(tiny_engine, tmp_path, monkeypatch):
     names = [s["stage"] for s in payload["stages"]]
     assert names == ["sam", "clip", "fusion", "projector"]
     assert all("mean" in s and "shape" in s for s in payload["stages"])
+
+def test_quantized_prefill_decode_consistency():
+    """Prefill (per-layer dequant + grouped matmul) and decode (q8 gather
+    kernel) read the same packed weights — cached decode logits must match
+    teacher-forced full-sequence logits."""
+    import dataclasses
+    from dsocr_tpu.models.deepseek.quantize import quantize_decoder_params
+
+    lang = dataclasses.replace(
+        CFG.language, moe_intermediate_size=32, intermediate_size=64
+    )
+    params = init_deepseek_params(lang, jax.random.PRNGKey(3), jnp.float32)
+    params = quantize_decoder_params(
+        jax.tree_util.tree_map(lambda x: np.asarray(x), params)
+    )
+    rope = build_decoder_rope(lang, 64)
+    S = 40  # > 32 so prefill takes the dequant path
+    tokens = jax.random.randint(jax.random.PRNGKey(4), (S,), 0, lang.vocab_size)
+    embeds = jnp.asarray(params["embed_tokens"])[tokens][None].astype(jnp.float32)
+    pos = jnp.arange(S, dtype=jnp.int32)[None]
+
+    cache_full = reset(new_cache(lang, 1, 64, jnp.float32))
+    full_logits, _ = deepseek_forward(
+        params, lang, embeds, pos, cache_full, rope, full_logits=True
+    )
+    cache = reset(new_cache(lang, 1, 64, jnp.float32))
+    logits_p, cache = deepseek_forward(
+        params, lang, embeds[:, :S - 2], pos[:, :S - 2], cache, rope
+    )
+    cache = bump_length(cache, S - 2)
+    np.testing.assert_allclose(
+        np.asarray(logits_p[0]), np.asarray(full_logits[0, S - 3]),
+        rtol=2e-2, atol=2e-2,
+    )
+    for s in range(S - 2, S):
+        logits_s, cache = deepseek_forward(
+            params, lang, embeds[:, s : s + 1], pos[:, s : s + 1], cache, rope
+        )
+        cache = bump_length(cache, 1)
+        np.testing.assert_allclose(
+            np.asarray(logits_s[0]), np.asarray(full_logits[0, s]),
+            rtol=2e-2, atol=2e-2,
+        )
