@@ -21,6 +21,7 @@ import jax.numpy as jnp
 
 from ...ops import attention, causal_mask, rms_norm
 from ...ops.moe import (
+    LayeredQ8,
     MoeConfig,
     dequant_q8_stack,
     moe_apply,
@@ -119,6 +120,13 @@ def new_cache(
 
 
 def _proj(x, w):
+    if isinstance(w, LayeredQ8):  # stacked packed-Q8 linear inside a scan
+        from ...ops.pallas.dequant_matmul import q8_matmul_layered_auto
+
+        lead = x.shape[:-1]
+        x2 = x.reshape(-1, x.shape[-1])
+        out = q8_matmul_layered_auto(x2, w.codes, w.scales, w.layer)
+        return out.reshape(*lead, out.shape[-1]).astype(x.dtype)
     if isinstance(w, dict):  # packed Q8_0 linear (models/deepseek/quantize.py)
         from ...ops.pallas.dequant_matmul import q8_matmul_auto
 
@@ -205,9 +213,31 @@ def deepseek_forward(
         x = (x.astype(jnp.float32) + attn.astype(jnp.float32)).astype(x.dtype)
         return x, k_all, v_all
 
+    def _split_quantized(group):
+        """Packed-Q8 stacks must not ride scan xs (XLA would materialize
+        a full per-layer copy feeding each Pallas call — measured 150 MB
+        per expert stack per decode step). They stay closure-captured and
+        the bodies wrap them in LayeredQ8 views indexed by the traced
+        layer id."""
+        q = {k: v for k, v in group.items() if isinstance(v, dict)}
+        xs = {k: v for k, v in group.items() if not isinstance(v, dict)}
+        return q, xs
+
+    def _with_quantized(layer_xs, qgroup, local_idx):
+        layer = dict(layer_xs)
+        for key, q in qgroup.items():
+            layer[key] = LayeredQ8(q["codes"], q["scales"], local_idx)
+        return layer
+
+    dense_q, dense_xs = (
+        _split_quantized(params["dense_layers"]) if num_dense else ({}, {})
+    )
+    moe_q, moe_xs = _split_quantized(params["moe_layers"]) if num_moe else ({}, {})
+
     def dense_body(carry, xs):
         x, k_all, v_all = carry
-        layer, li = xs
+        layer_xs, li = xs
+        layer = _with_quantized(layer_xs, dense_q, li)
         x, k_all, v_all = attn_block(x, k_all, v_all, layer, li)
         normed = rms_norm(x, layer["post_attention_layernorm"], cfg.rms_norm_eps)
         gate = _proj(normed, layer["gate_proj"]).astype(jnp.float32)
@@ -218,7 +248,8 @@ def deepseek_forward(
 
     def moe_body(carry, xs):
         x, k_all, v_all = carry
-        layer, li = xs
+        layer_xs, li = xs
+        layer = _with_quantized(layer_xs, moe_q, li - num_dense)
         x, k_all, v_all = attn_block(x, k_all, v_all, layer, li)
         normed = rms_norm(x, layer["post_attention_layernorm"], cfg.rms_norm_eps)
         tokens = normed.reshape(B * S, H)
@@ -229,7 +260,7 @@ def deepseek_forward(
         eg = layer["experts_gate"]
         eu = layer["experts_up"]
         ed = layer["experts_down"]
-        if isinstance(eg, dict):  # packed Q8_0 expert stacks
+        if isinstance(eg, (dict, LayeredQ8)):  # packed Q8_0 expert stacks
             if B * S <= 32:  # decode: fused gather kernel reads q8 bytes only
                 routed = moe_apply_q8(tokens, weights, indices, eg, eu, ed)
             else:  # prefill: once-per-layer dequant feeds the grouped matmul
@@ -253,10 +284,10 @@ def deepseek_forward(
     carry = (embeds, cache.k, cache.v)
     if num_dense:
         idx = jnp.arange(num_dense, dtype=jnp.int32)
-        carry, _ = jax.lax.scan(dense_body, carry, (params["dense_layers"], idx))
+        carry, _ = jax.lax.scan(dense_body, carry, (dense_xs, idx))
     if num_moe:
         idx = jnp.arange(num_dense, num_dense + num_moe, dtype=jnp.int32)
-        carry, _ = jax.lax.scan(moe_body, carry, (params["moe_layers"], idx))
+        carry, _ = jax.lax.scan(moe_body, carry, (moe_xs, idx))
     x, new_k, new_v = carry
     cache = KVCache(k=new_k, v=new_v, length=cache.length)
 

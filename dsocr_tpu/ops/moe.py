@@ -155,13 +155,36 @@ def moe_apply_dense(
     return combined.astype(tokens.dtype)
 
 
+class LayeredQ8:
+    """View of one layer's slice of a stacked packed-Q8 linear.
+
+    Scan bodies must NOT slice quantized stacks with lax ops — an XLA
+    dynamic-slice feeding a Pallas custom call materializes a full copy
+    of the layer (150 MB per expert stack per decode step, measured).
+    Instead the whole [L, ...] stack is closure-captured and the traced
+    layer index rides scalar prefetch into the kernels."""
+
+    __slots__ = ("codes", "scales", "layer")
+
+    def __init__(self, codes, scales, layer):
+        self.codes = codes
+        self.scales = scales
+        self.layer = layer
+
+
 def dequant_q8_stack(q) -> jnp.ndarray:
     """{codes [E, in, out] int8, scales [E, in/32, out] f32} → bf16
     [E, in, out]. Used by the prefill path: grouped matmuls want bf16
     stacks, and a once-per-layer dequant write is cheap relative to the
-    prefill matmuls (decode uses the fused q8 gather kernel instead)."""
-    codes = q["codes"]
-    scales = q["scales"]
+    prefill matmuls (decode uses the fused q8 gather kernel instead).
+    Also accepts a LayeredQ8 view (stacked [L, E, in, out] + traced
+    layer index) — the dynamic-slice fuses into the dequant write."""
+    if isinstance(q, LayeredQ8):
+        codes = jax.lax.dynamic_index_in_dim(q.codes, q.layer, 0, keepdims=False)
+        scales = jax.lax.dynamic_index_in_dim(q.scales, q.layer, 0, keepdims=False)
+    else:
+        codes = q["codes"]
+        scales = q["scales"]
     full = jnp.repeat(scales, codes.shape[1] // scales.shape[1], axis=1)
     return (codes.astype(jnp.float32) * full).astype(jnp.bfloat16)
 
@@ -177,12 +200,31 @@ def moe_apply_q8(
     """Decode MoE straight from Q8_0 weights: the scalar-prefetch gather
     kernel DMAs only the K selected experts' quantized tiles (~0.53
     B/weight — a quarter of the bf16 decode traffic)."""
-    from .pallas.dequant_matmul import q8_gather_matmul_auto
+    from .pallas.dequant_matmul import (
+        q8_gather_matmul_auto,
+        q8_gather_matmul_layered_auto,
+    )
 
     n, k = topk_indices.shape
     hidden = tokens.shape[1]
     flat_idx = topk_indices.reshape(n * k)
     flat_x = jnp.repeat(tokens, k, axis=0)
+    if isinstance(gate_q, LayeredQ8):
+        li = gate_q.layer
+        gates = q8_gather_matmul_layered_auto(
+            flat_x, gate_q.codes, gate_q.scales, flat_idx, li
+        )
+        ups = q8_gather_matmul_layered_auto(
+            flat_x, up_q.codes, up_q.scales, flat_idx, li
+        )
+        inter = (silu(gates) * ups).astype(tokens.dtype)
+        outs = q8_gather_matmul_layered_auto(
+            inter, down_q.codes, down_q.scales, flat_idx, li
+        )
+        combined = jnp.sum(
+            outs.reshape(n, k, hidden) * topk_weights[..., None], axis=1
+        )
+        return combined.astype(tokens.dtype)
     gates = q8_gather_matmul_auto(flat_x, gate_q["codes"], gate_q["scales"], flat_idx)
     ups = q8_gather_matmul_auto(flat_x, up_q["codes"], up_q["scales"], flat_idx)
     inter = (silu(gates) * ups).astype(tokens.dtype)

@@ -193,3 +193,149 @@ def q8_gather_matmul_auto(x, codes, scales, idx):
     return q8_gather_matmul(
         x, codes, scales, idx, interpret=jax.default_backend() != "tpu"
     )
+
+
+def _layered_matmul_kernel(li_ref, x_ref, q_ref, s_ref, out_ref):
+    del li_ref  # consumed by the index maps
+    q = q_ref[0].astype(jnp.float32)  # [MT, K]
+    s = s_ref[0]  # [MT, K // 32]
+    mt, k = q.shape
+    nb = k // Q8_BLOCK
+    rows = jax.lax.broadcasted_iota(jnp.int32, (nb, k), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (nb, k), 1)
+    expand = (cols // Q8_BLOCK == rows).astype(jnp.float32)
+    s_full = jax.lax.dot_general(
+        s, expand, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    w = (q * s_full).astype(jnp.bfloat16)
+    out_ref[...] = jax.lax.dot_general(
+        x_ref[...].astype(jnp.bfloat16),
+        w,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("interpret", "m_tile", "n_tile"))
+def q8_matmul_layered(
+    x: jnp.ndarray,  # [N, K]
+    codes: jnp.ndarray,  # [L, M, K] int8
+    scales: jnp.ndarray,  # [L, M, K/32] f32
+    layer: jnp.ndarray,  # scalar int32
+    interpret: bool = False,
+    m_tile: int = 256,
+    n_tile: int = 256,
+) -> jnp.ndarray:
+    """x @ dequant(W[layer])^T without slicing the stack: the layer index
+    rides scalar prefetch, so lax.scan bodies can keep the whole [L,...]
+    stack in HBM and the kernel DMAs only W[layer]'s tiles (an XLA
+    dynamic-slice feeding a custom call materializes a full copy of the
+    sliced layer every call)."""
+    n, k = x.shape
+    L, m, _ = codes.shape
+    m_tile = _pick_tile(m, m_tile, 128)
+    n_tile = _pick_tile(n, n_tile, 8)
+    grid = (n // n_tile, m // m_tile)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((n_tile, k), lambda i, j, li: (i, 0)),
+            pl.BlockSpec((1, m_tile, k), lambda i, j, li: (li[0], j, 0)),
+            pl.BlockSpec((1, m_tile, k // Q8_BLOCK), lambda i, j, li: (li[0], j, 0)),
+        ],
+        out_specs=pl.BlockSpec((n_tile, m_tile), lambda i, j, li: (i, j)),
+    )
+    return pl.pallas_call(
+        _layered_matmul_kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((n, m), jnp.float32),
+        interpret=interpret,
+    )(jnp.asarray(layer, jnp.int32).reshape(1), x, codes, scales)
+
+
+def q8_matmul_layered_auto(x, codes, scales, layer):
+    return q8_matmul_layered(
+        x, codes, scales, layer, interpret=jax.default_backend() != "tpu"
+    )
+
+
+def _layered_gather_kernel(idx_ref, li_ref, x_ref, q_ref, s_ref, out_ref):
+    del idx_ref, li_ref  # consumed by the index maps
+    ni = pl.program_id(1)
+    n, h = x_ref.shape
+    q = q_ref[0, 0].astype(jnp.float32)  # [H, tile]
+    s = s_ref[0, 0]  # [H // 32, tile]
+    nb = s.shape[0]
+    rows = jax.lax.broadcasted_iota(jnp.int32, (h, nb), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (h, nb), 1)
+    expand = (rows // Q8_BLOCK == cols).astype(jnp.float32)
+    s_full = jax.lax.dot_general(
+        expand, s, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )  # [H, tile]
+    w = (q * s_full).astype(jnp.bfloat16)
+    row_ids = jax.lax.broadcasted_iota(jnp.int32, (n, h), 0)
+    xrow = jnp.sum(
+        jnp.where(row_ids == ni, x_ref[...].astype(jnp.float32), 0),
+        axis=0,
+        keepdims=True,
+    ).astype(jnp.bfloat16)
+    row = jax.lax.dot_general(
+        xrow, w, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    out_rows = jax.lax.broadcasted_iota(jnp.int32, out_ref.shape, 0)
+    out_ref[...] = jnp.where(out_rows == ni, row, out_ref[...])
+
+
+@functools.partial(jax.jit, static_argnames=("interpret", "tile"))
+def q8_gather_matmul_layered(
+    x: jnp.ndarray,  # [N, H]
+    codes: jnp.ndarray,  # [L, E, H, M] int8
+    scales: jnp.ndarray,  # [L, E, H/32, M] f32
+    idx: jnp.ndarray,  # [N] int32
+    layer: jnp.ndarray,  # scalar int32
+    interpret: bool = False,
+    tile: int = 0,
+) -> jnp.ndarray:
+    """Layered q8_gather_matmul: expert stacks stay whole across the
+    layer scan; (layer, expert) indices both ride scalar prefetch."""
+    n, h = x.shape
+    L, e, _, m = codes.shape
+    if not tile:
+        tile = m if (m % 128 or m <= 512) else 512
+        while m % tile:
+            tile //= 2
+    grid = (m // tile, n)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((n, h), lambda ji, ni, idx, li: (0, 0)),
+            pl.BlockSpec(
+                (1, 1, h, tile), lambda ji, ni, idx, li: (li[0], idx[ni], 0, ji)
+            ),
+            pl.BlockSpec(
+                (1, 1, h // Q8_BLOCK, tile),
+                lambda ji, ni, idx, li: (li[0], idx[ni], 0, ji),
+            ),
+        ],
+        out_specs=pl.BlockSpec((n, tile), lambda ji, ni, idx, li: (0, ji)),
+    )
+    return pl.pallas_call(
+        _layered_gather_kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((n, m), jnp.float32),
+        interpret=interpret,
+    )(
+        idx.astype(jnp.int32),
+        jnp.asarray(layer, jnp.int32).reshape(1),
+        x,
+        codes,
+        scales,
+    )
+
+
+def q8_gather_matmul_layered_auto(x, codes, scales, idx, layer):
+    return q8_gather_matmul_layered(
+        x, codes, scales, idx, layer, interpret=jax.default_backend() != "tpu"
+    )
