@@ -18,6 +18,12 @@ Layouts:
 
 Router gate weights, norms, and embed_tokens stay float (the reference
 keeps the router f32 too — gating parity gates routing).
+
+Snapshot parity: re-quantizing a dequantized Q8_0 payload is BIT-EXACT
+(the amax element always maps to ±127 so the f16 scale round-trips;
+verified in tests/test_dequant_matmul.py), so loading a published .dsq
+through the dequantize-on-load reader and re-packing here serves the
+identical numbers the reference's QMatMul sees.
 """
 
 from __future__ import annotations

@@ -53,3 +53,25 @@ def test_q8_gather_matmul_matches_reference():
     expected = np.stack([x[n] @ deq[idx[n]].T for n in range(N)])
     # kernel runs the dot in bf16 (MXU); tolerance covers bf16 rounding
     np.testing.assert_allclose(out, expected, rtol=5e-2, atol=0.15)
+
+
+def test_q8_requantize_roundtrip_bit_exact():
+    """quantize(dequantize(q8_payload)) reproduces the original codes and
+    scales bit-for-bit: the amax element always maps to ±127, so the f16
+    scale round-trips exactly. This makes serving a Q8_0 snapshot via
+    runtime re-quantization equivalent to keeping the packed records."""
+    from dsocr_tpu.models.deepseek.quantize import quantize_plain
+
+    rng = np.random.default_rng(11)
+    M, K = 16, 96
+    w = (rng.normal(size=(M, K)) * rng.uniform(0.01, 3.0, size=(M, 1))).astype(
+        np.float32
+    )
+    w[3] = 0.0  # zero block path
+    payload = quantize_q8_0(w, M, K)
+    codes0, scales0 = pack_q8_0(payload, M, K)
+    deq = dequantize_q8_0(payload, M, K)  # [M, K] floats, layout [out, in]
+
+    q = quantize_plain(deq.T)  # quantize_plain takes [in, out]
+    np.testing.assert_array_equal(np.asarray(q["codes"]), np.asarray(codes0))
+    np.testing.assert_array_equal(np.asarray(q["scales"]), np.asarray(scales0))
