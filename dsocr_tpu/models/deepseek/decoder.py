@@ -25,7 +25,9 @@ from ...ops.moe import (
     MoeConfig,
     dequant_q8_stack,
     moe_apply,
+    moe_apply_fused,
     moe_apply_q8,
+    moe_apply_q8_fused,
     moe_router,
 )
 from ...ops.rope import apply_rope, build_rope_tables
@@ -103,6 +105,35 @@ def init_deepseek_params(
             moe["shared_down"] = stack(next(keys), num_moe, (SI, H), SI**-0.5)
         params["moe_layers"] = moe
     return params
+
+
+def fuse_decoder_params(params: Dict) -> Dict:
+    """Concat column-independent projections along their output dims:
+    q/k/v → qkv_proj, gate/up → gateup_proj, shared gate/up →
+    shared_gateup, expert gate/up stacks → experts_gateup.
+
+    Decode on TPU is latency-bound on op count (dozens of tiny matmuls
+    per token); halving the projection count is bit-identical math
+    (each output column is computed independently). Applied at engine
+    init on the single-chip path — the mesh path keeps split weights so
+    TP shard boundaries align with the q/k/v splits."""
+
+    def fuse(group, keys, new_key):
+        if all(k in group for k in keys):
+            group[new_key] = jnp.concatenate([group.pop(k) for k in keys], axis=-1)
+        return group
+
+    out = dict(params)
+    for g in ("dense_layers", "moe_layers"):
+        if g not in out:
+            continue
+        grp = dict(out[g])
+        grp = fuse(grp, ("q_proj", "k_proj", "v_proj"), "qkv_proj")
+        grp = fuse(grp, ("gate_proj", "up_proj"), "gateup_proj")
+        grp = fuse(grp, ("shared_gate", "shared_up"), "shared_gateup")
+        grp = fuse(grp, ("experts_gate", "experts_up"), "experts_gateup")
+        out[g] = grp
+    return out
 
 
 def new_cache(
@@ -193,9 +224,16 @@ def deepseek_forward(
 
     def attn_block(x, k_all, v_all, layer, li):
         normed = rms_norm(x, layer["input_layernorm"], cfg.rms_norm_eps)
-        q = _proj(normed, layer["q_proj"]).reshape(B, S, NH, D).transpose(0, 2, 1, 3)
-        k = _proj(normed, layer["k_proj"]).reshape(B, S, NKV, D).transpose(0, 2, 1, 3)
-        v = _proj(normed, layer["v_proj"]).reshape(B, S, NKV, DV).transpose(0, 2, 1, 3)
+        if "qkv_proj" in layer:
+            qkv = _proj(normed, layer["qkv_proj"])
+            q, k, v = jnp.split(qkv, [NH * D, NH * D + NKV * D], axis=-1)
+        else:
+            q = _proj(normed, layer["q_proj"])
+            k = _proj(normed, layer["k_proj"])
+            v = _proj(normed, layer["v_proj"])
+        q = q.reshape(B, S, NH, D).transpose(0, 2, 1, 3)
+        k = k.reshape(B, S, NKV, D).transpose(0, 2, 1, 3)
+        v = v.reshape(B, S, NKV, DV).transpose(0, 2, 1, 3)
         q = _partial_rope(q, cos, sin, rope_dim, cfg.use_mla)
         k = _partial_rope(k, cos, sin, rope_dim, cfg.use_mla)
         # In-place updates on the scan carry (XLA aliases the buffers;
@@ -240,8 +278,12 @@ def deepseek_forward(
         layer = _with_quantized(layer_xs, dense_q, li)
         x, k_all, v_all = attn_block(x, k_all, v_all, layer, li)
         normed = rms_norm(x, layer["post_attention_layernorm"], cfg.rms_norm_eps)
-        gate = _proj(normed, layer["gate_proj"]).astype(jnp.float32)
-        up = _proj(normed, layer["up_proj"]).astype(jnp.float32)
+        if "gateup_proj" in layer:
+            gu = _proj(normed, layer["gateup_proj"]).astype(jnp.float32)
+            gate, up = jnp.split(gu, 2, axis=-1)
+        else:
+            gate = _proj(normed, layer["gate_proj"]).astype(jnp.float32)
+            up = _proj(normed, layer["up_proj"]).astype(jnp.float32)
         mlp = _proj((jax.nn.silu(gate) * up).astype(x.dtype), layer["down_proj"])
         x = (x.astype(jnp.float32) + mlp.astype(jnp.float32)).astype(x.dtype)
         return (x, k_all, v_all), None
@@ -257,21 +299,42 @@ def deepseek_forward(
             tokens, layer["gate_weight"], moe_cfg,
             aux_bias=layer.get("gate_bias"),
         )
-        eg = layer["experts_gate"]
-        eu = layer["experts_up"]
         ed = layer["experts_down"]
-        if isinstance(eg, (dict, LayeredQ8)):  # packed Q8_0 expert stacks
-            if B * S <= 32:  # decode: fused gather kernel reads q8 bytes only
-                routed = moe_apply_q8(tokens, weights, indices, eg, eu, ed)
-            else:  # prefill: once-per-layer dequant feeds the grouped matmul
-                routed = moe_apply(
-                    tokens, weights, indices,
-                    dequant_q8_stack(eg), dequant_q8_stack(eu), dequant_q8_stack(ed),
-                )
+        if "experts_gateup" in layer:
+            egu = layer["experts_gateup"]
+            if isinstance(egu, (dict, LayeredQ8)):  # packed Q8_0 stacks
+                if B * S <= 32:
+                    routed = moe_apply_q8_fused(tokens, weights, indices, egu, ed)
+                else:
+                    routed = moe_apply_fused(
+                        tokens, weights, indices,
+                        dequant_q8_stack(egu), dequant_q8_stack(ed),
+                    )
+            else:
+                routed = moe_apply_fused(tokens, weights, indices, egu, ed)
         else:
-            routed = moe_apply(tokens, weights, indices, eg, eu, ed)
+            eg = layer["experts_gate"]
+            eu = layer["experts_up"]
+            if isinstance(eg, (dict, LayeredQ8)):  # packed Q8_0 expert stacks
+                if B * S <= 32:  # decode: gather kernel reads q8 bytes only
+                    routed = moe_apply_q8(tokens, weights, indices, eg, eu, ed)
+                else:  # prefill: once-per-layer dequant → grouped matmul
+                    routed = moe_apply(
+                        tokens, weights, indices,
+                        dequant_q8_stack(eg), dequant_q8_stack(eu),
+                        dequant_q8_stack(ed),
+                    )
+            else:
+                routed = moe_apply(tokens, weights, indices, eg, eu, ed)
         out = routed.astype(jnp.float32)
-        if "shared_gate" in layer:
+        if "shared_gateup" in layer:
+            sgu = _proj(normed, layer["shared_gateup"]).astype(jnp.float32)
+            sg, su = jnp.split(sgu, 2, axis=-1)
+            shared = _proj(
+                (jax.nn.silu(sg) * su).astype(x.dtype), layer["shared_down"]
+            )
+            out = out + shared.reshape(B * S, H).astype(jnp.float32)
+        elif "shared_gate" in layer:
             sg = _proj(normed, layer["shared_gate"]).astype(jnp.float32)
             su = _proj(normed, layer["shared_up"]).astype(jnp.float32)
             shared = _proj(

@@ -96,6 +96,14 @@ class DeepseekOcrEngine:
                     init_clip_params(cfg.clip, kc, vdtype) if cfg.clip else None
                 )
                 params["projector"] = init_projector_params(cfg, kp, dtype)
+        if mesh is None:
+            # halve the decode op count (latency-bound): fuse qkv and
+            # gate/up projections; the mesh path keeps split weights so
+            # TP shard boundaries align with the q/k/v splits
+            from .decoder import fuse_decoder_params
+
+            params = dict(params)
+            params["decoder"] = fuse_decoder_params(params["decoder"])
         if quantize:
             if mesh is not None:
                 raise NotImplementedError(

@@ -43,12 +43,14 @@ PLAIN_KEYS = (
     "q_proj",
     "k_proj",
     "v_proj",
+    "qkv_proj",
     "o_proj",
     "shared_gate",
     "shared_up",
+    "shared_gateup",
     "shared_down",
 )
-EXPERT_KEYS = ("experts_gate", "experts_up", "experts_down")
+EXPERT_KEYS = ("experts_gate", "experts_up", "experts_gateup", "experts_down")
 
 
 def _q8_rows(rows: np.ndarray):

@@ -306,3 +306,115 @@ def swiglu_mlp(
         "...i,ih->...h", inter, down_proj, preferred_element_type=jnp.float32
     )
     return out.astype(x.dtype)
+
+
+# -- fused gate+up variants ---------------------------------------------------------
+#
+# Decode on TPU is latency-bound on op/kernel count (dozens of tiny
+# matmuls per step), so gate_proj and up_proj are concatenated along the
+# output dim at engine init (decoder.fuse_decoder_params) and split
+# after the single matmul — column-independent math, bit-identical.
+
+
+def _split_gateup(x: jnp.ndarray):
+    half = x.shape[-1] // 2
+    return x[..., :half], x[..., half:]
+
+
+def moe_apply_single_fused(tokens, topk_weights, topk_indices, gateup, down):
+    k = topk_indices.shape[1]
+    out = jnp.zeros((1, down.shape[-1]), jnp.float32)
+    for slot in range(k):
+        e = topk_indices[0, slot]
+        wg = jax.lax.dynamic_index_in_dim(gateup, e, 0, keepdims=False)
+        wd = jax.lax.dynamic_index_in_dim(down, e, 0, keepdims=False)
+        gu = jnp.einsum("nh,hi->ni", tokens, wg, preferred_element_type=jnp.float32)
+        gate, up = _split_gateup(gu)
+        inter = (silu(gate) * up).astype(tokens.dtype)
+        out = out + topk_weights[:, slot : slot + 1] * jnp.einsum(
+            "ni,ih->nh", inter, wd, preferred_element_type=jnp.float32
+        )
+    return out.astype(tokens.dtype)
+
+
+def moe_apply_dense_fused(tokens, topk_weights, topk_indices, gateup, down):
+    gus = jnp.einsum(
+        "nh,ehi->nei", tokens, gateup, preferred_element_type=jnp.float32
+    )
+    gates, ups = _split_gateup(gus)
+    inter = (silu(gates) * ups).astype(tokens.dtype)
+    outs = jnp.einsum(
+        "nei,eih->neh", inter, down, preferred_element_type=jnp.float32
+    )
+    sel = jnp.take_along_axis(outs, topk_indices[..., None], axis=1)
+    combined = jnp.sum(sel * topk_weights[..., None], axis=1)
+    return combined.astype(tokens.dtype)
+
+
+def moe_apply_fused(
+    tokens: jnp.ndarray,  # [N, hidden]
+    topk_weights: jnp.ndarray,
+    topk_indices: jnp.ndarray,
+    gateup: jnp.ndarray,  # [E, hidden, 2*inter]
+    down: jnp.ndarray,  # [E, inter, hidden]
+    *,
+    dense_threshold: int = 32,
+) -> jnp.ndarray:
+    """Fused-gate_up counterpart of moe_apply (same dispatch tiers)."""
+    if tokens.shape[0] == 1:
+        return moe_apply_single_fused(tokens, topk_weights, topk_indices, gateup, down)
+    if tokens.shape[0] <= dense_threshold:
+        return moe_apply_dense_fused(tokens, topk_weights, topk_indices, gateup, down)
+    n, hidden = tokens.shape
+    k = topk_indices.shape[1]
+    num_experts = gateup.shape[0]
+    flat_expert = topk_indices.reshape(n * k)
+    order = jnp.argsort(flat_expert)
+    token_for_slot = order // k
+    sorted_tokens = tokens[token_for_slot]
+    group_sizes = jnp.bincount(flat_expert, length=num_experts).astype(jnp.int32)
+
+    gus = jax.lax.ragged_dot(sorted_tokens, gateup, group_sizes)
+    gates, ups = _split_gateup(gus.astype(jnp.float32))
+    inter = (silu(gates) * ups).astype(tokens.dtype)
+    outs = jax.lax.ragged_dot(inter, down, group_sizes)
+
+    unsorted = jnp.zeros_like(outs).at[order].set(outs)
+    per_slot = unsorted.reshape(n, k, hidden).astype(jnp.float32)
+    combined = jnp.sum(per_slot * topk_weights[..., None], axis=1)
+    return combined.astype(tokens.dtype)
+
+
+def moe_apply_q8_fused(tokens, topk_weights, topk_indices, gateup_q, down_q):
+    """Fused-gate_up q8 decode path (one gather kernel for gate+up)."""
+    from .pallas.dequant_matmul import (
+        q8_gather_matmul_auto,
+        q8_gather_matmul_layered_auto,
+    )
+
+    n, k = topk_indices.shape
+    hidden = tokens.shape[1]
+    flat_idx = topk_indices.reshape(n * k)
+    flat_x = jnp.repeat(tokens, k, axis=0)
+    if isinstance(gateup_q, LayeredQ8):
+        gus = q8_gather_matmul_layered_auto(
+            flat_x, gateup_q.codes, gateup_q.scales, flat_idx, gateup_q.layer
+        )
+        gates, ups = _split_gateup(gus)
+        inter = (silu(gates) * ups).astype(tokens.dtype)
+        outs = q8_gather_matmul_layered_auto(
+            inter, down_q.codes, down_q.scales, flat_idx, down_q.layer
+        )
+    else:
+        gus = q8_gather_matmul_auto(
+            flat_x, gateup_q["codes"], gateup_q["scales"], flat_idx
+        )
+        gates, ups = _split_gateup(gus)
+        inter = (silu(gates) * ups).astype(tokens.dtype)
+        outs = q8_gather_matmul_auto(
+            inter, down_q["codes"], down_q["scales"], flat_idx
+        )
+    combined = jnp.sum(
+        outs.reshape(n, k, hidden) * topk_weights[..., None], axis=1
+    )
+    return combined.astype(tokens.dtype)

@@ -474,3 +474,30 @@ def test_quantized_prefill_decode_consistency():
             np.asarray(logits_s[0]), np.asarray(full_logits[0, s]),
             rtol=2e-2, atol=2e-2,
         )
+
+def test_fused_params_match_unfused():
+    """fuse_decoder_params concatenates column-independent projections —
+    logits must match the unfused forward."""
+    from dsocr_tpu.models.deepseek.decoder import fuse_decoder_params
+
+    lang = CFG.language
+    params = init_deepseek_params(lang, jax.random.PRNGKey(7), jnp.float32)
+    rope = build_decoder_rope(lang, 64)
+    S = 6
+    tokens = jax.random.randint(jax.random.PRNGKey(8), (S,), 0, lang.vocab_size)
+    embeds = params["embed_tokens"][tokens][None].astype(jnp.float32)
+    pos = jnp.arange(S, dtype=jnp.int32)[None]
+
+    cache = reset(new_cache(lang, 1, 16, jnp.float32))
+    ref_logits, _ = deepseek_forward(
+        params, lang, embeds, pos, cache, rope, full_logits=True
+    )
+    fused = fuse_decoder_params(params)
+    assert "qkv_proj" in fused["moe_layers"] and "experts_gateup" in fused["moe_layers"]
+    cache = reset(new_cache(lang, 1, 16, jnp.float32))
+    fused_logits, _ = deepseek_forward(
+        fused, lang, embeds, pos, cache, rope, full_logits=True
+    )
+    np.testing.assert_allclose(
+        np.asarray(fused_logits), np.asarray(ref_logits), rtol=1e-5, atol=1e-5
+    )
