@@ -50,8 +50,13 @@ def cache_sharding(mesh: Mesh, num_kv_heads: int) -> NamedSharding:
     return NamedSharding(mesh, P(None, "dp", None, None, None))
 
 
-def deepseek_param_shardings(params: Dict, mesh: Mesh) -> Dict:
-    """PartitionSpec tree matching init_deepseek_params' layout."""
+def deepseek_param_shardings(params: Dict, mesh: Mesh, ep: bool = False) -> Dict:
+    """PartitionSpec tree matching init_deepseek_params' layout.
+
+    ep=True switches the routed-expert stacks from intermediate-dim TP
+    to classic expert parallelism (the E axis sharded over mp — the
+    reference explicitly bails on ep_size > 1, block.rs:1248-1252);
+    GSPMD inserts the all-gather/psum around the grouped matmuls."""
 
     def ns(*spec):
         return NamedSharding(mesh, P(*spec))
@@ -79,12 +84,22 @@ def deepseek_param_shardings(params: Dict, mesh: Mesh) -> Dict:
             "down_proj": ns(None, "mp", None),
         }
     if "moe_layers" in params:
+        if ep:
+            expert_specs = {
+                "experts_gate": ns(None, "mp", None, None),
+                "experts_up": ns(None, "mp", None, None),
+                "experts_down": ns(None, "mp", None, None),
+            }
+        else:
+            expert_specs = {
+                "experts_gate": ns(None, None, None, "mp"),
+                "experts_up": ns(None, None, None, "mp"),
+                "experts_down": ns(None, None, "mp", None),
+            }
         moe = {
             **attn_specs(),
             "gate_weight": ns(),
-            "experts_gate": ns(None, None, None, "mp"),
-            "experts_up": ns(None, None, None, "mp"),
-            "experts_down": ns(None, None, "mp", None),
+            **expert_specs,
         }
         if "shared_gate" in params["moe_layers"]:
             moe["shared_gate"] = ns(None, None, "mp")

@@ -132,3 +132,40 @@ def test_engine_decode_with_mesh():
             FakeTokenizer(), "<image>x", [image], settings, params
         )
     assert out_sharded.generated_tokens == out_plain.generated_tokens
+
+
+def test_ep_sharded_forward_matches_unsharded(cfg):
+    """Expert parallelism (E axis over mp — the reference bails on
+    ep_size > 1, block.rs:1248-1252): GSPMD-partitioned grouped matmuls
+    must reproduce the replicated forward."""
+    params = init_deepseek_params(cfg, jax.random.PRNGKey(2), jnp.float32)
+    rope = build_decoder_rope(cfg, 64)
+    S = 8
+    embeds = jnp.asarray(
+        np.random.default_rng(3).normal(size=(2, S, cfg.hidden_size)).astype(np.float32)
+    )
+    positions = jnp.tile(jnp.arange(S, dtype=jnp.int32)[None], (2, 1))
+    cache = reset(new_cache(cfg, 2, 32, jnp.float32))
+
+    ref_logits, _ = deepseek_forward(params, cfg, embeds, positions, cache, rope)
+
+    mesh = make_mesh(8, dp=2)
+    shardings = deepseek_param_shardings(params, mesh, ep=True)
+    assert shardings["moe_layers"]["experts_gate"].spec == P(None, "mp", None, None)
+    params_sharded = jax.device_put(params, shardings)
+    cs = cache_sharding(mesh, cfg.resolved_kv_heads)
+    cache_sharded = KVCache(
+        k=jax.device_put(cache.k, cs),
+        v=jax.device_put(cache.v, cs),
+        length=cache.length,
+    )
+    embeds_sharded = jax.device_put(
+        embeds, NamedSharding(mesh, P("dp", None, None))
+    )
+    with mesh:
+        ep_logits, _ = jax.jit(
+            lambda p, e, pos, c: deepseek_forward(p, cfg, e, pos, c, rope)
+        )(params_sharded, embeds_sharded, positions, cache_sharded)
+    np.testing.assert_allclose(
+        np.asarray(ep_logits), np.asarray(ref_logits), rtol=2e-4, atol=2e-4
+    )
