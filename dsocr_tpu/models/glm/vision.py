@@ -193,13 +193,38 @@ def glm_vision_forward(
     return _linear((gate * up).astype(x.dtype), m["down"])
 
 
+_QUERY_CHUNK = 1024  # ref chunks vision attention queries (vision.rs:740)
+
+
 def _frame_attention(q, k, v):
+    """Full attention over the packed vision sequence, chunked over
+    queries: at large pixel budgets S reaches ~24k tokens and the full
+    [heads, S, S] f32 score tensor (28 GB) cannot exist in HBM — each
+    chunk's scores stay transient (ref chunked path, vision.rs:740)."""
     scale = 1.0 / (q.shape[-1] ** 0.5)
-    scores = (
-        jnp.einsum("bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32) * scale
-    )
-    probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1)
-    return jnp.einsum(
-        "bhqk,bhkd->bhqd", probs, v.astype(jnp.float32),
-        preferred_element_type=jnp.float32,
-    ).astype(q.dtype)
+    s = q.shape[2]
+
+    def attend(q_chunk):
+        scores = (
+            jnp.einsum(
+                "bhqd,bhkd->bhqk", q_chunk, k, preferred_element_type=jnp.float32
+            )
+            * scale
+        )
+        probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1)
+        return jnp.einsum(
+            "bhqk,bhkd->bhqd", probs, v.astype(jnp.float32),
+            preferred_element_type=jnp.float32,
+        ).astype(q.dtype)
+
+    if s <= _QUERY_CHUNK:
+        return attend(q)
+    # pad S to a chunk multiple, scan over chunks, crop
+    n_chunks = -(-s // _QUERY_CHUNK)
+    pad = n_chunks * _QUERY_CHUNK - s
+    q_pad = jnp.pad(q, ((0, 0), (0, 0), (0, pad), (0, 0)))
+    b, h, _, d = q_pad.shape
+    chunks = q_pad.reshape(b, h, n_chunks, _QUERY_CHUNK, d).transpose(2, 0, 1, 3, 4)
+    out = jax.lax.map(attend, chunks)  # [n_chunks, b, h, CHUNK, d]
+    out = out.transpose(1, 2, 0, 3, 4).reshape(b, h, n_chunks * _QUERY_CHUNK, d)
+    return out[:, :, :s]

@@ -166,3 +166,23 @@ def test_engine_deterministic(tiny_engine):
     a = tiny_engine.decode(FakeTokenizer(), "<image>", [image], settings, params)
     b = tiny_engine.decode(FakeTokenizer(), "<image>", [image], settings, params)
     assert a.generated_tokens == b.generated_tokens
+
+
+def test_frame_attention_chunked_matches_unchunked():
+    """Query-chunked vision attention (ref vision.rs:740) must equal the
+    single-shot computation, including the padded final chunk."""
+    import dsocr_tpu.models.glm.vision as gv
+
+    rng = np.random.default_rng(6)
+    B, H, S, D = 1, 2, 37, 8
+    q = jnp.asarray(rng.normal(size=(B, H, S, D)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(B, H, S, D)).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=(B, H, S, D)).astype(np.float32))
+    ref = np.asarray(gv._frame_attention(q, k, v))
+    old = gv._QUERY_CHUNK
+    gv._QUERY_CHUNK = 16  # force the chunked path with a ragged tail
+    try:
+        out = np.asarray(gv._frame_attention(q, k, v))
+    finally:
+        gv._QUERY_CHUNK = old
+    np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-5)
