@@ -35,6 +35,9 @@ class DecodeOutcome:
     prompt_tokens: int
     response_tokens: int
     generated_tokens: List[int]
+    # True when max_new_tokens was reduced to fit the KV-cache budget
+    # (prompt + requested tokens exceeded max_seq_len).
+    truncated: bool = False
 
 
 @dataclasses.dataclass

@@ -227,9 +227,13 @@ def banned_ngram_mask_device(
 
 
 def top_k_mask_device(logits: jnp.ndarray, top_k: int) -> jnp.ndarray:
-    """Set logits below the k-th largest to -inf (ties at the boundary kept)."""
-    kth = jax.lax.top_k(logits, top_k)[0][..., -1:]
-    return jnp.where(logits < kth, _NEG_INF, logits)
+    """Keep exactly the top_k logits, -inf the rest. Ties at the k-th value
+    break by lowest index, matching the host spec's stable descending sort
+    (_apply_top_k_host)."""
+    # Double stable argsort = rank by (value desc, index asc).
+    order = jnp.argsort(-logits, axis=-1, stable=True)
+    ranks = jnp.argsort(order, axis=-1, stable=True)
+    return jnp.where(ranks >= top_k, _NEG_INF, logits)
 
 
 def top_p_mask_device(logits: jnp.ndarray, top_p: float) -> jnp.ndarray:

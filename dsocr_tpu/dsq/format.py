@@ -134,8 +134,6 @@ class DsqReader:
             )
             if q_len == 0:
                 raise ValueError(f"tensor `{name}` has empty quantized payload")
-            if q_offset < pos and False:
-                pass
             if name in self._index:
                 raise ValueError(f"duplicate tensor record `{name}`")
             self._index[name] = len(self.records)

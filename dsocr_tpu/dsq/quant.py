@@ -52,7 +52,12 @@ def quantize_q8_0(weights: np.ndarray, rows: int, cols: int) -> bytes:
     scale = np.where(amax > 0.0, amax / 127.0, 0.0).astype(np.float32)
     with np.errstate(divide="ignore"):
         inv = np.where(scale != 0.0, 1.0 / np.where(scale == 0.0, 1.0, scale), 0.0)
-    q = np.clip(np.round(x * inv[:, None]), -128, 127).astype(np.int8)
+    # Reference uses Rust f32::round = ties away from zero (dsq-writer
+    # lib.rs:592), NOT numpy's ties-to-even — exact .5 values differ.
+    t = x * inv[:, None]
+    q = np.clip(
+        np.where(t >= 0.0, np.floor(t + 0.5), np.ceil(t - 0.5)), -128, 127
+    ).astype(np.int8)
     q = np.where(scale[:, None] == 0.0, np.int8(0), q)
     out = np.empty((x.shape[0], Q8_BLOCK_BYTES), np.uint8)
     out[:, :2] = _f16_bytes(scale).reshape(-1, 2)

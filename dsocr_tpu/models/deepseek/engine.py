@@ -19,7 +19,7 @@ from ...core import DecodeOutcome, DecodeParameters, ModelKind, VisionSettings
 from ...core.benchmark import Timer
 from ...core.text import normalize_text
 from ...image import PreprocessParams, build_global_view, dynamic_preprocess
-from ...runtime import GenerateParams, Generator
+from ...runtime import GenerateParams, Generator, clamp_new_tokens
 from ...runtime.kv_cache import bump_length, reset
 from .clip import clip_forward, init_clip_params
 from .config import DeepseekOcrConfig, vision_compute_dtype
@@ -549,9 +549,8 @@ class DeepseekOcrEngine:
             batch_embeds.append(row)
         embeds = jnp.stack(batch_embeds)
 
-        max_len = min(
-            self.max_seq_len, _round_up(s_pad + params.max_new_tokens + 8, 128)
-        )
+        max_new = clamp_new_tokens(s_pad, params.max_new_tokens, self.max_seq_len)
+        max_len = min(self.max_seq_len, _round_up(s_pad + max_new + 8, 128))
         cache = reset(new_cache(cfg, B, max_len, self.dtype_))
         if not hasattr(self, "_prefill_batched_jit"):
             self._prefill_batched_jit = jax.jit(
@@ -567,7 +566,7 @@ class DeepseekOcrEngine:
 
         eos = cfg.eos_token_id
         gen_params = GenerateParams(
-            max_new_tokens=params.max_new_tokens,
+            max_new_tokens=max_new,
             do_sample=params.do_sample,
             temperature=params.temperature,
             top_p=params.top_p,
@@ -605,6 +604,7 @@ class DeepseekOcrEngine:
                     prompt_tokens=len(tokens),
                     response_tokens=len(generated),
                     generated_tokens=generated,
+                    truncated=max_new < params.max_new_tokens,
                 )
             )
         return outcomes
@@ -728,19 +728,20 @@ class DeepseekOcrEngine:
         embeds = build_embeds(tokens, s_pad)
         positions = jnp.arange(s_pad, dtype=jnp.int32)[None]
 
-        max_len = min(self.max_seq_len, _round_up(s_pad + params.max_new_tokens + 8, 128))
+        max_new = clamp_new_tokens(s_pad, params.max_new_tokens, self.max_seq_len)
+        max_len = min(self.max_seq_len, _round_up(s_pad + max_new + 8, 128))
         cache = reset(new_cache(cfg, 1, max_len, self.dtype_))
 
         pf_timer = Timer("decode.prefill")
         prefill_logits, cache = self._prefill_jit(
             self.params, embeds, positions, cache, jnp.int32(prompt_len), seq_len=s_pad
         )
-        prefill_logits.block_until_ready()
+        np.asarray(prefill_logits[0, :1])  # true sync (tunnel ignores block)
         pf_timer.finish(prompt_tokens=prompt_len)
 
         eos = cfg.eos_token_id
         gen_params = GenerateParams(
-            max_new_tokens=params.max_new_tokens,
+            max_new_tokens=max_new,
             do_sample=params.do_sample,
             temperature=params.temperature,
             top_p=params.top_p,
@@ -776,4 +777,5 @@ class DeepseekOcrEngine:
             prompt_tokens=prompt_len,
             response_tokens=len(generated),
             generated_tokens=generated,
+            truncated=max_new < params.max_new_tokens,
         )

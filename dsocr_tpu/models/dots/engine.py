@@ -16,7 +16,7 @@ from ...core import DecodeOutcome, DecodeParameters, ModelKind, VisionSettings
 from ...core.benchmark import Timer
 from ...core.text import normalize_text
 from ...image.smart_resize import SmartResizeConfig, preprocess_patches
-from ...runtime import GenerateParams, Generator
+from ...runtime import GenerateParams, Generator, clamp_new_tokens
 from ...runtime.kv_cache import bump_length, reset
 from .config import DotsConfig
 from .decoder import build_qwen2_rope, init_qwen2_params, new_cache, qwen2_forward
@@ -184,18 +184,19 @@ class DotsOcrEngine:
         embeds = embeds[None]
         positions = jnp.arange(s_pad, dtype=jnp.int32)[None]
 
-        max_len = min(self.max_seq_len, _round_up(s_pad + params.max_new_tokens + 8, 128))
+        max_new = clamp_new_tokens(s_pad, params.max_new_tokens, self.max_seq_len)
+        max_len = min(self.max_seq_len, _round_up(s_pad + max_new + 8, 128))
         cache = reset(new_cache(cfg.text, 1, max_len, self.dtype_))
 
         pf = Timer("decode.prefill")
         prefill_logits, cache = self._prefill_jit(
             self.params, embeds, positions, cache, jnp.int32(prompt_len), seq_len=s_pad
         )
-        prefill_logits.block_until_ready()
+        np.asarray(prefill_logits[0, :1])  # true sync (tunnel ignores block)
         pf.finish(prompt_tokens=prompt_len)
 
         gen_params = GenerateParams(
-            max_new_tokens=params.max_new_tokens,
+            max_new_tokens=max_new,
             do_sample=params.do_sample,
             temperature=params.temperature,
             top_p=params.top_p,
@@ -231,4 +232,5 @@ class DotsOcrEngine:
             prompt_tokens=prompt_len,
             response_tokens=len(generated),
             generated_tokens=generated,
+            truncated=max_new < params.max_new_tokens,
         )

@@ -19,7 +19,7 @@ from ...core import DecodeOutcome, DecodeParameters, ModelKind, VisionSettings
 from ...core.benchmark import Timer
 from ...core.text import normalize_text
 from ...image.resample import resize_bicubic
-from ...runtime import GenerateParams, Generator
+from ...runtime import GenerateParams, Generator, clamp_new_tokens
 from ...runtime.kv_cache import bump_length, reset
 from .config import (
     GlmConfig,
@@ -235,7 +235,8 @@ class GlmOcrEngine:
             embeds = embeds.at[jnp.asarray(idx)].set(embeddings.astype(self.dtype_))
         embeds = embeds[None]
 
-        max_len = min(self.max_seq_len, _round_up(s_pad + params.max_new_tokens + 8, 128))
+        max_new = clamp_new_tokens(s_pad, params.max_new_tokens, self.max_seq_len)
+        max_len = min(self.max_seq_len, _round_up(s_pad + max_new + 8, 128))
         cache = reset(new_cache(cfg.text, 1, max_len, self.dtype_))
 
         pf = Timer("decode.prefill")
@@ -247,11 +248,11 @@ class GlmOcrEngine:
             jnp.int32(prompt_len),
             seq_len=s_pad,
         )
-        prefill_logits.block_until_ready()
+        np.asarray(prefill_logits[0, :1])  # true sync (tunnel ignores block)
         pf.finish(prompt_tokens=prompt_len)
 
         gen_params = GenerateParams(
-            max_new_tokens=params.max_new_tokens,
+            max_new_tokens=max_new,
             do_sample=False,
             temperature=0.0,
             top_p=params.top_p,
@@ -287,4 +288,5 @@ class GlmOcrEngine:
             prompt_tokens=prompt_len,
             response_tokens=len(generated),
             generated_tokens=generated,
+            truncated=max_new < params.max_new_tokens,
         )

@@ -20,7 +20,7 @@ from ...core import DecodeOutcome, DecodeParameters, ModelKind, VisionSettings
 from ...core.benchmark import Timer
 from ...core.text import normalize_text
 from ...image.smart_resize import ImagePatches, SmartResizeConfig, preprocess_patches
-from ...runtime import GenerateParams, Generator
+from ...runtime import GenerateParams, Generator, clamp_new_tokens
 from ...runtime.kv_cache import bump_length, reset
 from .config import PaddleConfig
 from .decoder import (
@@ -260,7 +260,8 @@ class PaddleOcrEngine:
             embeds = embeds.at[jnp.asarray(idx)].set(flat.astype(self.dtype_))
         embeds = embeds[None]
 
-        max_len = min(self.max_seq_len, s_pad + params.max_new_tokens + 8)
+        max_new = clamp_new_tokens(s_pad, params.max_new_tokens, self.max_seq_len)
+        max_len = min(self.max_seq_len, s_pad + max_new + 8)
         cache = reset(new_cache(cfg, 1, _round_up(max_len, 128), self.dtype_))
 
         pf_timer = Timer("decode.prefill")
@@ -272,12 +273,12 @@ class PaddleOcrEngine:
             jnp.int32(prompt_len),
             seq_len=s_pad,
         )
-        prefill_logits.block_until_ready()
+        np.asarray(prefill_logits[0, :1])  # true sync (tunnel ignores block)
         pf_timer.finish(prompt_tokens=prompt_len)
 
         eos = cfg.eos_token_id
         gen_params = GenerateParams(
-            max_new_tokens=params.max_new_tokens,
+            max_new_tokens=max_new,
             do_sample=params.do_sample,
             temperature=params.temperature,
             top_p=params.top_p,
@@ -313,4 +314,5 @@ class PaddleOcrEngine:
             prompt_tokens=prompt_len,
             response_tokens=len(generated),
             generated_tokens=generated,
+            truncated=max_new < params.max_new_tokens,
         )

@@ -8,7 +8,7 @@ return to the host between streaming chunks.
 """
 
 from .kv_cache import KVCache, init_kv_cache, write_kv
-from .generate import GenerateParams, GenerationResult, Generator
+from .generate import GenerateParams, GenerationResult, Generator, clamp_new_tokens
 
 __all__ = [
     "KVCache",
@@ -17,4 +17,5 @@ __all__ = [
     "GenerateParams",
     "GenerationResult",
     "Generator",
+    "clamp_new_tokens",
 ]

@@ -74,6 +74,33 @@ class GenerationResult:
     steps: int
 
 
+def clamp_new_tokens(prompt_pad: int, requested: int, max_seq_len: int) -> int:
+    """Effective max_new_tokens for a static [*, max_seq_len] KV budget.
+
+    The cache holds prompt_pad prefill positions plus one slot per decode
+    step; a request whose prompt + max_new_tokens overflows max_seq_len
+    must be clamped (silent overflow would pin dynamic_update_slice writes
+    onto the last slot and clamp RoPE lookups — corrupted output).
+    Raises when the prompt alone leaves no room to generate.
+    """
+    capacity = max_seq_len - prompt_pad
+    if capacity <= 0:
+        raise ValueError(
+            f"prompt ({prompt_pad} padded tokens) leaves no KV-cache room "
+            f"to generate within max_seq_len={max_seq_len}"
+        )
+    if requested > capacity:
+        from ..utils.logging import get_logger
+
+        get_logger("dsocr.runtime").warning(
+            "max_new_tokens %d exceeds remaining cache capacity %d "
+            "(prompt_pad=%d, max_seq_len=%d); truncating",
+            requested, capacity, prompt_pad, max_seq_len,
+        )
+        return capacity
+    return requested
+
+
 def _is_eos(token: jnp.ndarray, eos_ids: Tuple[int, ...]) -> jnp.ndarray:
     if not eos_ids:
         return jnp.zeros(token.shape, jnp.bool_)

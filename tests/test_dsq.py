@@ -187,3 +187,21 @@ def test_bf16_float_record_roundtrip(tmp_path):
     np.testing.assert_allclose(
         reader.dequantize("t"), w.astype(ml_dtypes.bfloat16).astype(np.float32)
     )
+
+
+def test_q8_0_ties_round_away_from_zero():
+    # Reference quantizer uses Rust f32::round (ties away from zero,
+    # dsq-writer lib.rs:592); numpy's default rint is ties-to-even.
+    w = np.zeros((1, 32), np.float32)
+    w[0, 0] = 127.0  # amax → scale exactly 1.0
+    w[0, 1] = 2.5
+    w[0, 2] = -2.5
+    w[0, 3] = 0.5
+    w[0, 4] = -0.5
+    w[0, 5] = 1.5
+    payload = quantize_q8_0(w, 1, 32)
+    codes = np.frombuffer(payload, np.uint8)[2:].view(np.int8)
+    assert codes[0] == 127
+    assert codes[1] == 3 and codes[2] == -3
+    assert codes[3] == 1 and codes[4] == -1
+    assert codes[5] == 2

@@ -223,3 +223,12 @@ def test_kv_cache_reset_semantics():
     cache = bump_length(cache, 4)
     cache = reset(cache)
     assert int(cache.length) == 0
+
+
+def test_clamp_new_tokens_passthrough_and_clamp():
+    from dsocr_tpu.runtime import clamp_new_tokens
+
+    assert clamp_new_tokens(128, 512, 8192) == 512
+    assert clamp_new_tokens(8000, 512, 8192) == 192
+    with pytest.raises(ValueError):
+        clamp_new_tokens(8192, 512, 8192)

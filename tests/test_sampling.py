@@ -172,3 +172,41 @@ def test_device_combined_matches_host():
             logits, context, repetition_penalty=1.3, no_repeat_ngram_size=2
         )
         assert host == dev
+
+
+def test_device_top_k_tie_break_matches_host():
+    # All ties with the k-th value must NOT be kept: exactly k survive,
+    # earliest index wins (matches _apply_top_k_host's stable sort).
+    import jax.numpy as jnp
+
+    from dsocr_tpu.core.sampling import top_k_mask_device
+
+    logits = np.array([1.0, 5.0, 5.0, 5.0, 0.0], dtype=np.float32)
+    masked = np.asarray(top_k_mask_device(jnp.asarray(logits[None]), 2))[0]
+    kept = np.flatnonzero(np.isfinite(masked))
+    assert kept.tolist() == [1, 2]
+
+    host = logits.astype(np.float64).copy()
+    from dsocr_tpu.core.sampling import _apply_top_k_host
+
+    _apply_top_k_host(host, 2)
+    assert np.flatnonzero(np.isfinite(host)).tolist() == kept.tolist()
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_device_top_k_sampled_support_matches_host(seed):
+    # With duplicated logit values the surviving support must agree.
+    import jax.numpy as jnp
+
+    from dsocr_tpu.core.sampling import _apply_top_k_host, top_k_mask_device
+
+    rng = np.random.default_rng(300 + seed)
+    logits = rng.integers(-3, 4, size=24).astype(np.float32)  # many ties
+    k = int(rng.integers(1, 10))
+    host = logits.astype(np.float64).copy()
+    _apply_top_k_host(host, k)
+    masked = np.asarray(top_k_mask_device(jnp.asarray(logits[None]), k))[0]
+    assert (
+        np.flatnonzero(np.isfinite(host)).tolist()
+        == np.flatnonzero(np.isfinite(masked)).tolist()
+    )
