@@ -16,7 +16,7 @@ decoding (the parity-gated path) is identical.
 
 from __future__ import annotations
 
-from typing import Optional, Protocol, Sequence
+from typing import NamedTuple, Optional, Protocol, Sequence
 
 import numpy as np
 
@@ -250,6 +250,157 @@ def top_p_mask_device(logits: jnp.ndarray, top_p: float) -> jnp.ndarray:
         jnp.where(keep_sorted, sorted_logits, jnp.inf), axis=-1, keepdims=True
     )
     return jnp.where(logits < threshold, _NEG_INF, logits)
+
+
+class SlotSamplingParams(NamedTuple):
+    """Per-row (dynamic) sampling knobs for continuous batching: one entry
+    per slot, carried as device arrays so rows with different requests'
+    parameters decode in the same compiled step."""
+
+    temperature: jnp.ndarray  # [B] f32
+    top_p: jnp.ndarray  # [B] f32 (>=1.0 or <0 disables)
+    top_k: jnp.ndarray  # [B] i32 (<=0 or >=V disables)
+    repetition_penalty: jnp.ndarray  # [B] f32 (1.0 disables)
+    do_sample: jnp.ndarray  # [B] bool
+    ngram: jnp.ndarray  # [B] i32 no-repeat-ngram size (<=1 disables)
+
+    @staticmethod
+    def full(B: int, params) -> "SlotSamplingParams":
+        """Broadcast one host params object to all B rows."""
+
+        def arr(v, d, dt):
+            return jnp.full((B,), d if v is None else v, dt)
+
+        return SlotSamplingParams(
+            temperature=arr(params.temperature, 0.0, jnp.float32),
+            top_p=arr(params.top_p, 1.0, jnp.float32),
+            top_k=arr(params.top_k, 0, jnp.int32),
+            repetition_penalty=arr(params.repetition_penalty, 1.0, jnp.float32),
+            do_sample=jnp.full((B,), bool(params.do_sample), jnp.bool_),
+            ngram=arr(params.no_repeat_ngram_size, 0, jnp.int32),
+        )
+
+    def set_row(self, row, params) -> "SlotSamplingParams":
+        def st(buf, v, d):
+            return buf.at[row].set(d if v is None else v)
+
+        return SlotSamplingParams(
+            temperature=st(self.temperature, params.temperature, 0.0),
+            top_p=st(self.top_p, params.top_p, 1.0),
+            top_k=st(self.top_k, params.top_k, 0),
+            repetition_penalty=st(
+                self.repetition_penalty, params.repetition_penalty, 1.0
+            ),
+            do_sample=self.do_sample.at[row].set(bool(params.do_sample)),
+            ngram=st(self.ngram, params.no_repeat_ngram_size, 0),
+        )
+
+
+def banned_ngram_mask_slots(
+    context: jnp.ndarray,  # [B, L] int32
+    context_len: jnp.ndarray,  # [B] int32
+    ngram_row: jnp.ndarray,  # [B] int32 per-row ngram size (<=1 disables)
+    ngram_max: int,  # static upper bound on any row's ngram
+    vocab_size: int,  # static
+) -> jnp.ndarray:
+    """[B, V] banned-token mask with per-row DYNAMIC ngram size.
+
+    Enumerates target positions t: context[t] is banned iff the
+    (n_r - 1) tokens preceding t equal the current (n_r - 1)-suffix.
+    Windows are gathered at the static ngram_max width; shorter per-row
+    ngrams mark leading window positions as don't-care.
+    """
+    B, L = context.shape
+    N1 = ngram_max - 1
+    if N1 < 1 or L < 2:
+        return jnp.zeros((B, vocab_size), dtype=jnp.bool_)
+    t = jnp.arange(L, dtype=jnp.int32)
+    j = jnp.arange(N1, dtype=jnp.int32)
+    idx = t[:, None] - N1 + j[None, :]  # [L, N1] prefix positions before t
+    win = context[:, jnp.clip(idx, 0, L - 1)]  # [B, L, N1]
+    sfx_idx = context_len[:, None] - N1 + j[None, :]  # [B, N1]
+    sfx = jnp.take_along_axis(context, jnp.clip(sfx_idx, 0, L - 1), axis=1)
+    care = j[None, :] >= (N1 - (ngram_row[:, None] - 1))  # [B, N1]
+    eq = win == sfx[:, None, :]  # [B, L, N1]
+    match = jnp.all(eq | ~care[:, None, :], axis=-1)  # [B, L]
+    valid = (
+        (t[None, :] >= (ngram_row[:, None] - 1))
+        & (t[None, :] < context_len[:, None])
+        & (ngram_row[:, None] > 1)
+        & (context_len[:, None] >= (ngram_row[:, None] - 1))
+    )
+    match = match & valid
+    targets = jnp.where(match, context, vocab_size)
+    mask = jnp.zeros((B, vocab_size + 1), dtype=jnp.bool_)
+    mask = mask.at[jnp.arange(B)[:, None], targets].set(True)
+    return mask[:, :vocab_size]
+
+
+def select_token_id_slots(
+    logits: jnp.ndarray,  # [B, V] f32
+    context: jnp.ndarray,  # [B, L] int32
+    context_len: jnp.ndarray,  # [B] int32
+    sampling: "SlotSamplingParams",
+    *,
+    ngram_max: int,  # static
+    rng_key: jax.Array,
+) -> jnp.ndarray:
+    """Jittable next-token selection with PER-ROW dynamic knobs; [B] int32.
+
+    Semantics per row match select_token_id_device (and the host spec);
+    every stage is always compiled and no-ops via neutral parameter
+    values, so one compiled step serves any mix of request params.
+    """
+    B, V = logits.shape
+    logits = logits.astype(jnp.float32)
+
+    # repetition penalty (per-row strength)
+    pen = sampling.repetition_penalty[:, None]
+    penalized = jnp.where(logits > 0.0, logits / pen, logits * pen)
+    L = context.shape[1]
+    positions = jnp.arange(L, dtype=jnp.int32)[None, :]
+    valid = positions < context_len[:, None]
+    targets = jnp.where(valid, context, V)
+    seen = jnp.zeros((B, V + 1), dtype=jnp.bool_)
+    seen = seen.at[jnp.arange(B)[:, None], targets].set(True)[:, :V]
+    apply_pen = seen & (jnp.abs(pen - 1.0) > 1e-7) & (pen > 0.0)
+    adjusted = jnp.where(apply_pen, penalized, logits)
+
+    # no-repeat-ngram ban (per-row size)
+    banned = banned_ngram_mask_slots(
+        context, context_len, sampling.ngram, ngram_max, V
+    )
+    filtered = jnp.where(banned, _NEG_INF, adjusted)
+    any_valid = jnp.any(jnp.isfinite(filtered), axis=-1, keepdims=True)
+    filtered = jnp.where(any_valid, filtered, adjusted)
+
+    greedy = jnp.argmax(filtered, axis=-1).astype(jnp.int32)
+
+    # sampled path (per-row temperature / top-k / top-p)
+    temp = jnp.maximum(sampling.temperature, 1e-6)[:, None]
+    scaled = filtered / temp
+    k_eff = jnp.where(
+        (sampling.top_k <= 0) | (sampling.top_k >= V), V, sampling.top_k
+    )
+    order = jnp.argsort(-scaled, axis=-1, stable=True)
+    ranks = jnp.argsort(order, axis=-1, stable=True)
+    scaled = jnp.where(ranks >= k_eff[:, None], _NEG_INF, scaled)
+    p_eff = jnp.where(
+        (sampling.top_p < 0.0) | (sampling.top_p >= 1.0), 1.0, sampling.top_p
+    )
+    sorted_logits = jnp.sort(scaled, axis=-1)[..., ::-1]
+    probs = jax.nn.softmax(sorted_logits, axis=-1)
+    cumulative = jnp.cumsum(probs, axis=-1)
+    keep_sorted = (cumulative - probs) <= p_eff[:, None]
+    keep_sorted = keep_sorted.at[..., 0].set(True)
+    threshold = jnp.min(
+        jnp.where(keep_sorted, sorted_logits, jnp.inf), axis=-1, keepdims=True
+    )
+    scaled = jnp.where(scaled < threshold, _NEG_INF, scaled)
+    sampled = jax.random.categorical(rng_key, scaled, axis=-1).astype(jnp.int32)
+
+    use_sample = sampling.do_sample & (sampling.temperature > 0.0)
+    return jnp.where(use_sample, sampled, greedy)
 
 
 def select_token_id_device(

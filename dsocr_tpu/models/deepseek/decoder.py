@@ -191,6 +191,7 @@ def deepseek_forward(
     full_logits: bool = False,
     last_index: Optional[jnp.ndarray] = None,  # [B] int32
     pad_start: Optional[jnp.ndarray] = None,  # [B] int32 left-pad boundary
+    row_lengths: Optional[jnp.ndarray] = None,  # [B] int32 per-row KV lengths
 ) -> Tuple[jnp.ndarray, KVCache]:
     B, S, H = embeds.shape
     NH = cfg.num_attention_heads
@@ -205,11 +206,24 @@ def deepseek_forward(
     cos_t, sin_t = rope_tables
     cos = cos_t[positions][:, None]  # [B, 1, S, rope_dim]
     sin = sin_t[positions][:, None]
-    mask = causal_mask(S, S_max, start)[None, None]
-    if pad_start is not None:
-        # left-padded batching: row r ignores kv positions < pad_start[r]
+    if row_lengths is not None:
+        # Slot mode (continuous batching): row r's tokens live at
+        # [0, row_lengths[r]) of its own cache row; the new token is
+        # written at row_lengths[r] and may attend to [0, row_lengths[r]].
+        if S != 1:
+            raise ValueError("row_lengths decode supports single-token steps")
         _kv_pos = jnp.arange(S_max, dtype=jnp.int32)
-        mask = mask & (_kv_pos[None, None, None, :] >= pad_start[:, None, None, None])
+        mask = (
+            _kv_pos[None, None, None, :] <= row_lengths[:, None, None, None]
+        )
+    else:
+        mask = causal_mask(S, S_max, start)[None, None]
+        if pad_start is not None:
+            # left-padded batching: row r ignores kv positions < pad_start[r]
+            _kv_pos = jnp.arange(S_max, dtype=jnp.int32)
+            mask = mask & (
+                _kv_pos[None, None, None, :] >= pad_start[:, None, None, None]
+            )
     scale = 1.0 / (D**0.5)
 
     moe_cfg = MoeConfig(
@@ -238,12 +252,22 @@ def deepseek_forward(
         k = _partial_rope(k, cos, sin, rope_dim, cfg.use_mla)
         # In-place updates on the scan carry (XLA aliases the buffers;
         # the old slice/concat layout copied the whole cache every step).
-        k_all = jax.lax.dynamic_update_slice(
-            k_all, k[None].astype(k_all.dtype), (li, zero, zero, start, zero)
-        )
-        v_all = jax.lax.dynamic_update_slice(
-            v_all, v[None].astype(v_all.dtype), (li, zero, zero, start, zero)
-        )
+        if row_lengths is not None:
+            # per-row write positions → scatter (one [B,H,D] slab per layer)
+            rows = jnp.arange(B)
+            k_all = k_all.at[li, rows, :, row_lengths, :].set(
+                k[:, :, 0, :].astype(k_all.dtype)
+            )
+            v_all = v_all.at[li, rows, :, row_lengths, :].set(
+                v[:, :, 0, :].astype(v_all.dtype)
+            )
+        else:
+            k_all = jax.lax.dynamic_update_slice(
+                k_all, k[None].astype(k_all.dtype), (li, zero, zero, start, zero)
+            )
+            v_all = jax.lax.dynamic_update_slice(
+                v_all, v[None].astype(v_all.dtype), (li, zero, zero, start, zero)
+            )
         k_layer = jax.lax.dynamic_index_in_dim(k_all, li, 0, keepdims=False)
         v_layer = jax.lax.dynamic_index_in_dim(v_all, li, 0, keepdims=False)
         attn = attention(q, k_layer.astype(q.dtype), v_layer.astype(q.dtype), mask, scale)

@@ -609,6 +609,83 @@ class DeepseekOcrEngine:
             )
         return outcomes
 
+    # -- continuous-batching (slot) surface ------------------------------------
+
+    def slot_step_fn(self, model_params, token_ids, cache, pos):
+        """Per-row-positions decode step for runtime.slots.SlotRunner:
+        row r's token is written at cache.lengths[r] and attends to
+        [0, lengths[r]]; RoPE position is pos[r]."""
+        from ...runtime.kv_cache import KVCache
+        from ...runtime.slots import SlotCache
+
+        embeds = model_params["decoder"]["embed_tokens"][token_ids][
+            :, None, :
+        ].astype(self.dtype_)
+        positions = pos[:, None].astype(jnp.int32)
+        kv = KVCache(k=cache.k, v=cache.v, length=jnp.int32(0))
+        logits, kv = deepseek_forward(
+            model_params["decoder"], self.cfg.language, embeds, positions, kv,
+            self._rope, row_lengths=cache.lengths,
+        )
+        return logits, SlotCache(kv.k, kv.v, cache.lengths)
+
+    def new_slot_cache(self, n_slots: int, max_len: int):
+        """Allocate the shared B-slot KV buffers."""
+        from ...runtime.slots import SlotCache
+
+        base = new_cache(self.cfg.language, n_slots, max_len, self.dtype_)
+        return SlotCache(k=base.k, v=base.v, lengths=jnp.zeros((n_slots,), jnp.int32))
+
+    def make_slot_runner(self, ngram_max: int = 24):
+        from ...runtime.slots import SlotRunner
+
+        eos = self.cfg.language.eos_token_id
+        return SlotRunner(
+            self.slot_step_fn,
+            eos_ids=(eos,) if eos is not None else (),
+            emit_eos=False,
+            ngram_max=ngram_max,
+        )
+
+    def prefill_for_slot(self, tokenizer, prompt, images, vision):
+        """Vision + prompt + single-row prefill, producing the row KV block
+        and last-position logits for SlotRunner.join. pos0 = prompt_len
+        (deepseek positions are plain token indices)."""
+        vision_inputs = [
+            self.prepare_vision_input(np.asarray(img), vision) for img in images
+        ]
+        embeddings = [self.compute_image_embedding(v) for v in vision_inputs]
+        tokens, image_mask = self.build_prompt_tokens(
+            tokenizer, prompt, vision_inputs, embeddings, vision
+        )
+        prompt_len = len(tokens)
+        s_pad = _round_up(prompt_len, 128)
+        padded = np.zeros(s_pad, np.int32)
+        padded[:prompt_len] = tokens
+        embeds = self.params["decoder"]["embed_tokens"][
+            jnp.asarray(padded)
+        ].astype(self.dtype_)
+        if embeddings:
+            flat = jnp.concatenate(embeddings, axis=0)
+            idx = np.nonzero(np.asarray(image_mask, bool))[0]
+            embeds = embeds.at[jnp.asarray(idx)].set(flat.astype(self.dtype_))
+        cache = reset(new_cache(self.cfg.language, 1, s_pad, self.dtype_))
+        logits, cache = self._prefill_jit(
+            self.params,
+            embeds[None],
+            jnp.arange(s_pad, dtype=jnp.int32)[None],
+            cache,
+            jnp.int32(prompt_len),
+            seq_len=s_pad,
+        )
+        return dict(
+            prompt_ids=tokens,
+            row_k=cache.k,
+            row_v=cache.v,
+            logits=np.asarray(logits[0], np.float32),
+            pos0=prompt_len,
+        )
+
     def _decode_without_cache(
         self, tokenizer, tokens, embeds_fn, params: DecodeParameters, stream
     ) -> DecodeOutcome:

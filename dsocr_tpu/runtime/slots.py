@@ -1,0 +1,327 @@
+"""Slot-based continuous batching runtime.
+
+Replaces lockstep micro-batching (all rows start and finish together —
+the round-1 scheduler) with a persistent B-slot decode loop:
+
+- each slot owns row r of a shared static KV buffer; its tokens live at
+  [0, lengths[r]) of that row (no left-padding, no shared clock);
+- a request joins mid-flight: its prompt is prefilled into a fresh
+  [L, 1, H, s_pad, D] buffer and inserted into row r between decode
+  chunks (donated jit → in-place);
+- finished rows freeze and free their slot at the next chunk boundary;
+- sampling knobs are PER-ROW device arrays (core.sampling
+  select_token_id_slots), so requests with different params share one
+  compiled step.
+
+The reference serializes requests on a model mutex
+(server/src/state.rs:22, generation.rs:84-86); this module is the
+TPU-native replacement that the 10 pages/sec north star rides on.
+
+Semantics per row mirror runtime.generate.Generator (itself mirroring
+infer-deepseek/src/model/mod.rs:1870-2048): first token from prefill
+logits, EOS never appended (emit_eos=False) or appended-then-stop
+(emit_eos=True, paddle), at most max_new tokens.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any, Callable, List, NamedTuple, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.sampling import (
+    SlotSamplingParams,
+    select_token_id_host,
+    select_token_id_slots,
+)
+
+
+class SlotCache(NamedTuple):
+    """KV buffers with PER-ROW logical lengths (vs KVCache's shared scalar)."""
+
+    k: jnp.ndarray  # [L, B, H_kv, S_max, Dk]
+    v: jnp.ndarray  # [L, B, H_kv, S_max, Dv]
+    lengths: jnp.ndarray  # [B] int32
+
+    @property
+    def max_len(self) -> int:
+        return self.k.shape[3]
+
+    @property
+    def n_slots(self) -> int:
+        return self.k.shape[1]
+
+
+class SlotState(NamedTuple):
+    cache: SlotCache
+    context: jnp.ndarray  # [B, C] int32 — prompt + generated per row
+    ctx_len: jnp.ndarray  # [B] int32
+    prompt_len: jnp.ndarray  # [B] int32
+    pos: jnp.ndarray  # [B] int32 — next-token position counter (model-defined)
+    current: jnp.ndarray  # [B] int32 — token pending append
+    active: jnp.ndarray  # [B] bool
+    budget: jnp.ndarray  # [B] int32 — appends remaining
+    sampling: SlotSamplingParams
+    rng: jax.Array
+
+
+# step_fn(model_params, token_ids [B] i32, cache, pos [B] i32)
+#   -> (logits [B, V] f32, cache with KV written at lengths[r], NOT bumped)
+SlotStepFn = Callable[
+    [Any, jnp.ndarray, SlotCache, jnp.ndarray], Tuple[jnp.ndarray, SlotCache]
+]
+
+
+def _is_eos(token: jnp.ndarray, eos_ids: Tuple[int, ...]) -> jnp.ndarray:
+    if not eos_ids:
+        return jnp.zeros(token.shape, jnp.bool_)
+    out = token == eos_ids[0]
+    for e in eos_ids[1:]:
+        out = out | (token == e)
+    return out
+
+
+@dataclasses.dataclass
+class SlotHarvest:
+    """Host snapshot after a chunk: one fused device_get."""
+
+    context: np.ndarray  # [B, C]
+    ctx_len: np.ndarray  # [B]
+    prompt_len: np.ndarray  # [B]
+    active: np.ndarray  # [B] bool
+
+    def generated(self, row: int) -> List[int]:
+        return self.context[row, self.prompt_len[row] : self.ctx_len[row]].tolist()
+
+
+class SlotRunner:
+    """Owns the jitted chunk/join/release graphs over a SlotState.
+
+    The engine provides step_fn (per-row-positions decode step) and the
+    prefill that produces a row's KV block; the runner owns everything
+    token-level. Not thread-safe — drive from one scheduler task.
+    """
+
+    def __init__(
+        self,
+        step_fn: SlotStepFn,
+        *,
+        eos_ids: Tuple[int, ...],
+        emit_eos: bool = False,
+        ngram_max: int = 24,
+    ):
+        self.step_fn = step_fn
+        self.eos_ids = tuple(eos_ids)
+        self.emit_eos = emit_eos
+        self.ngram_max = ngram_max
+        self._chunk_jit = jax.jit(
+            self._run_chunk_impl, static_argnames=("n_steps",), donate_argnums=(1,)
+        )
+        self._join_jit = jax.jit(self._join_impl, donate_argnums=(0,))
+        self._release_jit = jax.jit(self._release_impl, donate_argnums=(0,))
+
+    # -- state construction ---------------------------------------------------
+
+    def init_state(self, cache: SlotCache, context_len: int, seed: int = 0) -> SlotState:
+        B = cache.n_slots
+        return SlotState(
+            cache=cache._replace(lengths=jnp.zeros((B,), jnp.int32)),
+            context=jnp.zeros((B, context_len), jnp.int32),
+            ctx_len=jnp.zeros((B,), jnp.int32),
+            prompt_len=jnp.zeros((B,), jnp.int32),
+            pos=jnp.zeros((B,), jnp.int32),
+            current=jnp.zeros((B,), jnp.int32),
+            active=jnp.zeros((B,), jnp.bool_),
+            budget=jnp.zeros((B,), jnp.int32),
+            sampling=SlotSamplingParams(
+                temperature=jnp.zeros((B,), jnp.float32),
+                top_p=jnp.ones((B,), jnp.float32),
+                top_k=jnp.zeros((B,), jnp.int32),
+                repetition_penalty=jnp.ones((B,), jnp.float32),
+                do_sample=jnp.zeros((B,), jnp.bool_),
+                ngram=jnp.zeros((B,), jnp.int32),
+            ),
+            rng=jax.random.PRNGKey(seed),
+        )
+
+    # -- device graphs ----------------------------------------------------------
+
+    def _body(self, model_params: Any, state: SlotState) -> SlotState:
+        act = state.active
+        B = state.context.shape[0]
+        rows = jnp.arange(B)
+        safe_pos = jnp.minimum(state.ctx_len, state.context.shape[1] - 1)
+        context = state.context.at[rows, safe_pos].set(
+            jnp.where(act, state.current, state.context[rows, safe_pos])
+        )
+        ctx_len = state.ctx_len + act.astype(jnp.int32)
+        budget = state.budget - act.astype(jnp.int32)
+
+        alive = act
+        if self.emit_eos:
+            # paddle semantics: EOS was appended above; freeze the row now.
+            alive = alive & ~_is_eos(state.current, self.eos_ids)
+
+        feed = jnp.where(act, state.current, 0).astype(jnp.int32)
+        logits, cache = self.step_fn(model_params, feed, state.cache, state.pos)
+        # only rows that appended a real token keep their KV write
+        cache = cache._replace(lengths=cache.lengths + act.astype(jnp.int32))
+        pos = state.pos + act.astype(jnp.int32)
+
+        rng, key = jax.random.split(state.rng)
+        nxt = select_token_id_slots(
+            logits, context, ctx_len, state.sampling,
+            ngram_max=self.ngram_max, rng_key=key,
+        )
+        if not self.emit_eos:
+            alive = alive & ~_is_eos(nxt, self.eos_ids)
+        alive = alive & (budget > 0)
+        current = jnp.where(alive, nxt, state.current)
+        return SlotState(
+            cache, context, ctx_len, state.prompt_len, pos, current,
+            alive, budget, state.sampling, rng,
+        )
+
+    def _run_chunk_impl(
+        self, model_params: Any, state: SlotState, n_steps: int
+    ) -> SlotState:
+        def cond(carry):
+            i, s = carry
+            return (i < n_steps) & jnp.any(s.active)
+
+        def body(carry):
+            i, s = carry
+            return i + 1, self._body(model_params, s)
+
+        _, out = jax.lax.while_loop(cond, body, (jnp.int32(0), state))
+        return out
+
+    def _join_impl(
+        self,
+        state: SlotState,
+        row,  # scalar int32
+        row_k: jnp.ndarray,  # [L, 1, H, s_pad, Dk]
+        row_v: jnp.ndarray,
+        prompt_row: jnp.ndarray,  # [C] int32 (padded)
+        prompt_len,  # scalar int32
+        pos0,  # scalar int32 — model position counter after prefill
+        first_token,  # scalar int32
+        first_active,  # scalar bool
+        budget,  # scalar int32
+        samp: SlotSamplingParams,  # [1]-shaped rows to insert
+    ) -> SlotState:
+        zero = jnp.int32(0)
+        k = jax.lax.dynamic_update_slice(
+            state.cache.k, row_k.astype(state.cache.k.dtype), (zero, row, zero, zero, zero)
+        )
+        v = jax.lax.dynamic_update_slice(
+            state.cache.v, row_v.astype(state.cache.v.dtype), (zero, row, zero, zero, zero)
+        )
+        cache = SlotCache(k, v, state.cache.lengths.at[row].set(prompt_len))
+        sampling = SlotSamplingParams(
+            temperature=state.sampling.temperature.at[row].set(samp.temperature[0]),
+            top_p=state.sampling.top_p.at[row].set(samp.top_p[0]),
+            top_k=state.sampling.top_k.at[row].set(samp.top_k[0]),
+            repetition_penalty=state.sampling.repetition_penalty.at[row].set(
+                samp.repetition_penalty[0]
+            ),
+            do_sample=state.sampling.do_sample.at[row].set(samp.do_sample[0]),
+            ngram=state.sampling.ngram.at[row].set(samp.ngram[0]),
+        )
+        return SlotState(
+            cache=cache,
+            context=state.context.at[row].set(prompt_row),
+            ctx_len=state.ctx_len.at[row].set(prompt_len),
+            prompt_len=state.prompt_len.at[row].set(prompt_len),
+            pos=state.pos.at[row].set(pos0),
+            current=state.current.at[row].set(first_token),
+            active=state.active.at[row].set(first_active),
+            budget=state.budget.at[row].set(budget),
+            sampling=sampling,
+            rng=state.rng,
+        )
+
+    def _release_impl(self, state: SlotState, row) -> SlotState:
+        return SlotState(
+            cache=state.cache._replace(
+                lengths=state.cache.lengths.at[row].set(0)
+            ),
+            context=state.context,
+            ctx_len=state.ctx_len.at[row].set(0),
+            prompt_len=state.prompt_len.at[row].set(0),
+            pos=state.pos.at[row].set(0),
+            current=state.current,
+            active=state.active.at[row].set(False),
+            budget=state.budget.at[row].set(0),
+            sampling=state.sampling,
+            rng=state.rng,
+        )
+
+    # -- host API ----------------------------------------------------------------
+
+    def join(
+        self,
+        state: SlotState,
+        row: int,
+        row_k: jnp.ndarray,
+        row_v: jnp.ndarray,
+        prompt_ids: Sequence[int],
+        prefill_logits: np.ndarray,  # [V] f32 on host
+        params,  # DecodeParameters-like (host)
+        max_new: int,
+        pos0: Optional[int] = None,
+    ) -> Tuple[SlotState, bool, Optional[int]]:
+        """Insert a prefilled request into slot `row`.
+
+        Selects the first token host-side with the host sampler spec
+        (one-time per request; matches Generator.start semantics).
+        Returns (state, finished_immediately, first_token_or_None).
+        """
+        C = state.context.shape[1]
+        n = len(prompt_ids)
+        if n > C:
+            raise ValueError(f"prompt ({n} tokens) exceeds context buffer {C}")
+        rng = np.random.default_rng(params.seed or 0)
+        first = select_token_id_host(prefill_logits, params, list(prompt_ids), rng)
+        first_is_eos = first in self.eos_ids
+        # EOS on the prefill token → empty generation for every engine
+        # (Generator.generate early-return, ref model/mod.rs:1963-1974).
+        finished = first_is_eos or max_new <= 0
+        prompt_row = np.zeros(C, np.int32)
+        prompt_row[:n] = prompt_ids
+        samp = SlotSamplingParams.full(1, params)
+        state = self._join_jit(
+            state,
+            jnp.int32(row),
+            row_k,
+            row_v,
+            jnp.asarray(prompt_row),
+            jnp.int32(n),
+            jnp.int32(n if pos0 is None else pos0),
+            jnp.int32(first),
+            jnp.asarray(not finished),
+            jnp.int32(max_new),
+            samp,
+        )
+        return state, finished, int(first)
+
+    def run_chunk(self, model_params: Any, state: SlotState, n_steps: int) -> SlotState:
+        return self._chunk_jit(model_params, state, n_steps=n_steps)
+
+    def harvest(self, state: SlotState) -> SlotHarvest:
+        context, ctx_len, prompt_len, active = jax.device_get(
+            (state.context, state.ctx_len, state.prompt_len, state.active)
+        )
+        return SlotHarvest(
+            context=np.asarray(context),
+            ctx_len=np.asarray(ctx_len),
+            prompt_len=np.asarray(prompt_len),
+            active=np.asarray(active),
+        )
+
+    def release(self, state: SlotState, row: int) -> SlotState:
+        return self._release_jit(state, jnp.int32(row))
