@@ -91,11 +91,19 @@ async def _decode(
     loop = asyncio.get_running_loop()
     state.metrics["requests_total"] += 1
     t0 = _time.perf_counter()
+    scheduler = state.scheduler
+    can_schedule = scheduler is not None and (
+        stream_cb is None or getattr(scheduler, "supports_streaming", False)
+    )
     try:
-        if stream_cb is None and state.scheduler is not None:
-            # micro-batching path: concurrent requests coalesce into one
-            # left-padded batched decode
-            outcome = await state.scheduler.submit(
+        if can_schedule and stream_cb is not None:
+            # continuous batching: streaming requests join the slot loop
+            # and receive deltas at every chunk boundary
+            outcome = await scheduler.submit(
+                rendered, images, vision, settings.decode, stream_cb=stream_cb
+            )
+        elif can_schedule:
+            outcome = await scheduler.submit(
                 rendered, images, vision, settings.decode
             )
         else:

@@ -1,13 +1,16 @@
-"""Micro-batching scheduler: coalesce concurrent non-streaming requests
-into one batched decode.
+"""Request scheduling: continuous (slot-based) batching, with a
+micro-batching fallback for engines without a slot runner.
 
 The reference serializes every request on a model mutex
-(server/src/state.rs:22); this scheduler is the TPU-native replacement —
-requests arriving within a short window batch into the engine's
-left-padded `decode_batch`, multiplying page throughput at near-constant
-latency (decode is HBM-bound, so batching rides for almost free).
-Requests whose decode params differ, or models without a batched path,
-fall back to sequential decode inside the same worker.
+(server/src/state.rs:22, generation.rs:84-86). The TPU-native
+replacement is the ContinuousScheduler: a persistent B-slot decode loop
+(runtime/slots.py) where requests join mid-flight after their own
+prefill, finished rows free their slot immediately, streaming requests
+participate, and per-request sampling params need not match (they ride
+as per-row device arrays).
+
+BatchScheduler (window micro-batching over decode_batch) remains as the
+fallback for engines that expose decode_batch but not the slot surface.
 """
 
 from __future__ import annotations
@@ -15,9 +18,12 @@ from __future__ import annotations
 import asyncio
 import dataclasses
 import functools
-from typing import Any, List, Optional, Tuple
+import os
+from typing import Any, Callable, List, Optional, Tuple
 
 from ..core import DecodeOutcome, DecodeParameters, VisionSettings
+from ..core.text import normalize_text
+from ..runtime.generate import clamp_new_tokens
 
 
 @dataclasses.dataclass
@@ -37,7 +43,193 @@ class _Job:
         )
 
 
+@dataclasses.dataclass
+class _SlotJob:
+    prompt: str
+    images: List[Any]
+    vision: VisionSettings
+    params: DecodeParameters
+    future: asyncio.Future
+    stream_cb: Optional[Callable[[int, List[int]], None]] = None
+    # filled at join time
+    prompt_len: int = 0
+    max_new: int = 0
+    truncated: bool = False
+    emitted: int = 0
+
+
+class ContinuousScheduler:
+    """Slot-based continuous batching over an engine's SlotRunner surface.
+
+    Requires the engine to expose make_slot_runner / new_slot_cache /
+    prefill_for_slot (models/deepseek/engine.py). One cooperative worker
+    owns all device work: admit (prefill+join) → chunked decode → harvest
+    (stream deltas, finalize finished rows) → repeat. Streaming requests
+    get their callback invoked at every chunk boundary.
+    """
+
+    supports_streaming = True
+
+    def __init__(
+        self,
+        engine,
+        tokenizer,
+        n_slots: Optional[int] = None,
+        max_len: Optional[int] = None,
+        chunk_steps: int = 32,
+        stream_chunk_steps: int = 16,
+    ):
+        self.engine = engine
+        self.tokenizer = tokenizer
+        self.n_slots = n_slots or int(os.environ.get("DSOCR_SLOTS", "8"))
+        self.max_len = max_len or min(
+            int(os.environ.get("DSOCR_SLOT_SEQ", "4096")),
+            getattr(engine, "max_seq_len", 4096),
+        )
+        self.chunk_steps = chunk_steps
+        self.stream_chunk_steps = stream_chunk_steps
+        self.queue: asyncio.Queue = asyncio.Queue()
+        self._worker_task: Optional[asyncio.Task] = None
+        self._runner = None
+        self._state = None
+        self._rows: List[Optional[_SlotJob]] = [None] * self.n_slots
+        self.batch_sizes: List[int] = []  # occupancy per chunk (observability)
+
+    # -- public API ----------------------------------------------------------
+
+    async def submit(
+        self,
+        prompt: str,
+        images: List[Any],
+        vision: VisionSettings,
+        params: DecodeParameters,
+        stream_cb: Optional[Callable[[int, List[int]], None]] = None,
+    ) -> DecodeOutcome:
+        loop = asyncio.get_running_loop()
+        job = _SlotJob(prompt, images, vision, params, loop.create_future(), stream_cb)
+        await self.queue.put(job)
+        if self._worker_task is None:
+            self._worker_task = asyncio.create_task(self._worker())
+        return await job.future
+
+    # -- worker --------------------------------------------------------------
+
+    def _ensure_state(self):
+        if self._runner is None:
+            self._runner = self.engine.make_slot_runner()
+            cache = self.engine.new_slot_cache(self.n_slots, self.max_len)
+            self._state = self._runner.init_state(cache, context_len=self.max_len)
+
+    def _free_rows(self) -> List[int]:
+        return [r for r, job in enumerate(self._rows) if job is None]
+
+    def _join_job(self, row: int, job: _SlotJob) -> bool:
+        """Blocking (device): prefill + slot insert. Returns True if the
+        request finished at prefill (first token EOS / zero budget)."""
+        pre = self.engine.prefill_for_slot(
+            self.tokenizer, job.prompt, job.images, job.vision
+        )
+        job.prompt_len = len(pre["prompt_ids"])
+        requested = job.params.max_new_tokens
+        # per-row budget bounded by this slot's cache capacity
+        job.max_new = clamp_new_tokens(job.prompt_len, requested, self.max_len)
+        job.truncated = job.max_new < requested
+        self._state, finished, first = self._runner.join(
+            self._state,
+            row,
+            pre["row_k"],
+            pre["row_v"],
+            pre["prompt_ids"],
+            pre["logits"],
+            job.params,
+            job.max_new,
+            pos0=pre["pos0"],
+        )
+        return finished
+
+    def _finalize(self, job: _SlotJob, tokens: List[int]) -> None:
+        text = normalize_text(
+            self.tokenizer.decode(tokens, skip_special_tokens=True)
+        )
+        if not job.future.done():
+            job.future.set_result(
+                DecodeOutcome(
+                    text=text,
+                    prompt_tokens=job.prompt_len,
+                    response_tokens=len(tokens),
+                    generated_tokens=tokens,
+                    truncated=job.truncated,
+                )
+            )
+
+    async def _admit(self, loop) -> None:
+        for row in self._free_rows():
+            if self.queue.empty():
+                break
+            job: _SlotJob = self.queue.get_nowait()
+            try:
+                finished = await loop.run_in_executor(
+                    None, self._join_job, row, job
+                )
+            except Exception as err:
+                if not job.future.done():
+                    job.future.set_exception(err)
+                continue
+            if finished:
+                self._finalize(job, [])
+            else:
+                self._rows[row] = job
+
+    async def _worker(self):
+        loop = asyncio.get_running_loop()
+        try:
+            while True:
+                occupied = any(j is not None for j in self._rows)
+                if not occupied and self.queue.empty():
+                    return
+                self._ensure_state()
+                await self._admit(loop)
+                active_jobs = [j for j in self._rows if j is not None]
+                if not active_jobs:
+                    continue
+                self.batch_sizes.append(len(active_jobs))
+                chunk = (
+                    self.stream_chunk_steps
+                    if any(j.stream_cb is not None for j in active_jobs)
+                    else self.chunk_steps
+                )
+                self._state = await loop.run_in_executor(
+                    None,
+                    functools.partial(
+                        self._runner.run_chunk, self.engine.params, self._state, chunk
+                    ),
+                )
+                harvest = await loop.run_in_executor(
+                    None, self._runner.harvest, self._state
+                )
+                for row, job in enumerate(self._rows):
+                    if job is None:
+                        continue
+                    tokens = harvest.generated(row)
+                    if job.stream_cb is not None and len(tokens) > job.emitted:
+                        try:
+                            job.stream_cb(len(tokens), tokens)
+                        except Exception:
+                            pass
+                    job.emitted = len(tokens)
+                    if not harvest.active[row]:
+                        self._finalize(job, tokens)
+                        self._rows[row] = None
+                        self._state = await loop.run_in_executor(
+                            None, self._runner.release, self._state, row
+                        )
+        finally:
+            self._worker_task = None
+
+
 class BatchScheduler:
+    supports_streaming = False
+
     def __init__(
         self,
         engine,

@@ -93,11 +93,19 @@ class AppState:
                     None, self._engine_factory, model_id
                 )
                 self.metrics["model_swaps_total"] += 1
-                from .scheduler import BatchScheduler
+                from .scheduler import BatchScheduler, ContinuousScheduler
 
-                self._scheduler = BatchScheduler(
-                    self._loaded.engine, self._loaded.tokenizer, lock=self._lock
-                )
+                engine = self._loaded.engine
+                if hasattr(engine, "make_slot_runner"):
+                    # continuous batching: mid-flight joins, per-row
+                    # params, streaming participation
+                    self._scheduler = ContinuousScheduler(
+                        engine, self._loaded.tokenizer
+                    )
+                else:
+                    self._scheduler = BatchScheduler(
+                        engine, self._loaded.tokenizer, lock=self._lock
+                    )
             return self._loaded
 
     @property

@@ -123,3 +123,156 @@ def test_error_propagates_to_all_futures():
 
     results = asyncio.run(go())
     assert all(isinstance(r, RuntimeError) for r in results)
+
+
+# -- continuous (slot-based) scheduler -----------------------------------------
+
+
+import jax.numpy as jnp
+import numpy as np
+
+from dsocr_tpu.models.deepseek import DeepseekOcrEngine
+from dsocr_tpu.models.deepseek.config import tiny_deepseek_config
+from dsocr_tpu.server.scheduler import ContinuousScheduler
+
+
+class SlotTokenizer:
+    def encode(self, text):
+        return [ord(c) % 100 for c in text]
+
+    def decode(self, ids, skip_special_tokens=True):
+        return "".join(chr(97 + (i % 26)) for i in ids)
+
+    def token_to_id(self, token):
+        return 127 if token == "<image>" else None
+
+
+@pytest.fixture(scope="module")
+def slot_engine():
+    return DeepseekOcrEngine(
+        tiny_deepseek_config(), dtype=jnp.float32, max_seq_len=1024
+    )
+
+
+def _img(seed, h=50, w=50):
+    return np.random.default_rng(seed).integers(0, 256, (h, w, 3), dtype=np.uint8)
+
+
+def test_continuous_concurrent_mixed_params(slot_engine):
+    """Concurrent requests with DIFFERENT params decode together and match
+    their solo runs (the round-1 scheduler required identical params)."""
+    tok = SlotTokenizer()
+    pa = DecodeParameters(max_new_tokens=5, no_repeat_ngram_size=None)
+    pb = DecodeParameters(max_new_tokens=8, repetition_penalty=1.5,
+                          no_repeat_ngram_size=3)
+    img_a, img_b = _img(1), _img(2, 60, 40)
+    solo_a = slot_engine.decode(tok, "<image>aa", [img_a], VS, pa)
+    solo_b = slot_engine.decode(tok, "<image>bbb", [img_b], VS, pb)
+
+    async def go():
+        sched = ContinuousScheduler(slot_engine, tok, n_slots=2, max_len=256,
+                                    chunk_steps=3)
+        return await asyncio.gather(
+            sched.submit("<image>aa", [img_a], VS, pa),
+            sched.submit("<image>bbb", [img_b], VS, pb),
+        ), sched
+
+    (ra, rb), sched = asyncio.run(go())
+    assert ra.generated_tokens == solo_a.generated_tokens
+    assert rb.generated_tokens == solo_b.generated_tokens
+    assert max(sched.batch_sizes, default=0) == 2  # they really shared chunks
+
+
+def test_continuous_join_mid_flight(slot_engine):
+    """Request B arrives while A is mid-decode; both equal their solo runs."""
+    tok = SlotTokenizer()
+    params = DecodeParameters(max_new_tokens=12, no_repeat_ngram_size=None)
+    img_a, img_b = _img(3), _img(4)
+    solo_a = slot_engine.decode(tok, "<image>first", [img_a], VS, params)
+    solo_b = slot_engine.decode(tok, "<image>second req", [img_b], VS, params)
+
+    async def go():
+        sched = ContinuousScheduler(slot_engine, tok, n_slots=2, max_len=256,
+                                    chunk_steps=2)
+        task_a = asyncio.create_task(
+            sched.submit("<image>first", [img_a], VS, params)
+        )
+        # let A prefill and decode at least one chunk before B arrives
+        while not sched.batch_sizes:
+            await asyncio.sleep(0.01)
+        task_b = asyncio.create_task(
+            sched.submit("<image>second req", [img_b], VS, params)
+        )
+        return await asyncio.gather(task_a, task_b), sched
+
+    (ra, rb), sched = asyncio.run(go())
+    assert ra.generated_tokens == solo_a.generated_tokens
+    assert rb.generated_tokens == solo_b.generated_tokens
+    assert 2 in sched.batch_sizes  # B really joined while A was active
+
+
+def test_continuous_streaming_participates(slot_engine):
+    """A streaming request joins the slot loop and receives monotonically
+    growing token prefixes; final text matches the solo run."""
+    tok = SlotTokenizer()
+    params = DecodeParameters(max_new_tokens=10, no_repeat_ngram_size=None)
+    img = _img(5)
+    solo = slot_engine.decode(tok, "<image>stream", [img], VS, params)
+    seen = []
+
+    async def go():
+        sched = ContinuousScheduler(slot_engine, tok, n_slots=2, max_len=256,
+                                    stream_chunk_steps=2, chunk_steps=2)
+        return await sched.submit(
+            "<image>stream", [img], VS, params,
+            stream_cb=lambda step, toks: seen.append(list(toks)),
+        )
+
+    outcome = asyncio.run(go())
+    assert outcome.generated_tokens == solo.generated_tokens
+    assert len(seen) >= 2  # multiple chunk-boundary callbacks
+    for prev, cur in zip(seen, seen[1:]):
+        assert cur[: len(prev)] == prev  # prefix-monotone
+    assert seen[-1] == solo.generated_tokens
+
+
+def test_continuous_more_requests_than_slots(slot_engine):
+    """Requests beyond slot capacity queue and complete as slots free."""
+    tok = SlotTokenizer()
+    params = DecodeParameters(max_new_tokens=4, no_repeat_ngram_size=None)
+    imgs = [_img(10 + i) for i in range(4)]
+    solos = [
+        slot_engine.decode(tok, f"<image>req{i}", [imgs[i]], VS, params)
+        for i in range(4)
+    ]
+
+    async def go():
+        sched = ContinuousScheduler(slot_engine, tok, n_slots=2, max_len=256,
+                                    chunk_steps=2)
+        return await asyncio.gather(
+            *(sched.submit(f"<image>req{i}", [imgs[i]], VS, params)
+              for i in range(4))
+        )
+
+    results = asyncio.run(go())
+    for got, solo in zip(results, solos):
+        assert got.generated_tokens == solo.generated_tokens
+
+
+def test_continuous_prefill_error_frees_slot(slot_engine):
+    """A failing request (bad image) rejects its future and does not leak
+    its slot; the next request still runs."""
+    tok = SlotTokenizer()
+    params = DecodeParameters(max_new_tokens=3, no_repeat_ngram_size=None)
+    img = _img(20)
+
+    async def go():
+        sched = ContinuousScheduler(slot_engine, tok, n_slots=1, max_len=256,
+                                    chunk_steps=2)
+        bad = sched.submit("<image><image>two slots one img", [img], VS, params)
+        with pytest.raises(ValueError):
+            await bad
+        return await sched.submit("<image>ok", [img], VS, params)
+
+    outcome = asyncio.run(go())
+    assert outcome.response_tokens > 0
