@@ -21,14 +21,16 @@ import jax.numpy as jnp
 
 from ...ops import attention, causal_mask, rms_norm
 from ...ops.moe import (
+    LayeredKQuant,
     LayeredQ8,
     MoeConfig,
-    dequant_q8_stack,
+    dequant_stack,
     moe_apply,
     moe_apply_fused,
-    moe_apply_q8,
-    moe_apply_q8_fused,
+    moe_apply_quant,
+    moe_apply_quant_fused,
     moe_router,
+    quant_method,
 )
 from ...ops.rope import apply_rope, build_rope_tables
 from ...runtime.kv_cache import KVCache, init_kv_cache
@@ -158,12 +160,30 @@ def _proj(x, w):
         x2 = x.reshape(-1, x.shape[-1])
         out = q8_matmul_layered_auto(x2, w.codes, w.scales, w.layer)
         return out.reshape(*lead, out.shape[-1]).astype(x.dtype)
-    if isinstance(w, dict):  # packed Q8_0 linear (models/deepseek/quantize.py)
-        from ...ops.pallas.dequant_matmul import q8_matmul_auto
+    if isinstance(w, LayeredKQuant):  # stacked packed k-quant inside a scan
+        from ...ops.pallas.kquant_matmul import (
+            q4k_matmul_layered_auto,
+            q6k_matmul_layered_auto,
+        )
 
+        fn = q4k_matmul_layered_auto if w.method == "q4_k" else q6k_matmul_layered_auto
         lead = x.shape[:-1]
         x2 = x.reshape(-1, x.shape[-1])
-        out = q8_matmul_auto(x2, w["codes"], w["scales"])
+        out = fn(x2, w.arrays, w.layer)
+        return out.reshape(*lead, out.shape[-1]).astype(x.dtype)
+    if isinstance(w, dict):  # packed quant linear (models/deepseek/quantize.py)
+        method = quant_method(w)
+        lead = x.shape[:-1]
+        x2 = x.reshape(-1, x.shape[-1])
+        if method == "q8_0":
+            from ...ops.pallas.dequant_matmul import q8_matmul_auto
+
+            out = q8_matmul_auto(x2, w["codes"], w["scales"])
+        else:
+            from ...ops.pallas.kquant_matmul import q4k_matmul_auto, q6k_matmul_auto
+
+            fn = q4k_matmul_auto if method == "q4_k" else q6k_matmul_auto
+            out = fn(x2, w)
         return out.reshape(*lead, out.shape[-1]).astype(x.dtype)
     return jnp.einsum(
         "...i,io->...o", x, w, preferred_element_type=jnp.float32
@@ -288,7 +308,11 @@ def deepseek_forward(
     def _with_quantized(layer_xs, qgroup, local_idx):
         layer = dict(layer_xs)
         for key, q in qgroup.items():
-            layer[key] = LayeredQ8(q["codes"], q["scales"], local_idx)
+            method = quant_method(q)
+            if method == "q8_0":
+                layer[key] = LayeredQ8(q["codes"], q["scales"], local_idx)
+            else:
+                layer[key] = LayeredKQuant(q, local_idx, method)
         return layer
 
     dense_q, dense_xs = (
@@ -324,29 +348,30 @@ def deepseek_forward(
             aux_bias=layer.get("gate_bias"),
         )
         ed = layer["experts_down"]
+        quant_types = (dict, LayeredQ8, LayeredKQuant)
         if "experts_gateup" in layer:
             egu = layer["experts_gateup"]
-            if isinstance(egu, (dict, LayeredQ8)):  # packed Q8_0 stacks
-                if B * S <= 32:
-                    routed = moe_apply_q8_fused(tokens, weights, indices, egu, ed)
-                else:
+            if isinstance(egu, quant_types):  # packed quant stacks
+                if B * S <= 32:  # decode: gather kernels read packed bytes
+                    routed = moe_apply_quant_fused(tokens, weights, indices, egu, ed)
+                else:  # prefill: once-per-layer dequant → grouped matmul
                     routed = moe_apply_fused(
                         tokens, weights, indices,
-                        dequant_q8_stack(egu), dequant_q8_stack(ed),
+                        dequant_stack(egu), dequant_stack(ed),
                     )
             else:
                 routed = moe_apply_fused(tokens, weights, indices, egu, ed)
         else:
             eg = layer["experts_gate"]
             eu = layer["experts_up"]
-            if isinstance(eg, (dict, LayeredQ8)):  # packed Q8_0 expert stacks
-                if B * S <= 32:  # decode: gather kernel reads q8 bytes only
-                    routed = moe_apply_q8(tokens, weights, indices, eg, eu, ed)
-                else:  # prefill: once-per-layer dequant → grouped matmul
+            if isinstance(eg, quant_types):  # packed quant expert stacks
+                if B * S <= 32:
+                    routed = moe_apply_quant(tokens, weights, indices, eg, eu, ed)
+                else:
                     routed = moe_apply(
                         tokens, weights, indices,
-                        dequant_q8_stack(eg), dequant_q8_stack(eu),
-                        dequant_q8_stack(ed),
+                        dequant_stack(eg), dequant_stack(eu),
+                        dequant_stack(ed),
                     )
             else:
                 routed = moe_apply(tokens, weights, indices, eg, eu, ed)
@@ -382,17 +407,25 @@ def deepseek_forward(
     head = params.get("lm_head")
     if head is None:
         head = params["embed_tokens"].T
-    if isinstance(head, dict):  # packed Q8_0 lm_head
-        from ...ops.pallas.dequant_matmul import q8_matmul_auto
+    if isinstance(head, dict):  # packed quant lm_head
+        method = quant_method(head)
+        if method == "q8_0":
+            from ...ops.pallas.dequant_matmul import q8_matmul_auto
 
+            head_mm = lambda t: q8_matmul_auto(t, head["codes"], head["scales"])
+        else:
+            from ...ops.pallas.kquant_matmul import q4k_matmul_auto, q6k_matmul_auto
+
+            kq = q4k_matmul_auto if method == "q4_k" else q6k_matmul_auto
+            head_mm = lambda t: kq(t, head)
         if full_logits:
-            flat = q8_matmul_auto(x.reshape(B * S, H), head["codes"], head["scales"])
+            flat = head_mm(x.reshape(B * S, H))
             return flat.reshape(B, S, -1).astype(jnp.float32), cache
         if last_index is None:
             x_last = x[:, -1]
         else:
             x_last = jnp.take_along_axis(x, last_index[:, None, None], axis=1)[:, 0]
-        return q8_matmul_auto(x_last, head["codes"], head["scales"]), cache
+        return head_mm(x_last), cache
     if full_logits:
         logits = jnp.einsum("bsh,hv->bsv", x, head, preferred_element_type=jnp.float32)
         return logits.astype(jnp.float32), cache

@@ -62,52 +62,92 @@ def _q8_rows(rows: np.ndarray):
     return np.asarray(codes), np.asarray(scales)
 
 
-def quantize_plain(w) -> Dict:
-    """[.., in, out] float → ggml-layout q8 dict {codes [.., out, in]}."""
+def _effective_method(method: str, in_dim: int) -> str:
+    """k-quants need 256-element super-blocks along the contraction dim;
+    ineligible tensors fall back to Q8_0 (the reference's exporter falls
+    back to float for them — Q8_0 is the strictly better TPU fallback)."""
+    if method in ("q4_k", "q6_k") and in_dim % 256 != 0:
+        return "q8_0"
+    return method
+
+
+def quantize_plain(w, method: str = "q8_0") -> Dict:
+    """[.., in, out] float → packed quant dict in ggml row layout
+    (q8_0: {codes [.., out, in]}; q4_k/q6_k: plane dicts, kquant_matmul)."""
     arr = np.asarray(w, np.float32)
     *lead, i, o = arr.shape
+    method = _effective_method(method, i)
     rows = arr.reshape(-1, i, o).transpose(0, 2, 1).reshape(-1, i)
-    codes, scales = _q8_rows(rows)
+    if method == "q8_0":
+        codes, scales = _q8_rows(rows)
+        return {
+            "codes": jnp.asarray(codes.reshape(*lead, o, i)),
+            "scales": jnp.asarray(scales.reshape(*lead, o, i // 32)),
+        }
+    from ...dsq.quant import quantize_q4_k, quantize_q6_k
+    from ...ops.pallas.kquant_matmul import pack_q4_k, pack_q6_k
+
+    r = rows.shape[0]
+    if method == "q4_k":
+        packed = pack_q4_k(quantize_q4_k(rows, r, i), r, i)
+    else:
+        packed = pack_q6_k(quantize_q6_k(rows, r, i), r, i)
     return {
-        "codes": jnp.asarray(codes.reshape(*lead, o, i)),
-        "scales": jnp.asarray(scales.reshape(*lead, o, i // 32)),
+        key: jnp.asarray(np.asarray(v).reshape(*lead, o, *v.shape[1:]))
+        for key, v in packed.items()
     }
 
 
-def quantize_expert_stack(w) -> Dict:
-    """[L, E, in, out] float → in-major q8 dict (see module docstring)."""
+def quantize_expert_stack(w, method: str = "q8_0") -> Dict:
+    """[L, E, in, out] float → in-major packed dict (see module docstring)."""
     arr = np.asarray(w, np.float32)
     L, E, i, o = arr.shape
-    codes_out = np.empty((L, E, i, o), np.int8)
-    scales_out = np.empty((L, E, i // 32, o), np.float32)
-    for l in range(L):  # per-layer to bound the f32 working set
-        rows = arr[l].transpose(0, 2, 1).reshape(-1, i)  # [E*o, in] ggml rows
-        codes, scales = _q8_rows(rows)
-        codes_out[l] = codes.reshape(E, o, i).transpose(0, 2, 1)
-        scales_out[l] = scales.reshape(E, o, i // 32).transpose(0, 2, 1)
-    return {"codes": jnp.asarray(codes_out), "scales": jnp.asarray(scales_out)}
+    method = _effective_method(method, i)
+    if method == "q8_0":
+        codes_out = np.empty((L, E, i, o), np.int8)
+        scales_out = np.empty((L, E, i // 32, o), np.float32)
+        for l in range(L):  # per-layer to bound the f32 working set
+            rows = arr[l].transpose(0, 2, 1).reshape(-1, i)  # [E*o, in] ggml rows
+            codes, scales = _q8_rows(rows)
+            codes_out[l] = codes.reshape(E, o, i).transpose(0, 2, 1)
+            scales_out[l] = scales.reshape(E, o, i // 32).transpose(0, 2, 1)
+        return {"codes": jnp.asarray(codes_out), "scales": jnp.asarray(scales_out)}
+    from ...dsq.quant import quantize_q4_k, quantize_q6_k
+    from ...ops.pallas.kquant_matmul import pack_q4_k_inmajor, pack_q6_k_inmajor
+
+    per_layer = []
+    for l in range(L):
+        rows = arr[l].transpose(0, 2, 1).reshape(-1, i)
+        if method == "q4_k":
+            per_layer.append(pack_q4_k_inmajor(quantize_q4_k(rows, E * o, i), E, o, i))
+        else:
+            per_layer.append(pack_q6_k_inmajor(quantize_q6_k(rows, E * o, i), E, o, i))
+    return {
+        key: jnp.stack([np.asarray(p[key]) for p in per_layer])
+        for key in per_layer[0]
+    }
 
 
 def quantize_decoder_params(params: Dict, method: str = "q8_0") -> Dict:
     """Return a copy of the decoder param tree with the reference's
-    quantization-eligible linears replaced by packed q8 dicts."""
-    if method != "q8_0":
+    quantization-eligible linears replaced by packed quant dicts
+    (q8_0 / q4_k / q6_k; k-quant-ineligible in-dims fall back to q8_0)."""
+    if method not in ("q8_0", "q4_k", "q6_k"):
         raise NotImplementedError(
-            f"runtime quantization `{method}` not supported (q8_0 only; "
-            "q4_k/q6_k snapshots dequantize on load)"
+            f"runtime quantization `{method}` not supported"
         )
     out = dict(params)
     if "lm_head" in out and out["lm_head"] is not None:
-        out["lm_head"] = quantize_plain(out["lm_head"])
+        out["lm_head"] = quantize_plain(out["lm_head"], method)
     for group in ("dense_layers", "moe_layers"):
         if group not in out:
             continue
         layers = dict(out[group])
         for key in PLAIN_KEYS:
             if key in layers:
-                layers[key] = quantize_plain(layers[key])
+                layers[key] = quantize_plain(layers[key], method)
         for key in EXPERT_KEYS:
             if key in layers:
-                layers[key] = quantize_expert_stack(layers[key])
+                layers[key] = quantize_expert_stack(layers[key], method)
         out[group] = layers
     return out

@@ -172,6 +172,56 @@ class LayeredQ8:
         self.layer = layer
 
 
+class LayeredKQuant:
+    """LayeredQ8 counterpart for plane-packed Q4_K/Q6_K stacks: holds the
+    whole stacked array dict plus the traced layer index; the layer rides
+    scalar prefetch into the k-quant kernels."""
+
+    __slots__ = ("arrays", "layer", "method")
+
+    def __init__(self, arrays, layer, method):
+        self.arrays = arrays
+        self.layer = layer
+        self.method = method
+
+
+def quant_method(q) -> str:
+    """Identify a packed-quant dict/view by its array keys."""
+    if isinstance(q, LayeredQ8):
+        return "q8_0"
+    if isinstance(q, LayeredKQuant):
+        return q.method
+    if "packed" in q:
+        return "q4_k"
+    if "ql_a" in q:
+        return "q6_k"
+    return "q8_0"
+
+
+def is_quantized(q) -> bool:
+    return isinstance(q, (dict, LayeredQ8, LayeredKQuant))
+
+
+def dequant_stack(q) -> jnp.ndarray:
+    """Any packed-quant dict or Layered view of an in-major expert stack →
+    bf16 [E, in, out] for the prefill grouped-matmul path (one dequant
+    write per layer is cheap next to the prefill matmuls)."""
+    method = quant_method(q)
+    if method == "q8_0":
+        return dequant_q8_stack(q)
+    from .pallas.kquant_matmul import dequant_q4k_planes, dequant_q6k_planes
+
+    if isinstance(q, LayeredKQuant):
+        arrays = {
+            k: jax.lax.dynamic_index_in_dim(v, q.layer, 0, keepdims=False)
+            for k, v in q.arrays.items()
+        }
+    else:
+        arrays = q
+    fn = dequant_q4k_planes if method == "q4_k" else dequant_q6k_planes
+    return fn(arrays, axis=-2)
+
+
 def dequant_q8_stack(q) -> jnp.ndarray:
     """{codes [E, in, out] int8, scales [E, in/32, out] f32} → bf16
     [E, in, out]. Used by the prefill path: grouped matmuls want bf16
@@ -229,6 +279,69 @@ def moe_apply_q8(
     ups = q8_gather_matmul_auto(flat_x, up_q["codes"], up_q["scales"], flat_idx)
     inter = (silu(gates) * ups).astype(tokens.dtype)
     outs = q8_gather_matmul_auto(inter, down_q["codes"], down_q["scales"], flat_idx)
+    combined = jnp.sum(
+        outs.reshape(n, k, hidden) * topk_weights[..., None], axis=1
+    )
+    return combined.astype(tokens.dtype)
+
+
+def _kq_gather(x, q, idx):
+    """Dispatch a gather matmul against a packed k-quant stack or view."""
+    from .pallas.kquant_matmul import (
+        q4k_gather_matmul_auto,
+        q4k_gather_matmul_layered_auto,
+        q6k_gather_matmul_auto,
+        q6k_gather_matmul_layered_auto,
+    )
+
+    method = quant_method(q)
+    if isinstance(q, LayeredKQuant):
+        fn = (
+            q4k_gather_matmul_layered_auto
+            if method == "q4_k"
+            else q6k_gather_matmul_layered_auto
+        )
+        return fn(x, q.arrays, idx, q.layer)
+    fn = q4k_gather_matmul_auto if method == "q4_k" else q6k_gather_matmul_auto
+    return fn(x, q, idx)
+
+
+def moe_apply_quant(tokens, topk_weights, topk_indices, gate_q, up_q, down_q):
+    """Decode MoE straight from packed weights, any method: q8_0 uses the
+    int8 gather kernels, q4_k/q6_k the plane-decoded ones (~0.56/0.81
+    B/weight of HBM traffic for the selected experts)."""
+    if quant_method(gate_q) == "q8_0":
+        return moe_apply_q8(
+            tokens, topk_weights, topk_indices, gate_q, up_q, down_q
+        )
+    n, k = topk_indices.shape
+    hidden = tokens.shape[1]
+    flat_idx = topk_indices.reshape(n * k)
+    flat_x = jnp.repeat(tokens, k, axis=0)
+    gates = _kq_gather(flat_x, gate_q, flat_idx)
+    ups = _kq_gather(flat_x, up_q, flat_idx)
+    inter = (silu(gates) * ups).astype(tokens.dtype)
+    outs = _kq_gather(inter, down_q, flat_idx)
+    combined = jnp.sum(
+        outs.reshape(n, k, hidden) * topk_weights[..., None], axis=1
+    )
+    return combined.astype(tokens.dtype)
+
+
+def moe_apply_quant_fused(tokens, topk_weights, topk_indices, gateup_q, down_q):
+    """Fused gate+up counterpart of moe_apply_quant."""
+    if quant_method(gateup_q) == "q8_0":
+        return moe_apply_q8_fused(
+            tokens, topk_weights, topk_indices, gateup_q, down_q
+        )
+    n, k = topk_indices.shape
+    hidden = tokens.shape[1]
+    flat_idx = topk_indices.reshape(n * k)
+    flat_x = jnp.repeat(tokens, k, axis=0)
+    gus = _kq_gather(flat_x, gateup_q, flat_idx)
+    gates, ups = _split_gateup(gus)
+    inter = (silu(gates) * ups).astype(tokens.dtype)
+    outs = _kq_gather(inter, down_q, flat_idx)
     combined = jnp.sum(
         outs.reshape(n, k, hidden) * topk_weights[..., None], axis=1
     )

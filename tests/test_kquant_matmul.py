@@ -1,0 +1,307 @@
+"""Pallas Q4_K / Q6_K plane-decomposed dequant-matmul vs the NumPy
+dequantize reference (ref layouts: dsq-writer/src/lib.rs:600-660;
+serving path: dsq-runtime/src/lib.rs:316-369)."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from dsocr_tpu.dsq.quant import (
+    dequantize_q4_k,
+    dequantize_q6_k,
+    quantize_q4_k,
+    quantize_q6_k,
+)
+from dsocr_tpu.ops.pallas.kquant_matmul import (
+    dequant_q4k_planes,
+    dequant_q6k_planes,
+    pack_q4_k,
+    pack_q6_k,
+    q4k_matmul_auto,
+    q4k_matmul_layered_auto,
+    q6k_matmul_auto,
+    q6k_matmul_layered_auto,
+)
+
+
+def _w(rng, m, k, scale=0.5):
+    return (rng.normal(size=(m, k)) * scale).astype(np.float32)
+
+
+# -- pack fidelity: plane layout must dequantize bit-identically ----------------
+
+
+@pytest.mark.parametrize("m,k", [(8, 256), (16, 512), (4, 1280)])
+def test_pack_q4k_plane_dequant_bit_exact(m, k):
+    rng = np.random.default_rng(m + k)
+    w = _w(rng, m, k)
+    payload = quantize_q4_k(w, m, k)
+    ref = dequantize_q4_k(payload, m, k)
+    packed = pack_q4_k(payload, m, k)
+    got = np.asarray(dequant_q4k_planes(packed), np.float32)
+    # f16·6-bit products are exact in f32; bf16 cast is the only rounding
+    np.testing.assert_array_equal(
+        got, ref.astype(np.float32).astype(jnp.bfloat16).astype(np.float32)
+    )
+
+
+@pytest.mark.parametrize("m,k", [(8, 256), (16, 512), (4, 1280)])
+def test_pack_q6k_plane_dequant_bit_exact(m, k):
+    rng = np.random.default_rng(m * 3 + k)
+    w = _w(rng, m, k)
+    payload = quantize_q6_k(w, m, k)
+    ref = dequantize_q6_k(payload, m, k)
+    packed = pack_q6_k(payload, m, k)
+    got = np.asarray(dequant_q6k_planes(packed), np.float32)
+    np.testing.assert_array_equal(
+        got, ref.astype(np.float32).astype(jnp.bfloat16).astype(np.float32)
+    )
+
+
+# -- kernels vs host-dequant matmul ----------------------------------------------
+
+
+@pytest.mark.parametrize("n,m,k", [(1, 128, 256), (4, 256, 512), (3, 128, 1280)])
+def test_q4k_matmul_matches_dequant_reference(n, m, k):
+    rng = np.random.default_rng(n * m + k)
+    w = _w(rng, m, k)
+    x = rng.normal(size=(n, k)).astype(np.float32)
+    payload = quantize_q4_k(w, m, k)
+    out = np.asarray(q4k_matmul_auto(jnp.asarray(x), pack_q4_k(payload, m, k)))
+    expected = x @ dequantize_q4_k(payload, m, k).T
+    # kernel runs the dot in bf16 (MXU); tolerance covers bf16 rounding
+    np.testing.assert_allclose(out, expected, rtol=5e-2, atol=0.2)
+
+
+@pytest.mark.parametrize("n,m,k", [(1, 128, 256), (4, 256, 512), (3, 128, 1280)])
+def test_q6k_matmul_matches_dequant_reference(n, m, k):
+    rng = np.random.default_rng(n + m + k)
+    w = _w(rng, m, k)
+    x = rng.normal(size=(n, k)).astype(np.float32)
+    payload = quantize_q6_k(w, m, k)
+    out = np.asarray(q6k_matmul_auto(jnp.asarray(x), pack_q6_k(payload, m, k)))
+    expected = x @ dequantize_q6_k(payload, m, k).T
+    np.testing.assert_allclose(out, expected, rtol=5e-2, atol=0.2)
+
+
+def _stack_pack(pack_fn, quantize_fn, dequantize_fn, L, m, k, rng):
+    packs, deqs = [], []
+    for layer in range(L):
+        w = _w(rng, m, k)
+        payload = quantize_fn(w, m, k)
+        packs.append(pack_fn(payload, m, k))
+        deqs.append(dequantize_fn(payload, m, k))
+    stacked = {
+        key: jnp.stack([p[key] for p in packs]) for key in packs[0]
+    }
+    return stacked, deqs
+
+
+def test_q4k_layered_selects_layer():
+    rng = np.random.default_rng(77)
+    L, m, k, n = 3, 128, 256, 2
+    stacked, deqs = _stack_pack(pack_q4_k, quantize_q4_k, dequantize_q4_k, L, m, k, rng)
+    x = rng.normal(size=(n, k)).astype(np.float32)
+    for layer in range(L):
+        out = np.asarray(
+            q4k_matmul_layered_auto(jnp.asarray(x), stacked, jnp.int32(layer))
+        )
+        np.testing.assert_allclose(out, x @ deqs[layer].T, rtol=5e-2, atol=0.2)
+
+
+def test_q6k_layered_selects_layer():
+    rng = np.random.default_rng(78)
+    L, m, k, n = 3, 128, 256, 2
+    stacked, deqs = _stack_pack(pack_q6_k, quantize_q6_k, dequantize_q6_k, L, m, k, rng)
+    x = rng.normal(size=(n, k)).astype(np.float32)
+    for layer in range(L):
+        out = np.asarray(
+            q6k_matmul_layered_auto(jnp.asarray(x), stacked, jnp.int32(layer))
+        )
+        np.testing.assert_allclose(out, x @ deqs[layer].T, rtol=5e-2, atol=0.2)
+
+
+# -- in-major gather kernels (MoE decode path) ----------------------------------
+
+
+def _inmajor_setup(quantize_fn, dequantize_fn, pack_fn, E, o, i, rng):
+    w = (rng.normal(size=(E, o, i)) * 0.4).astype(np.float32)  # ggml rows per expert
+    rows = w.reshape(E * o, i)
+    payload = quantize_fn(rows, E * o, i)
+    packed = pack_fn(payload, E, o, i)
+    deq = dequantize_fn(payload, E * o, i).reshape(E, o, i)
+    return packed, deq
+
+
+def test_q4k_gather_matmul_matches_reference():
+    from dsocr_tpu.ops.pallas.kquant_matmul import (
+        pack_q4_k_inmajor,
+        q4k_gather_matmul_auto,
+    )
+
+    rng = np.random.default_rng(11)
+    E, o, i, N = 4, 128, 256, 6
+    packed, deq = _inmajor_setup(
+        quantize_q4_k, dequantize_q4_k, pack_q4_k_inmajor, E, o, i, rng
+    )
+    idx = rng.integers(0, E, size=(N,)).astype(np.int32)
+    x = rng.normal(size=(N, i)).astype(np.float32)
+    out = np.asarray(q4k_gather_matmul_auto(jnp.asarray(x), packed, jnp.asarray(idx)))
+    expected = np.stack([x[n] @ deq[idx[n]].T for n in range(N)])
+    np.testing.assert_allclose(out, expected, rtol=5e-2, atol=0.2)
+
+
+def test_q6k_gather_matmul_matches_reference():
+    from dsocr_tpu.ops.pallas.kquant_matmul import (
+        pack_q6_k_inmajor,
+        q6k_gather_matmul_auto,
+    )
+
+    rng = np.random.default_rng(12)
+    E, o, i, N = 4, 128, 256, 6
+    packed, deq = _inmajor_setup(
+        quantize_q6_k, dequantize_q6_k, pack_q6_k_inmajor, E, o, i, rng
+    )
+    idx = rng.integers(0, E, size=(N,)).astype(np.int32)
+    x = rng.normal(size=(N, i)).astype(np.float32)
+    out = np.asarray(q6k_gather_matmul_auto(jnp.asarray(x), packed, jnp.asarray(idx)))
+    expected = np.stack([x[n] @ deq[idx[n]].T for n in range(N)])
+    np.testing.assert_allclose(out, expected, rtol=5e-2, atol=0.2)
+
+
+def test_q4k_gather_layered_selects_layer():
+    from dsocr_tpu.ops.pallas.kquant_matmul import (
+        pack_q4_k_inmajor,
+        q4k_gather_matmul_layered_auto,
+    )
+
+    rng = np.random.default_rng(13)
+    L, E, o, i, N = 2, 3, 128, 256, 4
+    packs, deqs = [], []
+    for l in range(L):
+        p, d = _inmajor_setup(
+            quantize_q4_k, dequantize_q4_k, pack_q4_k_inmajor, E, o, i, rng
+        )
+        packs.append(p)
+        deqs.append(d)
+    stacked = {k: jnp.stack([np.asarray(p[k]) for p in packs]) for k in packs[0]}
+    idx = rng.integers(0, E, size=(N,)).astype(np.int32)
+    x = rng.normal(size=(N, i)).astype(np.float32)
+    for l in range(L):
+        out = np.asarray(
+            q4k_gather_matmul_layered_auto(
+                jnp.asarray(x), stacked, jnp.asarray(idx), jnp.int32(l)
+            )
+        )
+        expected = np.stack([x[n] @ deqs[l][idx[n]].T for n in range(N)])
+        np.testing.assert_allclose(out, expected, rtol=5e-2, atol=0.2)
+
+
+def test_q6k_gather_layered_selects_layer():
+    from dsocr_tpu.ops.pallas.kquant_matmul import (
+        pack_q6_k_inmajor,
+        q6k_gather_matmul_layered_auto,
+    )
+
+    rng = np.random.default_rng(14)
+    L, E, o, i, N = 2, 3, 128, 256, 4
+    packs, deqs = [], []
+    for l in range(L):
+        p, d = _inmajor_setup(
+            quantize_q6_k, dequantize_q6_k, pack_q6_k_inmajor, E, o, i, rng
+        )
+        packs.append(p)
+        deqs.append(d)
+    stacked = {k: jnp.stack([np.asarray(p[k]) for p in packs]) for k in packs[0]}
+    idx = rng.integers(0, E, size=(N,)).astype(np.int32)
+    x = rng.normal(size=(N, i)).astype(np.float32)
+    for l in range(L):
+        out = np.asarray(
+            q6k_gather_matmul_layered_auto(
+                jnp.asarray(x), stacked, jnp.asarray(idx), jnp.int32(l)
+            )
+        )
+        expected = np.stack([x[n] @ deqs[l][idx[n]].T for n in range(N)])
+        np.testing.assert_allclose(out, expected, rtol=5e-2, atol=0.2)
+
+
+def test_inmajor_dequant_stack_matches_reference():
+    """dequant_stack on in-major plane dicts must reproduce the host
+    dequantized stack (prefill path)."""
+    from dsocr_tpu.ops.moe import dequant_stack
+    from dsocr_tpu.ops.pallas.kquant_matmul import (
+        pack_q4_k_inmajor,
+        pack_q6_k_inmajor,
+    )
+
+    rng = np.random.default_rng(15)
+    E, o, i = 3, 64, 256
+    p4, d4 = _inmajor_setup(
+        quantize_q4_k, dequantize_q4_k, pack_q4_k_inmajor, E, o, i, rng
+    )
+    got = np.asarray(dequant_stack(p4), np.float32)  # [E, in, out]
+    ref = d4.transpose(0, 2, 1).astype(np.float32)
+    np.testing.assert_array_equal(
+        got, ref.astype(jnp.bfloat16).astype(np.float32)
+    )
+    p6, d6 = _inmajor_setup(
+        quantize_q6_k, dequantize_q6_k, pack_q6_k_inmajor, E, o, i, rng
+    )
+    got = np.asarray(dequant_stack(p6), np.float32)
+    ref = d6.transpose(0, 2, 1).astype(np.float32)
+    np.testing.assert_array_equal(
+        got, ref.astype(jnp.bfloat16).astype(np.float32)
+    )
+
+
+# -- engine-level: DSOCR_QUANT=q4_k / q6_k prefill+decode consistency -------------
+
+
+@pytest.mark.parametrize("method", ["q4_k", "q6_k"])
+def test_kquant_engine_decode_consistency(method):
+    """A k-quant-served engine (hidden 256 so k-quants are eligible)
+    decodes through both prefill (dequant + grouped matmul) and decode
+    (gather kernels) without shape errors, producing full-length greedy
+    output; the float engine on the same weights decodes the same count."""
+    import dataclasses
+
+    import jax
+
+    from dsocr_tpu.core import DecodeParameters, VisionSettings
+    from dsocr_tpu.models.deepseek import DeepseekOcrEngine
+    from dsocr_tpu.models.deepseek.config import tiny_deepseek_config
+
+    class FakeTokenizer:
+        def encode(self, text):
+            return [ord(c) % 100 for c in text]
+
+        def decode(self, ids, skip_special_tokens=True):
+            return "".join(chr(97 + (i % 26)) for i in ids)
+
+        def token_to_id(self, token):
+            return 127 if token == "<image>" else None
+
+    base = tiny_deepseek_config()
+    cfg = dataclasses.replace(
+        base,
+        projector_n_embed=256,
+        language=dataclasses.replace(
+            base.language,
+            hidden_size=256,
+            num_attention_heads=4,
+            intermediate_size=256,
+            moe_intermediate_size=256,
+        ),
+    )
+    eng_f = DeepseekOcrEngine(cfg, dtype=jnp.float32, max_seq_len=512)
+    eng_q = DeepseekOcrEngine(
+        cfg, params=jax.tree_util.tree_map(lambda x: x, eng_f.params),
+        dtype=jnp.float32, max_seq_len=512, quantize=method,
+    )
+    rng = np.random.default_rng(50)
+    image = rng.integers(0, 256, size=(60, 60, 3), dtype=np.uint8)
+    settings = VisionSettings(64, 64, False)
+    params = DecodeParameters(max_new_tokens=3, no_repeat_ngram_size=None)
+    out_f = eng_f.decode(FakeTokenizer(), "<image>q", [image], settings, params)
+    out_q = eng_q.decode(FakeTokenizer(), "<image>q", [image], settings, params)
+    assert len(out_q.generated_tokens) == len(out_f.generated_tokens)
