@@ -89,7 +89,12 @@ class ContinuousScheduler:
         self.chunk_steps = chunk_steps
         self.stream_chunk_steps = stream_chunk_steps
         self.queue: asyncio.Queue = asyncio.Queue()
+        # prefilled packets awaiting a free slot; bounded so at most a few
+        # prefill KV blocks sit in HBM while slots are busy
+        self._ready_q: asyncio.Queue = asyncio.Queue(maxsize=2)
         self._worker_task: Optional[asyncio.Task] = None
+        self._prefill_task: Optional[asyncio.Task] = None
+        self._inflight = 0  # submitted, not yet resolved
         self._runner = None
         self._state = None
         self._rows: List[Optional[_SlotJob]] = [None] * self.n_slots
@@ -107,12 +112,28 @@ class ContinuousScheduler:
     ) -> DecodeOutcome:
         loop = asyncio.get_running_loop()
         job = _SlotJob(prompt, images, vision, params, loop.create_future(), stream_cb)
+        self._inflight += 1
         await self.queue.put(job)
-        if self._worker_task is None:
-            self._worker_task = asyncio.create_task(self._worker())
+        self._ensure_workers()
         return await job.future
 
-    # -- worker --------------------------------------------------------------
+    # -- workers ----------------------------------------------------------------
+    #
+    # Two cooperative tasks pipeline the request stages: the PREFILL worker
+    # runs vision + prompt prefill for queued requests (host resampling and
+    # transfers overlap the decode dispatches), while the DECODE worker
+    # steps all active slots in chunks, admits ready packets into free
+    # slots between chunks, streams deltas, and frees finished rows.
+
+    def _ensure_workers(self):
+        if self._prefill_task is None:
+            self._prefill_task = asyncio.get_running_loop().create_task(
+                self._prefill_worker()
+            )
+        if self._worker_task is None:
+            self._worker_task = asyncio.get_running_loop().create_task(
+                self._worker()
+            )
 
     def _ensure_state(self):
         if self._runner is None:
@@ -123,9 +144,9 @@ class ContinuousScheduler:
     def _free_rows(self) -> List[int]:
         return [r for r, job in enumerate(self._rows) if job is None]
 
-    def _join_job(self, row: int, job: _SlotJob) -> bool:
-        """Blocking (device): prefill + slot insert. Returns True if the
-        request finished at prefill (first token EOS / zero budget)."""
+    def _prepare_job(self, job: _SlotJob) -> dict:
+        """Blocking (host + device): vision, prompt build, single-row
+        prefill. Slot-independent — runs while other rows decode."""
         pre = self.engine.prefill_for_slot(
             self.tokenizer, job.prompt, job.images, job.vision
         )
@@ -134,6 +155,10 @@ class ContinuousScheduler:
         # per-row budget bounded by this slot's cache capacity
         job.max_new = clamp_new_tokens(job.prompt_len, requested, self.max_len)
         job.truncated = job.max_new < requested
+        return pre
+
+    def _join_ready(self, row: int, job: _SlotJob, pre: dict) -> bool:
+        """Blocking (device): insert a prefilled packet into slot `row`."""
         self._state, finished, first = self._runner.join(
             self._state,
             row,
@@ -151,6 +176,7 @@ class ContinuousScheduler:
         text = normalize_text(
             self.tokenizer.decode(tokens, skip_special_tokens=True)
         )
+        self._inflight -= 1
         if not job.future.done():
             job.future.set_result(
                 DecodeOutcome(
@@ -162,18 +188,42 @@ class ContinuousScheduler:
                 )
             )
 
-    async def _admit(self, loop) -> None:
+    def _fail(self, job: _SlotJob, err: Exception) -> None:
+        self._inflight -= 1
+        if not job.future.done():
+            job.future.set_exception(err)
+
+    async def _prefill_worker(self):
+        loop = asyncio.get_running_loop()
+        try:
+            while True:
+                try:
+                    job: _SlotJob = self.queue.get_nowait()
+                except asyncio.QueueEmpty:
+                    return
+                self._ensure_state()
+                try:
+                    pre = await loop.run_in_executor(None, self._prepare_job, job)
+                except Exception as err:
+                    self._fail(job, err)
+                    continue
+                await self._ready_q.put((job, pre))  # backpressure when full
+                self._ensure_workers()  # decode worker may have exited idle
+        finally:
+            self._prefill_task = None
+
+    async def _admit_ready(self, loop) -> None:
         for row in self._free_rows():
-            if self.queue.empty():
-                break
-            job: _SlotJob = self.queue.get_nowait()
+            try:
+                job, pre = self._ready_q.get_nowait()
+            except asyncio.QueueEmpty:
+                return
             try:
                 finished = await loop.run_in_executor(
-                    None, self._join_job, row, job
+                    None, self._join_ready, row, job, pre
                 )
             except Exception as err:
-                if not job.future.done():
-                    job.future.set_exception(err)
+                self._fail(job, err)
                 continue
             if finished:
                 self._finalize(job, [])
@@ -184,13 +234,16 @@ class ContinuousScheduler:
         loop = asyncio.get_running_loop()
         try:
             while True:
-                occupied = any(j is not None for j in self._rows)
-                if not occupied and self.queue.empty():
-                    return
                 self._ensure_state()
-                await self._admit(loop)
+                await self._admit_ready(loop)
                 active_jobs = [j for j in self._rows if j is not None]
                 if not active_jobs:
+                    if self._inflight == 0:
+                        return
+                    # prefills in flight: wait for the next ready packet
+                    # (or for every pending job to fail at prefill)
+                    if self._ready_q.empty():
+                        await asyncio.sleep(0.005)
                     continue
                 self.batch_sizes.append(len(active_jobs))
                 chunk = (
