@@ -39,6 +39,38 @@ def cmd_matrix_gate(args) -> int:
     return 1 if failures else 0
 
 
+def cmd_capture(args) -> int:
+    """Capture an HF-teacher baseline (and optionally gate our engine).
+
+    Needs real weights + an HF Transformers checkout of the model
+    (zero-egress machines can't run this; tests drive the same flow
+    with a stub teacher)."""
+    import pathlib as _pl
+
+    from .capture import HFDeepseekTeacher, capture_and_gate, capture_baseline
+
+    teacher = HFDeepseekTeacher(
+        _pl.Path(args.model_dir),
+        model_id=args.model,
+        base_size=args.base_size,
+        image_size=args.image_size,
+        crop_mode=args.crop_mode,
+    )
+    if args.gate:
+        result = capture_and_gate(
+            teacher, _pl.Path(args.image), args.prompt,
+            args.max_new_tokens, _pl.Path(args.out),
+        )
+        print(json.dumps(result.to_json(), indent=2))
+        return 0 if result.passed else 1
+    path = capture_baseline(
+        teacher, _pl.Path(args.image), args.prompt,
+        args.max_new_tokens, _pl.Path(args.out),
+    )
+    print(str(path))
+    return 0
+
+
 def cmd_perf(args) -> int:
     from .perf import compare_history, run_perf_matrix, save_history
 
@@ -78,6 +110,26 @@ def main(argv=None) -> int:
     m = sub.add_parser("matrix-gate", help="gate a list of baseline:candidate pairs")
     m.add_argument("pairs", nargs="+")
     m.set_defaults(fn=cmd_matrix_gate)
+
+    c = sub.add_parser(
+        "capture", help="capture an HF-teacher baseline (requires weights)"
+    )
+    c.add_argument("--model-dir", required=True, help="HF model directory")
+    c.add_argument("--model", default="deepseek-ocr")
+    c.add_argument("--image", required=True)
+    c.add_argument("--prompt", default="<image>\nFree OCR.")
+    c.add_argument("--max-new-tokens", type=int, default=64)
+    c.add_argument("--out", default="baselines/sample")
+    c.add_argument("--base-size", type=int, default=1024)
+    c.add_argument("--image-size", type=int, default=640)
+    c.add_argument(
+        "--crop-mode", type=lambda v: v.lower() in ("1", "true"), default=True
+    )
+    c.add_argument(
+        "--gate", action="store_true",
+        help="also run our CLI on the case and strict-gate the tokens",
+    )
+    c.set_defaults(fn=cmd_capture)
 
     p = sub.add_parser("perf", help="perf matrix with history compare")
     p.add_argument("--models", default="paddleocr-vl")

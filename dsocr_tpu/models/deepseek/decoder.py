@@ -20,6 +20,7 @@ import jax
 import jax.numpy as jnp
 
 from ...ops import attention, causal_mask, rms_norm
+from ...ops.pallas.prefill_attention import flash_prefill_attention_auto
 from ...ops.moe import (
     LayeredKQuant,
     LayeredQ8,
@@ -212,6 +213,7 @@ def deepseek_forward(
     last_index: Optional[jnp.ndarray] = None,  # [B] int32
     pad_start: Optional[jnp.ndarray] = None,  # [B] int32 left-pad boundary
     row_lengths: Optional[jnp.ndarray] = None,  # [B] int32 per-row KV lengths
+    flash_prefill: bool = False,  # S>1 steps attend via the Pallas kernel
 ) -> Tuple[jnp.ndarray, KVCache]:
     B, S, H = embeds.shape
     NH = cfg.num_attention_heads
@@ -288,9 +290,21 @@ def deepseek_forward(
             v_all = jax.lax.dynamic_update_slice(
                 v_all, v[None].astype(v_all.dtype), (li, zero, zero, start, zero)
             )
-        k_layer = jax.lax.dynamic_index_in_dim(k_all, li, 0, keepdims=False)
-        v_layer = jax.lax.dynamic_index_in_dim(v_all, li, 0, keepdims=False)
-        attn = attention(q, k_layer.astype(q.dtype), v_layer.astype(q.dtype), mask, scale)
+        if flash_prefill and S > 1:
+            # Prefill always starts from an empty cache (engine invariant:
+            # _prefill_impl / prefill_for_slot / the no-cache variant all
+            # build a fresh cache), so attention needs only the locally
+            # computed K/V — the Pallas kernel never materializes the
+            # [B, H, S, S_max] f32 score tensor the XLA path builds.
+            attn = flash_prefill_attention_auto(
+                q, k.astype(q.dtype), v.astype(q.dtype), pad_start, scale=scale
+            )
+        else:
+            k_layer = jax.lax.dynamic_index_in_dim(k_all, li, 0, keepdims=False)
+            v_layer = jax.lax.dynamic_index_in_dim(v_all, li, 0, keepdims=False)
+            attn = attention(
+                q, k_layer.astype(q.dtype), v_layer.astype(q.dtype), mask, scale
+            )
         attn = _proj(attn, layer["o_proj"])
         x = (x.astype(jnp.float32) + attn.astype(jnp.float32)).astype(x.dtype)
         return x, k_all, v_all

@@ -73,6 +73,13 @@ class DeepseekOcrEngine:
         self.quantize_ = quantize
         self.max_seq_len = max_seq_len
         self.mesh = mesh
+        # Pallas prefill attention (no [B,H,S,S_max] f32 scores in HBM);
+        # not mesh-partitioned yet, so gated to single-chip execution.
+        import os as _os
+
+        self._flash_prefill = mesh is None and _os.environ.get(
+            "DSOCR_FLASH_PREFILL", "1"
+        ) != "0"
         if cfg.variant == "ocr2":
             from .ocr2 import Qwen2EncoderParams
 
@@ -431,6 +438,7 @@ class DeepseekOcrEngine:
             cache,
             self._rope,
             last_index=(true_len - 1)[None],
+            flash_prefill=self._flash_prefill,
         )
         return logits, bump_length(cache, true_len)
 
@@ -464,6 +472,7 @@ class DeepseekOcrEngine:
         logits, cache = deepseek_forward(
             params["decoder"], self.cfg.language, embeds, positions, cache,
             self._rope, last_index=last, pad_start=pad_start,
+            flash_prefill=self._flash_prefill,
         )
         return logits, bump_length(cache, seq_len)
 
@@ -529,6 +538,16 @@ class DeepseekOcrEngine:
             )
             per_row.append((tokens, image_mask, embeds))
 
+        # Bucket the batch size (1, 2, 4, 8, ...) so generator/prefill
+        # compilations are bounded — remote compiles take minutes, and a
+        # server seeing B∈{2..8} would otherwise stall per exact B. The
+        # filler rows duplicate the last row AFTER vision compute (their
+        # embeddings are reused, only decode FLOPs are spent) and are
+        # dropped from the outputs.
+        B_real = B
+        B = max(1, 1 << (B_real - 1).bit_length())
+        per_row = per_row + [per_row[-1]] * (B - B_real)
+
         s_pad = _round_up(max(len(t) for t, _, _ in per_row), 128)
         tokens_padded = np.zeros((B, s_pad), np.int32)
         positions = np.zeros((B, s_pad), np.int32)
@@ -593,7 +612,7 @@ class DeepseekOcrEngine:
         )
         g_timer.finish(batch=B, steps=result.steps)
         outcomes = []
-        for r, (tokens, _, _) in enumerate(per_row):
+        for r, (tokens, _, _) in enumerate(per_row[:B_real]):
             generated = result.tokens[r]
             text = normalize_text(
                 tokenizer.decode(generated, skip_special_tokens=True)

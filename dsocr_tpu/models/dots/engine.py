@@ -39,6 +39,9 @@ class DotsOcrEngine:
         self.cfg = cfg
         self.dtype_ = dtype
         self.max_seq_len = max_seq_len
+        import os as _os
+
+        self._flash_prefill = _os.environ.get("DSOCR_FLASH_PREFILL", "1") != "0"
         if params is None:
             kv, kd = jax.random.split(jax.random.PRNGKey(seed))
             params = {
@@ -134,6 +137,7 @@ class DotsOcrEngine:
         logits, cache = qwen2_forward(
             params["decoder"], self.cfg.text, embeds, positions, cache, self._rope,
             last_index=(true_len - 1)[None],
+            flash_prefill=self._flash_prefill,
         )
         return logits, bump_length(cache, true_len)
 
@@ -148,6 +152,75 @@ class DotsOcrEngine:
             params["decoder"], self.cfg.text, embeds, positions, cache, self._rope
         )
         return logits, bump_length(cache, 1), pos_state
+
+    # -- continuous-batching (slot) surface ------------------------------------
+
+    def slot_step_fn(self, model_params, token_ids, cache, pos):
+        """Per-row-positions decode step for runtime.slots.SlotRunner;
+        dots positions are plain token indices, so pos[r] == lengths[r]."""
+        from ...runtime.kv_cache import KVCache
+        from ...runtime.slots import SlotCache
+
+        embeds = model_params["decoder"]["embed_tokens"][token_ids][
+            :, None, :
+        ].astype(self.dtype_)
+        positions = pos[:, None].astype(jnp.int32)
+        kv = KVCache(k=cache.k, v=cache.v, length=jnp.int32(0))
+        logits, kv = qwen2_forward(
+            model_params["decoder"], self.cfg.text, embeds, positions, kv,
+            self._rope, row_lengths=cache.lengths,
+        )
+        return logits, SlotCache(kv.k, kv.v, cache.lengths)
+
+    def new_slot_cache(self, n_slots: int, max_len: int):
+        from ...runtime.slots import SlotCache
+
+        base = new_cache(self.cfg.text, n_slots, max_len, self.dtype_)
+        return SlotCache(k=base.k, v=base.v, lengths=jnp.zeros((n_slots,), jnp.int32))
+
+    def make_slot_runner(self, ngram_max: int = 24):
+        from ...runtime.slots import SlotRunner
+
+        return SlotRunner(
+            self.slot_step_fn,
+            eos_ids=(self.cfg.eos_token_id,),
+            emit_eos=True,  # dots loop mirrors paddle's push-then-break
+            ngram_max=ngram_max,
+        )
+
+    def prefill_for_slot(self, tokenizer, prompt, images, vision):
+        """Vision + prompt + single-row prefill for SlotRunner.join."""
+        embeddings, grids = self.encode_images(images, vision)
+        tokens, image_mask = self.build_prompt_tokens(tokenizer, prompt, grids)
+        prompt_len = len(tokens)
+        s_pad = _round_up(prompt_len, 128)
+        tokens_padded = np.zeros(s_pad, np.int32)
+        tokens_padded[:prompt_len] = tokens
+        embeds = self.params["decoder"]["embed_tokens"][
+            jnp.asarray(tokens_padded)
+        ].astype(self.dtype_)
+        if embeddings:
+            flat = jnp.concatenate(embeddings, axis=0)
+            mask_padded = np.zeros(s_pad, bool)
+            mask_padded[:prompt_len] = np.asarray(image_mask, bool)
+            idx = np.nonzero(mask_padded)[0]
+            embeds = embeds.at[jnp.asarray(idx)].set(flat.astype(self.dtype_))
+        cache = reset(new_cache(self.cfg.text, 1, s_pad, self.dtype_))
+        logits, cache = self._prefill_jit(
+            self.params,
+            embeds[None],
+            jnp.arange(s_pad, dtype=jnp.int32)[None],
+            cache,
+            jnp.int32(prompt_len),
+            seq_len=s_pad,
+        )
+        return dict(
+            prompt_ids=tokens,
+            row_k=cache.k,
+            row_v=cache.v,
+            logits=np.asarray(logits[0], np.float32),
+            pos0=prompt_len,
+        )
 
     def decode(
         self,

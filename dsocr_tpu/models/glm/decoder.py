@@ -18,6 +18,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ...ops import attention, causal_mask, rms_norm, rotate_half
+from ...ops.pallas.prefill_attention import flash_prefill_attention_auto
 from ...runtime.kv_cache import KVCache, init_kv_cache
 from .config import GlmTextConfig
 
@@ -116,6 +117,8 @@ def glm_forward(
     full_logits: bool = False,
     last_index: Optional[jnp.ndarray] = None,
     pad_start: Optional[jnp.ndarray] = None,  # [B] int32 left-pad boundary
+    row_lengths: Optional[jnp.ndarray] = None,  # [B] int32 per-row KV lengths
+    flash_prefill: bool = False,  # S>1 steps attend via the Pallas kernel
 ) -> Tuple[jnp.ndarray, KVCache]:
     B, S, H = embeds.shape
     NH, NKV, D = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim
@@ -125,11 +128,21 @@ def glm_forward(
     I = cfg.intermediate_size
 
     cos, sin = glm_mrope_cos_sin(position_ids, cfg)
-    mask = causal_mask(S, S_max, start)[None, None]
-    if pad_start is not None:
-        # left-padded batching: row r ignores kv positions < pad_start[r]
+    if row_lengths is not None:
+        # Slot mode (continuous batching): row r's tokens live at
+        # [0, row_lengths[r]); the new token is written at row_lengths[r].
+        if S != 1:
+            raise ValueError("row_lengths decode supports single-token steps")
         _kv_pos = jnp.arange(S_max, dtype=jnp.int32)
-        mask = mask & (_kv_pos[None, None, None, :] >= pad_start[:, None, None, None])
+        mask = _kv_pos[None, None, None, :] <= row_lengths[:, None, None, None]
+    else:
+        mask = causal_mask(S, S_max, start)[None, None]
+        if pad_start is not None:
+            # left-padded batching: row r ignores kv positions < pad_start[r]
+            _kv_pos = jnp.arange(S_max, dtype=jnp.int32)
+            mask = mask & (
+                _kv_pos[None, None, None, :] >= pad_start[:, None, None, None]
+            )
     scale = 1.0 / (D**0.5)
     lp = params["layers"]
     zero = jnp.int32(0)
@@ -149,15 +162,35 @@ def glm_forward(
         ).transpose(0, 2, 1, 3)
         q = _apply_partial_rope(q, cos, sin, rope_dim)
         k = _apply_partial_rope(k, cos, sin, rope_dim)
-        k_all = jax.lax.dynamic_update_slice(
-            k_all, k[None].astype(k_all.dtype), (li, zero, zero, start, zero)
-        )
-        v_all = jax.lax.dynamic_update_slice(
-            v_all, v[None].astype(v_all.dtype), (li, zero, zero, start, zero)
-        )
-        k_layer = jax.lax.dynamic_index_in_dim(k_all, li, 0, keepdims=False)
-        v_layer = jax.lax.dynamic_index_in_dim(v_all, li, 0, keepdims=False)
-        attn = attention(q, k_layer.astype(q.dtype), v_layer.astype(q.dtype), mask, scale)
+        if row_lengths is not None:
+            # per-row write positions → scatter (one [B,H,D] slab per layer)
+            rows = jnp.arange(B)
+            k_all = k_all.at[li, rows, :, row_lengths, :].set(
+                k[:, :, 0, :].astype(k_all.dtype)
+            )
+            v_all = v_all.at[li, rows, :, row_lengths, :].set(
+                v[:, :, 0, :].astype(v_all.dtype)
+            )
+        else:
+            k_all = jax.lax.dynamic_update_slice(
+                k_all, k[None].astype(k_all.dtype), (li, zero, zero, start, zero)
+            )
+            v_all = jax.lax.dynamic_update_slice(
+                v_all, v[None].astype(v_all.dtype), (li, zero, zero, start, zero)
+            )
+        if flash_prefill and S > 1:
+            # prefill-from-empty-cache invariant (see
+            # ops/pallas/prefill_attention.py): only the prompt's own
+            # K/V matter — no [B,H,S,S_max] f32 scores in HBM.
+            attn = flash_prefill_attention_auto(
+                q, k.astype(q.dtype), v.astype(q.dtype), pad_start, scale=scale
+            )
+        else:
+            k_layer = jax.lax.dynamic_index_in_dim(k_all, li, 0, keepdims=False)
+            v_layer = jax.lax.dynamic_index_in_dim(v_all, li, 0, keepdims=False)
+            attn = attention(
+                q, k_layer.astype(q.dtype), v_layer.astype(q.dtype), mask, scale
+            )
         attn = _proj(attn, layer["o_proj"])
         attn = rms_norm(attn, layer["post_self_attn_layernorm"], cfg.rms_norm_eps)
         x = (x.astype(jnp.float32) + attn.astype(jnp.float32)).astype(x.dtype)

@@ -106,6 +106,9 @@ class GlmOcrEngine:
         self.cfg = cfg
         self.dtype_ = dtype
         self.max_seq_len = max_seq_len
+        import os as _os
+
+        self._flash_prefill = _os.environ.get("DSOCR_FLASH_PREFILL", "1") != "0"
         if params is None:
             kv, kd = jax.random.split(jax.random.PRNGKey(seed))
             params = {
@@ -167,6 +170,7 @@ class GlmOcrEngine:
         logits, cache = glm_forward(
             params["decoder"], self.cfg.text, embeds, position_ids, cache,
             last_index=(true_len - 1)[None],
+            flash_prefill=self._flash_prefill,
         )
         return logits, bump_length(cache, true_len)
 
@@ -179,6 +183,103 @@ class GlmOcrEngine:
             params["decoder"], self.cfg.text, embeds, pos, cache
         )
         return logits, bump_length(cache, 1), pos_state + 1
+
+    # -- continuous-batching (slot) surface ------------------------------------
+
+    def validate_slot_params(self, params: DecodeParameters) -> None:
+        if params.do_sample or params.temperature != 0.0:
+            raise ValueError("GLM backend requires greedy decoding (do_sample=false)")
+
+    def slot_step_fn(self, model_params, token_ids, cache, pos):
+        """Per-row-positions decode step for runtime.slots.SlotRunner;
+        pos[r] is row r's scalar M-RoPE base (all 3 axes), advanced by
+        1/step — matching _step_fn's pos_state + 1."""
+        from ...runtime.kv_cache import KVCache
+        from ...runtime.slots import SlotCache
+
+        embeds = model_params["decoder"]["embed_tokens"][token_ids][
+            :, None, :
+        ].astype(self.dtype_)
+        mpos = jnp.broadcast_to(pos[None, :, None], (3, token_ids.shape[0], 1))
+        kv = KVCache(k=cache.k, v=cache.v, length=jnp.int32(0))
+        logits, kv = glm_forward(
+            model_params["decoder"], self.cfg.text, embeds, mpos, kv,
+            row_lengths=cache.lengths,
+        )
+        return logits, SlotCache(kv.k, kv.v, cache.lengths)
+
+    def new_slot_cache(self, n_slots: int, max_len: int):
+        from ...runtime.slots import SlotCache
+
+        base = new_cache(self.cfg.text, n_slots, max_len, self.dtype_)
+        return SlotCache(k=base.k, v=base.v, lengths=jnp.zeros((n_slots,), jnp.int32))
+
+    def make_slot_runner(self, ngram_max: int = 24):
+        from ...runtime.slots import SlotRunner
+
+        return SlotRunner(
+            self.slot_step_fn,
+            eos_ids=tuple(self.cfg.text.eos_token_ids),
+            emit_eos=False,
+            ngram_max=ngram_max,
+        )
+
+    def prefill_for_slot(self, tokenizer, prompt, images, vision):
+        """Vision + scaffold prompt + single-row prefill for
+        SlotRunner.join. pos0 = the 3-axis position base after the
+        prompt (compute_glm_position_ids next_base)."""
+        cfg = self.cfg
+        grids: List[Tuple[int, int, int]] = []
+        patch_arrays = []
+        for image in images:
+            patches, grid = preprocess_glm_image(np.asarray(image), cfg)
+            patch_arrays.append(patches)
+            grids.append(grid)
+        embeddings = None
+        if patch_arrays:
+            packed = jnp.asarray(np.concatenate(patch_arrays), self.dtype_)
+            embeddings = glm_vision_forward(
+                self.params["vision"], cfg.vision, packed, grids
+            )
+        tokens, image_mask = self.build_prompt_tokens(tokenizer, prompt, grids)
+        prompt_len = len(tokens)
+        pos_ids, next_base = compute_glm_position_ids(
+            cfg.image_token_id,
+            cfg.video_start_token_id,
+            cfg.video_end_token_id,
+            np.asarray(tokens, np.int64),
+            grids,
+            cfg.vision.spatial_merge_size,
+        )
+        s_pad = _round_up(prompt_len, 128)
+        tokens_padded = np.zeros(s_pad, np.int32)
+        tokens_padded[:prompt_len] = tokens
+        pos_padded = np.ones((3, s_pad), np.int32)
+        pos_padded[:, :prompt_len] = pos_ids
+        embeds = self.params["decoder"]["embed_tokens"][
+            jnp.asarray(tokens_padded)
+        ].astype(self.dtype_)
+        if embeddings is not None:
+            mask_padded = np.zeros(s_pad, bool)
+            mask_padded[:prompt_len] = np.asarray(image_mask, bool)
+            idx = np.nonzero(mask_padded)[0]
+            embeds = embeds.at[jnp.asarray(idx)].set(embeddings.astype(self.dtype_))
+        cache = reset(new_cache(cfg.text, 1, s_pad, self.dtype_))
+        logits, cache = self._prefill_jit(
+            self.params,
+            embeds[None],
+            jnp.asarray(pos_padded)[:, None, :],
+            cache,
+            jnp.int32(prompt_len),
+            seq_len=s_pad,
+        )
+        return dict(
+            prompt_ids=tokens,
+            row_k=cache.k,
+            row_v=cache.v,
+            logits=np.asarray(logits[0], np.float32),
+            pos0=next_base,
+        )
 
     def decode(
         self,

@@ -62,6 +62,9 @@ class PaddleOcrEngine:
         self.cfg = cfg
         self.dtype_ = dtype
         self.max_seq_len = max_seq_len
+        import os as _os
+
+        self._flash_prefill = _os.environ.get("DSOCR_FLASH_PREFILL", "1") != "0"
         if params is None:
             key = jax.random.PRNGKey(seed)
             kv, kp, kd = jax.random.split(key, 3)
@@ -188,6 +191,7 @@ class PaddleOcrEngine:
             position_ids,
             cache,
             last_index=(true_len - 1)[None],
+            flash_prefill=self._flash_prefill,
         )
         cache = bump_length(cache, true_len)
         return logits, cache
@@ -202,6 +206,85 @@ class PaddleOcrEngine:
             params["decoder"], self.cfg, embeds, pos, cache
         )
         return logits, bump_length(cache, 1), pos_state + 1
+
+    # -- continuous-batching (slot) surface ------------------------------------
+
+    def slot_step_fn(self, model_params, token_ids, cache, pos):
+        """Per-row-positions decode step for runtime.slots.SlotRunner:
+        row r's token is written at cache.lengths[r]; its M-RoPE base
+        (all 3 axes) is pos[r], which the runner advances by 1/step —
+        matching _step_fn's pos_state + 1."""
+        from ...runtime.kv_cache import KVCache
+        from ...runtime.slots import SlotCache
+
+        embeds = model_params["decoder"]["embed_tokens"][token_ids][
+            :, None, :
+        ].astype(self.dtype_)
+        mpos = jnp.broadcast_to(pos[None, :, None], (3, token_ids.shape[0], 1))
+        kv = KVCache(k=cache.k, v=cache.v, length=jnp.int32(0))
+        logits, kv = ernie_forward(
+            model_params["decoder"], self.cfg, embeds, mpos, kv,
+            row_lengths=cache.lengths,
+        )
+        return logits, SlotCache(kv.k, kv.v, cache.lengths)
+
+    def new_slot_cache(self, n_slots: int, max_len: int):
+        from ...runtime.slots import SlotCache
+
+        base = new_cache(self.cfg, n_slots, max_len, self.dtype_)
+        return SlotCache(k=base.k, v=base.v, lengths=jnp.zeros((n_slots,), jnp.int32))
+
+    def make_slot_runner(self, ngram_max: int = 24):
+        from ...runtime.slots import SlotRunner
+
+        eos = self.cfg.eos_token_id
+        return SlotRunner(
+            self.slot_step_fn,
+            eos_ids=(eos,) if eos is not None else (),
+            emit_eos=True,  # paddle loop pushes EOS before stopping
+            ngram_max=ngram_max,
+        )
+
+    def prefill_for_slot(self, tokenizer, prompt, images, vision):
+        """Vision + prompt + single-row prefill for SlotRunner.join.
+        pos0 = prompt_len + M-RoPE delta (the next position base,
+        matching decode()'s next_position_base)."""
+        cfg = self.cfg
+        projected = [self.encode_image(np.asarray(img), vision) for img in images]
+        grids = [p.original_grid for p in projected]
+        tokens, image_mask = self.build_prompt_tokens(tokenizer, prompt, grids)
+        prompt_len = len(tokens)
+        pos_ids, delta = compute_position_ids(
+            cfg, np.asarray(tokens, np.int64), grids
+        )
+        s_pad = _round_up(prompt_len, 128)
+        tokens_padded = np.zeros(s_pad, np.int32)
+        tokens_padded[:prompt_len] = tokens
+        pos_padded = np.ones((3, s_pad), np.int32)
+        pos_padded[:, :prompt_len] = pos_ids
+        embeds = self.params["decoder"]["embed_tokens"][
+            jnp.asarray(tokens_padded)
+        ].astype(self.dtype_)
+        if projected:
+            flat = jnp.concatenate([p.embeddings for p in projected], axis=0)
+            idx = np.nonzero(np.asarray(image_mask + [0] * (s_pad - prompt_len), bool))[0]
+            embeds = embeds.at[jnp.asarray(idx)].set(flat.astype(self.dtype_))
+        cache = reset(new_cache(cfg, 1, s_pad, self.dtype_))
+        logits, cache = self._prefill_jit(
+            self.params,
+            embeds[None],
+            jnp.asarray(pos_padded)[:, None, :],
+            cache,
+            jnp.int32(prompt_len),
+            seq_len=s_pad,
+        )
+        return dict(
+            prompt_ids=tokens,
+            row_k=cache.k,
+            row_v=cache.v,
+            logits=np.asarray(logits[0], np.float32),
+            pos0=prompt_len + delta,
+        )
 
     # -- decode ------------------------------------------------------------------
 

@@ -147,6 +147,9 @@ class ContinuousScheduler:
     def _prepare_job(self, job: _SlotJob) -> dict:
         """Blocking (host + device): vision, prompt build, single-row
         prefill. Slot-independent — runs while other rows decode."""
+        validate = getattr(self.engine, "validate_slot_params", None)
+        if validate is not None:  # e.g. GLM is greedy-only
+            validate(job.params)
         pre = self.engine.prefill_for_slot(
             self.tokenizer, job.prompt, job.images, job.vision
         )

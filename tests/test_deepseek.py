@@ -352,6 +352,34 @@ def test_decode_batch_matches_single(tiny_engine):
     assert batch[1].generated_tokens == single_b.generated_tokens
 
 
+def test_decode_batch_buckets_batch_size(tiny_engine):
+    """B is padded to {1,2,4,8,...} so mixed batch sizes within a bucket
+    share ONE generator compilation (remote compiles take minutes); the
+    filler rows never surface in the outputs."""
+    rng = np.random.default_rng(21)
+    imgs = [rng.integers(0, 256, (50, 50, 3), dtype=np.uint8) for _ in range(3)]
+    settings = VisionSettings(64, 64, False)
+    params = DecodeParameters(max_new_tokens=3, no_repeat_ngram_size=None)
+    tok = FakeTokenizer()
+    prompts = [f"<image>req {i}" for i in range(3)]
+
+    before = {k for k in tiny_engine._generator_cache if isinstance(k, tuple)}
+    out3 = tiny_engine.decode_batch(tok, prompts, [[i] for i in imgs], settings, params)
+    out4 = tiny_engine.decode_batch(
+        tok, prompts + ["<image>req 3"], [[i] for i in imgs] + [[imgs[0]]],
+        settings, params,
+    )
+    assert len(out3) == 3 and len(out4) == 4
+    # rows shared by both calls decode identically
+    assert [o.generated_tokens for o in out3] == [
+        o.generated_tokens for o in out4[:3]
+    ]
+    after = {k for k in tiny_engine._generator_cache if isinstance(k, tuple)}
+    new_keys = after - before
+    assert len(new_keys) == 1  # B=3 and B=4 shared the B=4 bucket
+    assert next(iter(new_keys))[2] == 4
+
+
 def test_no_cache_matches_cached_decode(tiny_engine):
     """--no-cache recompute path must reproduce the cached greedy decode
     (ref generate_without_cache, model/mod.rs:2050-2288)."""

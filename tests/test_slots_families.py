@@ -1,0 +1,143 @@
+"""Continuous batching (slot runtime) for the PaddleOCR/Dots/GLM
+families: mid-flight joins through the ContinuousScheduler must equal
+each engine's solo decode (the deepseek coverage lives in
+test_scheduler.py).
+
+Round-1 gap (VERDICT #3): only DeepSeek had a slot surface; the other
+three engines serialized through BatchScheduler. These tests pin the
+per-family slot semantics: paddle's M-RoPE base advance + emit_eos,
+dots' plain positions + emit_eos, glm's 3-axis base + multi-EOS +
+greedy-only validation."""
+
+import asyncio
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from dsocr_tpu.core import DecodeParameters, VisionSettings
+from dsocr_tpu.models.dots import DotsOcrEngine
+from dsocr_tpu.models.dots.config import tiny_dots_config
+from dsocr_tpu.models.glm import GlmOcrEngine
+from dsocr_tpu.models.glm.config import tiny_glm_config
+from dsocr_tpu.models.paddleocr import PaddleOcrEngine
+from dsocr_tpu.models.paddleocr.config import tiny_paddle_config
+from dsocr_tpu.server.scheduler import ContinuousScheduler
+
+
+class FakeTokenizer:
+    def encode(self, text):
+        return [ord(c) % 100 for c in text]
+
+    def decode(self, ids, skip_special_tokens=True):
+        return "".join(chr(97 + (i % 26)) for i in ids)
+
+    def token_to_id(self, token):
+        return None
+
+
+def _img(seed, h=28, w=56):
+    return np.random.default_rng(seed).integers(0, 256, (h, w, 3), dtype=np.uint8)
+
+
+@pytest.fixture(scope="module")
+def paddle_engine():
+    engine = PaddleOcrEngine(tiny_paddle_config(), dtype=jnp.float32, max_seq_len=512)
+    engine.prep_overrides = {"min_pixels": 1, "max_pixels": 28 * 56}
+    return engine
+
+
+@pytest.fixture(scope="module")
+def dots_engine():
+    engine = DotsOcrEngine(tiny_dots_config(), dtype=jnp.float32, max_seq_len=512)
+    engine.prep_overrides = {"min_pixels": 1, "max_pixels": 28 * 56}
+    return engine
+
+
+@pytest.fixture(scope="module")
+def glm_engine():
+    return GlmOcrEngine(tiny_glm_config(), dtype=jnp.float32, max_seq_len=512)
+
+
+def _mid_flight_join(engine, tok, vision, params, prompt_a, prompt_b, img_a, img_b):
+    solo_a = engine.decode(tok, prompt_a, [img_a], vision, params)
+    solo_b = engine.decode(tok, prompt_b, [img_b], vision, params)
+
+    async def go():
+        sched = ContinuousScheduler(engine, tok, n_slots=2, max_len=256,
+                                    chunk_steps=2)
+        task_a = asyncio.create_task(sched.submit(prompt_a, [img_a], vision, params))
+        # let A prefill and decode at least one chunk before B arrives
+        while not sched.batch_sizes:
+            await asyncio.sleep(0.01)
+        task_b = asyncio.create_task(sched.submit(prompt_b, [img_b], vision, params))
+        return await asyncio.gather(task_a, task_b), sched
+
+    (ra, rb), sched = asyncio.run(go())
+    assert ra.generated_tokens == solo_a.generated_tokens
+    assert rb.generated_tokens == solo_b.generated_tokens
+    assert 2 in sched.batch_sizes  # B really joined while A was active
+
+
+def test_paddle_slot_join_matches_solo(paddle_engine):
+    _mid_flight_join(
+        paddle_engine, FakeTokenizer(),
+        VisionSettings(base_size=28, image_size=56, crop_mode=False),
+        DecodeParameters(max_new_tokens=10, no_repeat_ngram_size=None),
+        "<image>\nOCR:", "<image>\nTable Recognition:",
+        _img(1), _img(2, 28, 28),
+    )
+
+
+def test_dots_slot_join_matches_solo(dots_engine):
+    _mid_flight_join(
+        dots_engine, FakeTokenizer(),
+        VisionSettings(28, 56, False),
+        DecodeParameters(max_new_tokens=10, no_repeat_ngram_size=None),
+        "<image>\nExtract text.", "<image>\nLayout.",
+        _img(3), _img(4, 28, 28),
+    )
+
+
+def test_glm_slot_join_matches_solo(glm_engine):
+    _mid_flight_join(
+        glm_engine, FakeTokenizer(),
+        VisionSettings(336, 336, False),
+        DecodeParameters(max_new_tokens=10, no_repeat_ngram_size=None),
+        "<image>ocr", "<image>more text",
+        _img(5, 40, 60), _img(6, 30, 30),
+    )
+
+
+def test_glm_slot_rejects_sampling(glm_engine):
+    """GLM is greedy-only (model.rs scaffold); the scheduler must surface
+    the validation error instead of decoding garbage."""
+    params = DecodeParameters(max_new_tokens=4, do_sample=True, temperature=0.7)
+
+    async def go():
+        sched = ContinuousScheduler(glm_engine, FakeTokenizer(), n_slots=2,
+                                    max_len=256)
+        await sched.submit("<image>x", [_img(7, 30, 30)],
+                           VisionSettings(336, 336, False), params)
+
+    with pytest.raises(ValueError, match="greedy"):
+        asyncio.run(go())
+
+
+def test_paddle_slot_emit_eos_matches_generator(paddle_engine):
+    """emit_eos=True path: if the row hits EOS mid-stream the appended
+    EOS must match Generator semantics (EOS included, then stop)."""
+    tok = FakeTokenizer()
+    vision = VisionSettings(base_size=28, image_size=56, crop_mode=False)
+    params = DecodeParameters(max_new_tokens=24, no_repeat_ngram_size=None)
+    img = _img(8)
+    solo = paddle_engine.decode(tok, "<image>\neos probe", [img], vision, params)
+
+    async def go():
+        sched = ContinuousScheduler(paddle_engine, tok, n_slots=1, max_len=256,
+                                    chunk_steps=4)
+        return await sched.submit("<image>\neos probe", [img], vision, params)
+
+    out = asyncio.run(go())
+    assert out.generated_tokens == solo.generated_tokens
+    assert out.response_tokens == solo.response_tokens
