@@ -15,8 +15,9 @@ preprocessing, vision towers, prefill, and chunked batched decode.
 Extra fields report the single-request latency path.
 
 Env knobs: BENCH_REQUESTS (default 8), BENCH_SLOTS (8),
-BENCH_MAX_NEW_TOKENS (512), BENCH_REPS (2), BENCH_QUANT ('' | q8_0 |
-q4_k | q6_k), BENCH_BATCH1 (1 → also measure single-request latency).
+BENCH_MAX_NEW_TOKENS (512), BENCH_REPS (2), BENCH_CHUNK (64),
+BENCH_QUANT ('' | q8_0 | q4_k | q6_k), BENCH_BATCH1 (1 → also measure
+single-request latency).
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
 """
@@ -92,8 +93,12 @@ def main():
     max_len = min(4096, ((s_pad + max_new + 128) // 128) * 128)
     del emb, probe
 
+    # Moderate chunks: one harvest (~50ms fused device_get over the
+    # tunnel) per chunk, but admissions between chunks keep slot
+    # occupancy high while the prefill worker pipelines new pages.
+    chunk = int(os.environ.get("BENCH_CHUNK", "64"))
     scheduler = ContinuousScheduler(
-        engine, tokenizer, n_slots=n_slots, max_len=max_len, chunk_steps=max_new
+        engine, tokenizer, n_slots=n_slots, max_len=max_len, chunk_steps=chunk
     )
 
     async def serve_n(n):

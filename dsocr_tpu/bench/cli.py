@@ -79,11 +79,15 @@ def cmd_perf(args) -> int:
         dtypes=args.dtypes.split(","),
         image_path=pathlib.Path(args.image),
         max_new_tokens=args.max_new_tokens,
+        quants=args.quants.split(",") if args.quants is not None else None,
+        modes=args.modes.split(",") if args.modes is not None else None,
+        n_requests=args.requests,
     )
     for e in entries:
+        label = "/".join(filter(None, (e.model, e.dtype, e.quant, e.mode)))
         print(
-            f"{e.model}/{e.dtype}: wall {e.wall_s:.2f}s, "
-            f"{e.tokens_per_sec:.1f} tok/s"
+            f"{label}: wall {e.wall_s:.2f}s, "
+            f"{e.tokens_per_sec:.1f} tok/s, {e.pages_per_sec:.2f} pages/s"
         )
         for stage, ms in sorted(e.stage_totals.items()):
             print(f"    {stage:30s} {ms:10.1f} ms")
@@ -136,6 +140,15 @@ def main(argv=None) -> int:
     p.add_argument("--dtypes", default="bfloat16")
     p.add_argument("--image", required=True)
     p.add_argument("--max-new-tokens", type=int, default=64)
+    p.add_argument(
+        "--quants", default=None,
+        help="comma list of '', q8_0, q4_k, q6_k (deepseek only)",
+    )
+    p.add_argument(
+        "--modes", default=None,
+        help="comma list of single, serve (continuous batching)",
+    )
+    p.add_argument("--requests", type=int, default=4, help="pages in serve mode")
     p.add_argument("--history", default=None)
     p.add_argument("--fail-on-regression", action="store_true")
     p.set_defaults(fn=cmd_perf)

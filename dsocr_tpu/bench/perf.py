@@ -22,6 +22,9 @@ class PerfEntry:
     stage_totals: Dict[str, float]
     wall_s: float
     tokens_per_sec: float
+    quant: str = ""  # '' (dense) | q8_0 | q4_k | q6_k
+    mode: str = "single"  # single | serve (continuous batching)
+    pages_per_sec: float = 0.0
 
 
 def compare_history(
@@ -34,19 +37,21 @@ def compare_history(
         return report
     history = json.loads(pathlib.Path(history_path).read_text())
     prev = {
-        (e["model"], e["dtype"]): e for e in history.get("entries", [])
+        (e["model"], e["dtype"], e.get("quant", ""), e.get("mode", "single")): e
+        for e in history.get("entries", [])
     }
     for entry in current:
-        key = (entry.model, entry.dtype)
+        key = (entry.model, entry.dtype, entry.quant, entry.mode)
         if key not in prev:
             report["new"].append(f"{entry.model}/{entry.dtype}")
             continue
+        label = "/".join(filter(None, (entry.model, entry.dtype, entry.quant, entry.mode)))
         for stage, value in entry.stage_totals.items():
             old = prev[key].get("stage_totals", {}).get(stage)
             if old is None or old <= 0:
                 continue
             ratio = value / old
-            line = f"{entry.model}/{entry.dtype} {stage}: {old:.1f} -> {value:.1f} ms"
+            line = f"{label} {stage}: {old:.1f} -> {value:.1f} ms"
             if ratio > 1 + tolerance:
                 report["regressions"].append(line)
             elif ratio < 1 - tolerance:
@@ -68,10 +73,17 @@ def run_perf_matrix(
     image_path: pathlib.Path,
     prompt: str = "<image>\nFree OCR.",
     max_new_tokens: int = 64,
+    quants: Optional[List[str]] = None,  # '' | q8_0 | q4_k | q6_k
+    modes: Optional[List[str]] = None,  # single | serve
+    n_requests: int = 4,
     tiny: bool = False,
 ) -> List[PerfEntry]:
-    """Run the matrix in-process with random-init weights (no weights ship
-    with this machine); stage totals use the reference schema."""
+    """Run the model × dtype × quant × serving-mode matrix in-process
+    with random-init weights (no weights ship with this machine);
+    stage totals use the reference's stage-event schema
+    (orchestrator.py:199-254). 'serve' drives the continuous-batching
+    scheduler with n_requests concurrent pages — the axis the
+    mutex-serialized reference cannot measure."""
     import numpy as np
     from PIL import Image
 
@@ -87,6 +99,8 @@ def run_perf_matrix(
         "dots-ocr": ModelKind.DOTS_OCR,
         "glm-ocr": ModelKind.GLM_OCR,
     }
+    quants = [""] if quants is None else quants
+    modes = ["single"] if modes is None else modes
 
     class _Tok:
         def encode(self, t):
@@ -102,25 +116,56 @@ def run_perf_matrix(
     entries = []
     for model in models:
         for dtype in dtypes:
-            engine = load_engine(kind_of[model], dtype=dtype)
-            recorder = BenchRecorder()
-            set_recorder(recorder)
-            params = DecodeParameters(max_new_tokens=max_new_tokens)
-            if model == "glm-ocr":
-                settings = VisionSettings(336, 336, False)
-            else:
-                settings = VisionSettings(1024, 640, model.startswith("deepseek"))
-            t0 = time.perf_counter()
-            out = engine.decode(_Tok(), prompt, [image], settings, params)
-            wall = time.perf_counter() - t0
-            set_recorder(None)
-            entries.append(
-                PerfEntry(
-                    model=model,
-                    dtype=dtype,
-                    stage_totals=recorder.stage_totals(),
-                    wall_s=wall,
-                    tokens_per_sec=out.response_tokens / wall if wall else 0.0,
+            for quant in quants:
+                if quant and not model.startswith("deepseek"):
+                    continue  # packed quant serving is deepseek-only today
+                engine = load_engine(
+                    kind_of[model], dtype=dtype, quantize=quant or None
                 )
-            )
+                params = DecodeParameters(max_new_tokens=max_new_tokens)
+                if model == "glm-ocr":
+                    settings = VisionSettings(336, 336, False)
+                else:
+                    settings = VisionSettings(1024, 640, model.startswith("deepseek"))
+                for mode in modes:
+                    if mode == "serve" and not hasattr(engine, "make_slot_runner"):
+                        continue
+                    recorder = BenchRecorder()
+                    set_recorder(recorder)
+                    t0 = time.perf_counter()
+                    if mode == "serve":
+                        import asyncio
+
+                        from ..server.scheduler import ContinuousScheduler
+
+                        sched = ContinuousScheduler(
+                            engine, _Tok(), n_slots=min(8, n_requests)
+                        )
+
+                        async def _serve():
+                            return await asyncio.gather(*(
+                                sched.submit(prompt, [image], settings, params)
+                                for _ in range(n_requests)
+                            ))
+
+                        outs = asyncio.run(_serve())
+                        tokens = sum(o.response_tokens for o in outs)
+                        pages = n_requests
+                    else:
+                        out = engine.decode(_Tok(), prompt, [image], settings, params)
+                        tokens, pages = out.response_tokens, 1
+                    wall = time.perf_counter() - t0
+                    set_recorder(None)
+                    entries.append(
+                        PerfEntry(
+                            model=model,
+                            dtype=dtype,
+                            quant=quant,
+                            mode=mode,
+                            stage_totals=recorder.stage_totals(),
+                            wall_s=wall,
+                            tokens_per_sec=tokens / wall if wall else 0.0,
+                            pages_per_sec=pages / wall if wall else 0.0,
+                        )
+                    )
     return entries

@@ -68,15 +68,18 @@ def load_engine(
             else DeepseekOcrConfig()
         )
         if quantize is None and snapshot_path:
-            # Q8_0 snapshots serve packed (the reference's QMatMul path);
-            # k-quant snapshots dequantize on load — the Pallas serving
-            # kernels cover Q8_0 so far.
+            # Quantized snapshots serve PACKED at matmul time (the
+            # reference's QMatMul path, dsq-runtime/src/lib.rs:316-369):
+            # Q8_0 via ops/pallas/dequant_matmul (requantize of the
+            # dequantized payload is bit-exact, tested), Q4_K/Q6_K via
+            # the plane-decomposed ops/pallas/kquant_matmul kernels.
             from ..dsq.format import DsqReader
 
             reader = DsqReader(pathlib.Path(snapshot_path))
             try:
-                if reader.header.default_qdtype == "Q8_0":
-                    quantize = "q8_0"
+                quantize = {
+                    "Q8_0": "q8_0", "Q4_K": "q4_k", "Q6_K": "q6_k"
+                }.get(reader.header.default_qdtype)
             finally:
                 reader.close()
         params = None
