@@ -21,7 +21,8 @@ def add_common_model_args(parser: argparse.ArgumentParser) -> None:
     group.add_argument("--snapshot", default=None, help="DSQ snapshot path")
     group.add_argument(
         "--mesh", default=None,
-        help="device mesh spec for sharded execution, e.g. dp=1,mp=4",
+        help="device mesh spec for sharded execution, e.g. dp=1,mp=4 "
+             "(append ,ep for expert parallelism over mp — deepseek only)",
     )
 
 

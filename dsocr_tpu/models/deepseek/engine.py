@@ -63,6 +63,7 @@ class DeepseekOcrEngine:
         ocr2_params=None,
         mesh=None,
         quantize: Optional[str] = None,
+        ep: bool = False,
     ):
         self.cfg = cfg
         self.dtype_ = dtype
@@ -122,13 +123,15 @@ class DeepseekOcrEngine:
             params["decoder"] = quantize_decoder_params(params["decoder"], quantize)
         if mesh is not None:
             # shard the decoder over the mesh (TP heads + expert/MLP
-            # intermediate dims); vision/projector stay replicated —
-            # GSPMD propagates shardings through the jitted forwards
+            # intermediate dims; ep=True shards routed-expert stacks over
+            # the E axis instead — the reference explicitly bails on
+            # ep_size > 1, block.rs:1248-1252); vision/projector stay
+            # replicated — GSPMD propagates shardings through the jits
             from ...parallel import deepseek_param_shardings, replicated
 
             shardings = {
                 key: (
-                    deepseek_param_shardings(params["decoder"], mesh)
+                    deepseek_param_shardings(params["decoder"], mesh, ep=ep)
                     if key == "decoder"
                     else jax.tree_util.tree_map(
                         lambda _: replicated(mesh), value

@@ -34,15 +34,26 @@ def resolve_dtype(name: Optional[str]):
 
 
 def parse_mesh_spec(spec: Optional[str]):
-    """'dp=2,mp=4' → jax.sharding.Mesh (None → single-device)."""
+    """'dp=2,mp=4[,ep]' → (jax.sharding.Mesh, ep) (None → (None, False)).
+
+    'ep' switches routed-expert stacks to expert parallelism over the mp
+    axis (deepseek only — a beyond-the-reference capability; the
+    reference bails on ep_size > 1, block.rs:1248-1252)."""
     if not spec:
-        return None
+        return None, False
     from ..parallel import make_mesh
 
-    parts = dict(p.split("=") for p in spec.split(","))
+    parts = {}
+    ep = False
+    for p in spec.split(","):
+        if p.strip() in ("ep", "ep=true", "ep=1"):
+            ep = True
+            continue
+        key, value = p.split("=")
+        parts[key.strip()] = value
     dp = int(parts.get("dp", 1))
     mp = int(parts.get("mp", 1))
-    return make_mesh(dp * mp, dp=dp)
+    return make_mesh(dp * mp, dp=dp), ep
 
 
 def load_engine(
@@ -54,10 +65,12 @@ def load_engine(
     max_seq_len: int = 8192,
     mesh: Optional[Any] = None,
     quantize: Optional[str] = None,
+    ep: bool = False,
 ) -> OcrEngine:
     jdtype = resolve_dtype(dtype)
     if isinstance(mesh, str):
-        mesh = parse_mesh_spec(mesh)
+        mesh, spec_ep = parse_mesh_spec(mesh)
+        ep = ep or spec_ep
     if kind is ModelKind.DEEPSEEK:
         from .deepseek import DeepseekOcrConfig, DeepseekOcrEngine
         from .deepseek.loader import load_deepseek_params
@@ -94,6 +107,7 @@ def load_engine(
             max_seq_len=max_seq_len,
             mesh=mesh,
             quantize=quantize,
+            ep=ep,
         )
     if kind is ModelKind.PADDLE_OCR_VL:
         from .paddleocr import PaddleConfig, PaddleOcrEngine
