@@ -210,3 +210,48 @@ def test_ep_engine_decode_via_mesh_spec():
     with mesh:
         out_ep = sharded.decode(FakeTokenizer(), "<image>e", [image], settings, params)
     assert out_ep.generated_tokens == out_plain.generated_tokens
+
+
+def test_mesh_decode_batch_shards_vision():
+    """Batched decode under the mesh: vision view batches are sharded
+    over all mesh axes (round-1 left them replicated — every chip redid
+    identical tower work); outputs must still match the unsharded
+    engine token-for-token."""
+    import jax.numpy as jnp
+
+    from dsocr_tpu.core import DecodeParameters, VisionSettings
+    from dsocr_tpu.models.deepseek import DeepseekOcrEngine
+    from dsocr_tpu.models.deepseek.config import tiny_deepseek_config
+
+    class FakeTokenizer:
+        def encode(self, text):
+            return [ord(c) % 100 for c in text]
+
+        def decode(self, ids, skip_special_tokens=True):
+            return "".join(chr(97 + (i % 26)) for i in ids)
+
+        def token_to_id(self, token):
+            return 127 if token == "<image>" else None
+
+    cfg = tiny_deepseek_config()
+    rng = np.random.default_rng(11)
+    imgs = [rng.integers(0, 256, (50, 50, 3), dtype=np.uint8) for _ in range(2)]
+    settings = VisionSettings(64, 64, False)
+    params = DecodeParameters(max_new_tokens=4, no_repeat_ngram_size=None)
+    prompts = ["<image>one", "<image>two longer"]
+
+    plain = DeepseekOcrEngine(cfg, dtype=jnp.float32, max_seq_len=512, seed=3)
+    out_plain = plain.decode_batch(
+        FakeTokenizer(), prompts, [[i] for i in imgs], settings, params
+    )
+
+    mesh = make_mesh(8, dp=2)
+    sharded = DeepseekOcrEngine(
+        cfg, dtype=jnp.float32, max_seq_len=512, seed=3, mesh=mesh
+    )
+    with mesh:
+        out_sharded = sharded.decode_batch(
+            FakeTokenizer(), prompts, [[i] for i in imgs], settings, params
+        )
+    for a, b in zip(out_plain, out_sharded):
+        assert a.generated_tokens == b.generated_tokens
