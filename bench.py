@@ -50,6 +50,15 @@ class BenchTokenizer:
 
 def main():
     import jax
+
+    # env vars are too late on this machine (site hook auto-imports jax
+    # before bench.py runs) — the config update is what actually enables
+    # the persistent compile cache.
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.environ.get("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_comp_cache"),
+    )
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     import jax.numpy as jnp
     from PIL import Image
 
@@ -122,9 +131,17 @@ def main():
     serve_times = []
     decode_tokens = 0
     for _ in range(reps):
+        scheduler.batch_sizes.clear()
         dt, toks = asyncio.run(serve_n(n_requests))
         serve_times.append(dt)
         decode_tokens = toks
+        if os.environ.get("BENCH_DEBUG"):
+            occ = scheduler.batch_sizes
+            print(
+                f"[debug] rep: {dt:.2f}s, chunks={len(occ)}, "
+                f"mean_occ={sum(occ)/max(len(occ),1):.2f}, occ={occ[:50]}",
+                file=sys.stderr,
+            )
     if profile_dir:
         jax.profiler.stop_trace()
     best = min(serve_times)

@@ -79,6 +79,26 @@ class WeightSource:
         except KeyError:
             return None
 
+    def raw_quant(self, name: str):
+        """(payload_bytes, q_dtype, out_dim, in_dim) when the snapshot
+        stores `name` as a ggml-quantized record — lets the serving path
+        pack the PUBLISHED codes directly (bit-identical to what the
+        reference's QMatMul reads) instead of round-tripping k-quants
+        through dequantize + requantize. None for float records or
+        checkpoint-only tensors."""
+        snap = self._snapshot_name(name)
+        if snap is None:
+            return None
+        record = self.snapshot.tensor(snap)
+        if record is None or record.q_dtype not in ("Q8_0", "Q4_K", "Q6_K"):
+            return None
+        return (
+            self.snapshot.tensor_bytes(record),
+            record.q_dtype,
+            record.out_dim,
+            record.in_dim,
+        )
+
     def iter_prefix(self, prefix: str):
         if self.checkpoint is not None:
             yield from self.checkpoint.iter_prefix(prefix)

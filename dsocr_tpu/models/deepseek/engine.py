@@ -104,6 +104,13 @@ class DeepseekOcrEngine:
                     init_clip_params(cfg.clip, kc, vdtype) if cfg.clip else None
                 )
                 params["projector"] = init_projector_params(cfg, kp, dtype)
+        # snapshot raw-payload table (loader.collect_raw_quant): lets
+        # quantized serving pack the PUBLISHED ggml codes directly
+        raw_quant = None
+        if isinstance(params.get("decoder"), dict):
+            params = dict(params)
+            params["decoder"] = dict(params["decoder"])
+            raw_quant = params["decoder"].pop("__raw_quant__", None)
         if mesh is None:
             # halve the decode op count (latency-bound): fuse qkv and
             # gate/up projections; the mesh path keeps split weights so
@@ -120,7 +127,9 @@ class DeepseekOcrEngine:
             from .quantize import quantize_decoder_params
 
             params = dict(params)
-            params["decoder"] = quantize_decoder_params(params["decoder"], quantize)
+            params["decoder"] = quantize_decoder_params(
+                params["decoder"], quantize, raw=raw_quant
+            )
         if mesh is not None:
             # shard the decoder over the mesh (TP heads + expert/MLP
             # intermediate dims; ep=True shards routed-expert stacks over
@@ -350,8 +359,16 @@ class DeepseekOcrEngine:
             chunks = []
             for i in range(0, pixels.shape[0], vb):
                 chunk = pixels[i : i + vb]
+                # pad every chunk to a power-of-2 bucket (×mesh size):
+                # exact final-chunk shapes caused a fresh ~minutes-long
+                # remote tower compile for every distinct pooled batch
+                target = min(
+                    vb,
+                    _round_up(
+                        1 << max(0, (chunk.shape[0] - 1)).bit_length(), mesh_n
+                    ),
+                )
                 pad = 0
-                target = vb if pixels.shape[0] > vb else _round_up(chunk.shape[0], mesh_n)
                 if chunk.shape[0] != target:
                     pad = target - chunk.shape[0]
                     chunk = np.concatenate([chunk, chunk[-1:].repeat(pad, 0)])
@@ -690,6 +707,48 @@ class DeepseekOcrEngine:
             ngram_max=ngram_max,
         )
 
+    def prefill_for_slots(self, tokenizer, requests):
+        """Batched variant of prefill_for_slot for the scheduler's prefill
+        worker: vision towers run BATCHED across all queued requests
+        (one SAM/CLIP pass over the pooled views — the serving pipeline
+        is prefill-bound, and per-request towers waste the MXU), then
+        each request prefills its own row (same single-row jit, so no
+        new compilations). requests = [(prompt, images, vision), ...]."""
+        flat = [
+            (ri, np.asarray(img))
+            for ri, (_, images, _) in enumerate(requests)
+            for img in images
+        ]
+        from concurrent.futures import ThreadPoolExecutor
+
+        if len(flat) > 1:
+            with ThreadPoolExecutor(max_workers=min(8, len(flat))) as pool:
+                prepared = list(
+                    pool.map(
+                        lambda item: self.prepare_vision_input(
+                            item[1], requests[item[0]][2]
+                        ),
+                        flat,
+                    )
+                )
+        else:
+            prepared = [
+                self.prepare_vision_input(img, requests[ri][2])
+                for ri, img in flat
+            ]
+        embeddings_flat = self._compute_image_embeddings_batched(prepared)
+        per_req_vins = [[] for _ in requests]
+        per_req_embeds = [[] for _ in requests]
+        for (ri, _), vin, emb in zip(flat, prepared, embeddings_flat):
+            per_req_vins[ri].append(vin)
+            per_req_embeds[ri].append(emb)
+        return [
+            self._prefill_row(
+                tokenizer, prompt, per_req_vins[ri], per_req_embeds[ri], vision
+            )
+            for ri, (prompt, _, vision) in enumerate(requests)
+        ]
+
     def prefill_for_slot(self, tokenizer, prompt, images, vision):
         """Vision + prompt + single-row prefill, producing the row KV block
         and last-position logits for SlotRunner.join. pos0 = prompt_len
@@ -698,6 +757,9 @@ class DeepseekOcrEngine:
             self.prepare_vision_input(np.asarray(img), vision) for img in images
         ]
         embeddings = [self.compute_image_embedding(v) for v in vision_inputs]
+        return self._prefill_row(tokenizer, prompt, vision_inputs, embeddings, vision)
+
+    def _prefill_row(self, tokenizer, prompt, vision_inputs, embeddings, vision):
         tokens, image_mask = self.build_prompt_tokens(
             tokenizer, prompt, vision_inputs, embeddings, vision
         )

@@ -273,6 +273,85 @@ def load_decoder_params(
     return params
 
 
+def collect_raw_quant(reader, cfg: DeepseekOcrConfig) -> Dict:
+    """Raw ggml payloads for quantization-eligible decoder linears, keyed
+    (group, key) → {"method", "layers": [payload per layer]} (expert keys
+    nest per-expert: "layers": [[payload per expert] per layer]).
+
+    Feeding these straight into the Pallas packers serves the snapshot's
+    PUBLISHED codes — the reference's QMatMul reads the same bytes
+    (dsq-runtime/src/lib.rs:316-369) — and skips the k-quant
+    dequantize→requantize round trip, which unlike Q8_0's is not
+    guaranteed bit-exact."""
+    lang = cfg.language
+    num_dense, num_moe = _split_layers(lang)
+    dense_idx = list(range(num_dense))
+    moe_idx = list(range(num_dense, num_dense + num_moe))
+    raw: Dict = {}
+
+    def plain(group, key, template, indices):
+        hits = [reader.raw_quant(template.format(i=i) + ".weight") for i in indices]
+        if not hits or any(h is None for h in hits):
+            return
+        dtypes = {h[1] for h in hits}
+        if len(dtypes) != 1:
+            return
+        raw[(group, key)] = {
+            "method": hits[0][1].lower(),
+            "layers": [h[0] for h in hits],
+        }
+
+    def experts(group, key, proj, indices):
+        E = lang.n_routed_experts
+        layers = []
+        dtypes = set()
+        for i in indices:
+            per_expert = [
+                reader.raw_quant(
+                    f"model.layers.{i}.mlp.experts.{e}.{proj}.weight"
+                )
+                for e in range(E)
+            ]
+            if any(h is None for h in per_expert):
+                return
+            dtypes.update(h[1] for h in per_expert)
+            layers.append([h[0] for h in per_expert])
+        if layers and len(dtypes) == 1:
+            raw[(group, key)] = {
+                "method": dtypes.pop().lower(),
+                "layers": layers,
+            }
+
+    for group, indices in (("dense_layers", dense_idx), ("moe_layers", moe_idx)):
+        if not indices:
+            continue
+        base = "model.layers.{i}."
+        for key, suffix in (
+            ("q_proj", "self_attn.q_proj"),
+            ("k_proj", "self_attn.k_proj"),
+            ("v_proj", "self_attn.v_proj"),
+            ("o_proj", "self_attn.o_proj"),
+        ):
+            plain(group, key, base + suffix, indices)
+        if group == "moe_layers":
+            for key, suffix in (
+                ("shared_gate", "mlp.shared_experts.gate_proj"),
+                ("shared_up", "mlp.shared_experts.up_proj"),
+                ("shared_down", "mlp.shared_experts.down_proj"),
+            ):
+                plain(group, key, base + suffix, indices)
+            for key, proj in (
+                ("experts_gate", "gate_proj"),
+                ("experts_up", "up_proj"),
+                ("experts_down", "down_proj"),
+            ):
+                experts(group, key, proj, indices)
+    head = reader.raw_quant("lm_head.weight")
+    if head is not None:
+        raw[("", "lm_head")] = {"method": head[1].lower(), "layers": [head[0]]}
+    return raw
+
+
 def load_deepseek_params(
     weights_path: pathlib.Path,
     cfg: DeepseekOcrConfig,
@@ -283,8 +362,9 @@ def load_deepseek_params(
     """Full parameter tree from a safetensors checkpoint. Vision tower
     dtype defaults via vision_compute_dtype (bf16 on TPU; the reference
     keeps duplicate f32 copies instead — model/mod.rs:981-1052). A DSQ
-    snapshot overrides matching linears (dequantize-on-load, ref
-    dsq-runtime SnapshotLoadPlan)."""
+    snapshot overrides matching linears (dequantize-on-load for float
+    serving; quantized serving reuses the raw payloads — see
+    collect_raw_quant)."""
     from ...dsq.runtime import WeightSource
 
     if vision_dtype is None:
@@ -294,6 +374,10 @@ def load_deepseek_params(
         "sam": load_sam_params(reader, cfg, vision_dtype),
         "decoder": load_decoder_params(reader, cfg, dtype),
     }
+    if snapshot_path is not None:
+        raw = collect_raw_quant(reader, cfg)
+        if raw:
+            params["decoder"]["__raw_quant__"] = raw
     if cfg.variant == "ocr2":
         from .ocr2 import Qwen2EncoderParams
 

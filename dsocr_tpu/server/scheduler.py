@@ -196,22 +196,76 @@ class ContinuousScheduler:
         if not job.future.done():
             job.future.set_exception(err)
 
+    def _prepare_jobs(self, jobs: List[_SlotJob]) -> List[Optional[dict]]:
+        """Blocking: batched vision + per-row prefill when the engine
+        supports it (prefill_for_slots pools the tower passes — the
+        serving pipeline is prefill-bound); falls back to per-job
+        prepare. Returns one packet (or None on failure) per job."""
+        validate = getattr(self.engine, "validate_slot_params", None)
+        batched = getattr(self.engine, "prefill_for_slots", None)
+        packets: List[Optional[dict]] = [None] * len(jobs)
+        todo = []
+        for i, job in enumerate(jobs):
+            try:
+                if validate is not None:
+                    validate(job.params)
+                todo.append(i)
+            except Exception as err:
+                self._fail(job, err)
+        if batched is not None and len(todo) > 1:
+            try:
+                pres = batched(
+                    self.tokenizer,
+                    [
+                        (jobs[i].prompt, jobs[i].images, jobs[i].vision)
+                        for i in todo
+                    ],
+                )
+                for i, pre in zip(todo, pres):
+                    packets[i] = self._finish_prepare(jobs[i], pre)
+                return packets
+            except Exception:
+                pass  # fall through to the per-job path for clean errors
+        for i in todo:
+            if packets[i] is not None:
+                continue
+            try:
+                packets[i] = self._prepare_job(jobs[i])
+            except Exception as err:
+                self._fail(jobs[i], err)
+        return packets
+
+    def _finish_prepare(self, job: _SlotJob, pre: dict) -> dict:
+        job.prompt_len = len(pre["prompt_ids"])
+        requested = job.params.max_new_tokens
+        job.max_new = clamp_new_tokens(job.prompt_len, requested, self.max_len)
+        job.truncated = job.max_new < requested
+        return pre
+
     async def _prefill_worker(self):
         loop = asyncio.get_running_loop()
         try:
             while True:
-                try:
-                    job: _SlotJob = self.queue.get_nowait()
-                except asyncio.QueueEmpty:
+                jobs: List[_SlotJob] = []
+                # drain up to half the slots per round: big enough to pool
+                # the vision towers, small enough to keep joins flowing
+                cap = max(2, self.n_slots // 2)
+                while len(jobs) < cap:
+                    try:
+                        jobs.append(self.queue.get_nowait())
+                    except asyncio.QueueEmpty:
+                        break
+                if not jobs:
                     return
                 self._ensure_state()
-                try:
-                    pre = await loop.run_in_executor(None, self._prepare_job, job)
-                except Exception as err:
-                    self._fail(job, err)
-                    continue
-                await self._ready_q.put((job, pre))  # backpressure when full
-                self._ensure_workers()  # decode worker may have exited idle
+                packets = await loop.run_in_executor(
+                    None, self._prepare_jobs, jobs
+                )
+                for job, pre in zip(jobs, packets):
+                    if pre is None:
+                        continue  # already failed
+                    await self._ready_q.put((job, pre))  # backpressure when full
+                    self._ensure_workers()  # decode worker may have exited idle
         finally:
             self._prefill_task = None
 

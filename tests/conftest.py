@@ -20,6 +20,10 @@ import jax
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_num_cpu_devices", 8)
+# persistent compile cache: CPU-mesh graphs recompile identically across
+# pytest runs; caching them cuts suite wall time on this 1-core host
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_comp_cache_cpu")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
