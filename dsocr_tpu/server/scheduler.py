@@ -95,6 +95,8 @@ class ContinuousScheduler:
         self._worker_task: Optional[asyncio.Task] = None
         self._prefill_task: Optional[asyncio.Task] = None
         self._inflight = 0  # submitted, not yet resolved
+        self._loop = None  # event loop the queues/tasks belong to
+        self._stale_rows: List[int] = []  # to release after a loop switch
         self._runner = None
         self._state = None
         self._rows: List[Optional[_SlotJob]] = [None] * self.n_slots
@@ -111,6 +113,23 @@ class ContinuousScheduler:
         stream_cb: Optional[Callable[[int, List[int]], None]] = None,
     ) -> DecodeOutcome:
         loop = asyncio.get_running_loop()
+        if self._loop is not loop:
+            # A fresh event loop (e.g. repeated asyncio.run): asyncio
+            # queues bind to the loop on their first blocking put/get and
+            # then raise 'bound to a different event loop'. The old
+            # loop's workers are dead with it; reset the loop-bound
+            # pieces (device-side slot state is loop-independent).
+            self.queue = asyncio.Queue()
+            self._ready_q = asyncio.Queue(maxsize=self._ready_q.maxsize)
+            self._worker_task = None
+            self._prefill_task = None
+            self._inflight = 0
+            # rows abandoned by a crashed loop: free them at worker start
+            self._stale_rows.extend(
+                r for r, j in enumerate(self._rows) if j is not None
+            )
+            self._rows = [None] * self.n_slots
+            self._loop = loop
         job = _SlotJob(prompt, images, vision, params, loop.create_future(), stream_cb)
         self._inflight += 1
         await self.queue.put(job)
@@ -292,6 +311,11 @@ class ContinuousScheduler:
         try:
             while True:
                 self._ensure_state()
+                while self._stale_rows:
+                    row = self._stale_rows.pop()
+                    self._state = await loop.run_in_executor(
+                        None, self._runner.release, self._state, row
+                    )
                 await self._admit_ready(loop)
                 active_jobs = [j for j in self._rows if j is not None]
                 if not active_jobs:

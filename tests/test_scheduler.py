@@ -276,3 +276,33 @@ def test_continuous_prefill_error_frees_slot(slot_engine):
 
     outcome = asyncio.run(go())
     assert outcome.response_tokens > 0
+
+
+def test_continuous_survives_repeated_asyncio_run(slot_engine):
+    """One scheduler driven by SEVERAL asyncio.run loops (the bench and
+    any embed-in-script usage): asyncio queues bind to the loop on their
+    first blocking put — enough requests to fill the bounded ready queue
+    must not poison the next loop ('bound to a different event loop')."""
+    tok = SlotTokenizer()
+    params = DecodeParameters(max_new_tokens=4, no_repeat_ngram_size=None)
+    imgs = [_img(40 + i) for i in range(5)]
+    solos = [
+        slot_engine.decode(tok, f"<image>loop{i}", [imgs[i]], VS, params)
+        for i in range(5)
+    ]
+    sched = ContinuousScheduler(slot_engine, tok, n_slots=1, max_len=256,
+                                chunk_steps=2)
+
+    async def go(n):
+        return await asyncio.gather(
+            *(sched.submit(f"<image>loop{i}", [imgs[i]], VS, params)
+              for i in range(n))
+        )
+
+    # 5 requests through 1 slot forces ready-queue blocking (binds loop 1)
+    first = asyncio.run(go(5))
+    second = asyncio.run(go(3))  # fresh loop reuses the same scheduler
+    for got, solo in zip(first, solos):
+        assert got.generated_tokens == solo.generated_tokens
+    for got, solo in zip(second, solos[:3]):
+        assert got.generated_tokens == solo.generated_tokens
