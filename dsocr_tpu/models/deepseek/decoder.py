@@ -18,6 +18,7 @@ from typing import Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ...ops import attention, causal_mask, rms_norm
 from ...ops.pallas.prefill_attention import flash_prefill_attention_auto
@@ -54,9 +55,13 @@ def _split_layers(cfg: DeepseekV2Config) -> Tuple[int, int]:
 
 
 def init_deepseek_params(
-    cfg: DeepseekV2Config, key: jax.Array, dtype=jnp.bfloat16
+    cfg: DeepseekV2Config, key: jax.Array, dtype=jnp.bfloat16, host: bool = False
 ) -> Dict:
-    keys = iter(jax.random.split(key, 32))
+    """Random-init decoder tree. host=True builds numpy arrays instead of
+    device arrays — runtime quantization consumes host numpy, and pulling
+    a freshly device-initialized 3B tree back through the tunneled TPU
+    link takes ~15 min (CLAUDE.md); the engine device_puts the quantized
+    result once."""
     H = cfg.hidden_size
     D = cfg.head_dim
     NH = cfg.num_attention_heads
@@ -65,31 +70,61 @@ def init_deepseek_params(
     V = cfg.vocab_size
     num_dense, num_moe = _split_layers(cfg)
 
-    def stack(k, n, shape, scale):
-        return (jax.random.normal(k, (n, *shape)) * scale).astype(dtype)
+    if host:
+        import ml_dtypes
+
+        np_dtype = (
+            ml_dtypes.bfloat16
+            if jnp.dtype(dtype) == jnp.bfloat16
+            else np.dtype(jnp.dtype(dtype).name)
+        )
+        rng = np.random.default_rng(int(np.asarray(key).ravel()[-1]))
+
+        def normal(shape):
+            return rng.standard_normal(shape, dtype=np.float32)
+
+        def ones(shape):
+            return np.ones(shape, np_dtype)
+
+        def cast(x):
+            return x.astype(np_dtype)
+    else:
+        keys = iter(jax.random.split(key, 32))
+
+        def normal(shape):
+            return jax.random.normal(next(keys), shape)
+
+        def ones(shape):
+            return jnp.ones(shape, dtype)
+
+        def cast(x):
+            return x.astype(dtype)
+
+    def stack(n, shape, scale):
+        return cast(normal((n, *shape)) * scale)
 
     def attn_stack(n):
         return {
-            "input_layernorm": jnp.ones((n, H), dtype),
-            "post_attention_layernorm": jnp.ones((n, H), dtype),
-            "q_proj": stack(next(keys), n, (H, NH * D), H**-0.5),
-            "k_proj": stack(next(keys), n, (H, NKV * D), H**-0.5),
-            "v_proj": stack(next(keys), n, (H, NKV * DV), H**-0.5),
-            "o_proj": stack(next(keys), n, (NH * DV, H), (NH * DV) ** -0.5),
+            "input_layernorm": ones((n, H)),
+            "post_attention_layernorm": ones((n, H)),
+            "q_proj": stack(n, (H, NH * D), H**-0.5),
+            "k_proj": stack(n, (H, NKV * D), H**-0.5),
+            "v_proj": stack(n, (H, NKV * DV), H**-0.5),
+            "o_proj": stack(n, (NH * DV, H), (NH * DV) ** -0.5),
         }
 
     params: Dict = {
-        "embed_tokens": (jax.random.normal(next(keys), (V, H)) * 0.02).astype(dtype),
-        "norm": jnp.ones((H,), dtype),
-        "lm_head": (jax.random.normal(next(keys), (H, V)) * 0.02).astype(dtype),
+        "embed_tokens": cast(normal((V, H)) * 0.02),
+        "norm": ones((H,)),
+        "lm_head": cast(normal((H, V)) * 0.02),
     }
     if num_dense:
         I = cfg.intermediate_size
         params["dense_layers"] = {
             **attn_stack(num_dense),
-            "gate_proj": stack(next(keys), num_dense, (H, I), H**-0.5),
-            "up_proj": stack(next(keys), num_dense, (H, I), H**-0.5),
-            "down_proj": stack(next(keys), num_dense, (I, H), I**-0.5),
+            "gate_proj": stack(num_dense, (H, I), H**-0.5),
+            "up_proj": stack(num_dense, (H, I), H**-0.5),
+            "down_proj": stack(num_dense, (I, H), I**-0.5),
         }
     if num_moe:
         E = cfg.n_routed_experts
@@ -97,15 +132,15 @@ def init_deepseek_params(
         SI = MI * (cfg.n_shared_experts or 0)
         moe = {
             **attn_stack(num_moe),
-            "gate_weight": stack(next(keys), num_moe, (E, H), H**-0.5),
-            "experts_gate": stack(next(keys), num_moe, (E, H, MI), H**-0.5),
-            "experts_up": stack(next(keys), num_moe, (E, H, MI), H**-0.5),
-            "experts_down": stack(next(keys), num_moe, (E, MI, H), MI**-0.5),
+            "gate_weight": stack(num_moe, (E, H), H**-0.5),
+            "experts_gate": stack(num_moe, (E, H, MI), H**-0.5),
+            "experts_up": stack(num_moe, (E, H, MI), H**-0.5),
+            "experts_down": stack(num_moe, (E, MI, H), MI**-0.5),
         }
         if SI:
-            moe["shared_gate"] = stack(next(keys), num_moe, (H, SI), H**-0.5)
-            moe["shared_up"] = stack(next(keys), num_moe, (H, SI), H**-0.5)
-            moe["shared_down"] = stack(next(keys), num_moe, (SI, H), SI**-0.5)
+            moe["shared_gate"] = stack(num_moe, (H, SI), H**-0.5)
+            moe["shared_up"] = stack(num_moe, (H, SI), H**-0.5)
+            moe["shared_down"] = stack(num_moe, (SI, H), SI**-0.5)
         params["moe_layers"] = moe
     return params
 
@@ -123,7 +158,15 @@ def fuse_decoder_params(params: Dict) -> Dict:
 
     def fuse(group, keys, new_key):
         if all(k in group for k in keys):
-            group[new_key] = jnp.concatenate([group.pop(k) for k in keys], axis=-1)
+            parts = [group.pop(k) for k in keys]
+            # np.concatenate for host trees (jnp would device_put —
+            # host-init + quantize must stay off-device until packed)
+            cat = (
+                np.concatenate
+                if all(isinstance(p, np.ndarray) for p in parts)
+                else jnp.concatenate
+            )
+            group[new_key] = cat(parts, axis=-1)
         return group
 
     out = dict(params)

@@ -93,7 +93,11 @@ class DeepseekOcrEngine:
             vdtype = vision_compute_dtype(dtype)
             params = {
                 "sam": init_sam_params(cfg.sam, ks, vdtype),
-                "decoder": init_deepseek_params(cfg.language, kd, dtype),
+                # quantize consumes host numpy — device-init would be
+                # pulled back through the tunnel (~15 min at 3B)
+                "decoder": init_deepseek_params(
+                    cfg.language, kd, dtype, host=bool(quantize)
+                ),
             }
             if cfg.variant == "ocr2":
                 from .ocr2 import init_ocr2_params
@@ -127,8 +131,8 @@ class DeepseekOcrEngine:
             from .quantize import quantize_decoder_params
 
             params = dict(params)
-            params["decoder"] = quantize_decoder_params(
-                params["decoder"], quantize, raw=raw_quant
+            params["decoder"] = jax.device_put(
+                quantize_decoder_params(params["decoder"], quantize, raw=raw_quant)
             )
         if mesh is not None:
             # shard the decoder over the mesh (TP heads + expert/MLP

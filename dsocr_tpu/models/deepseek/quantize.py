@@ -54,12 +54,26 @@ EXPERT_KEYS = ("experts_gate", "experts_up", "experts_gateup", "experts_down")
 
 
 def _q8_rows(rows: np.ndarray):
-    """[R, K] f32 → (codes [R, K] int8, scales [R, K/32] f32) via the
-    byte-exact ggml Q8_0 quantizer."""
+    """[R, K] f32 → (codes [R, K] int8, scales [R, K/32] f32).
+
+    Same math as quantize_q8_0 → pack_q8_0 (verified byte-identical in
+    tests) without materializing the interleaved payload — the bytes
+    round trip dominated host quantization time on 3B models. Codes use
+    the f32 scale's inverse; the RETURNED scale is the f16-stored value
+    (what dequantize reads), exactly like the payload path."""
     r, k = rows.shape
-    payload = quantize_q8_0(rows, r, k)
-    codes, scales = pack_q8_0(payload, r, k)
-    return np.asarray(codes), np.asarray(scales)
+    x = np.ascontiguousarray(rows, np.float32).reshape(r, k // 32, 32)
+    amax = np.abs(x).max(axis=2)
+    scale = np.where(amax > 0.0, amax / 127.0, 0.0).astype(np.float32)
+    with np.errstate(divide="ignore"):
+        inv = np.where(scale != 0.0, 1.0 / np.where(scale == 0.0, 1.0, scale), 0.0)
+    t = x * inv[..., None]
+    # Rust f32::round = ties away from zero (dsq-writer lib.rs:592)
+    q = np.clip(
+        np.where(t >= 0.0, np.floor(t + 0.5), np.ceil(t - 0.5)), -128, 127
+    ).astype(np.int8)
+    q = np.where(scale[..., None] == 0.0, np.int8(0), q)
+    return q.reshape(r, k), scale.astype(np.float16).astype(np.float32)
 
 
 def _effective_method(method: str, in_dim: int) -> str:

@@ -191,3 +191,20 @@ def test_loader_collects_raw_and_engine_packs_snapshot_codes(tmp_path):
     exp_codes, exp_scales = pack_q8_0(expected_payload, 96, 32)
     np.testing.assert_array_equal(np.asarray(qkv["codes"][0]), np.asarray(exp_codes))
     np.testing.assert_array_equal(np.asarray(qkv["scales"][0]), np.asarray(exp_scales))
+
+
+def test_q8_rows_matches_payload_path():
+    """The direct array quantizer must be byte-identical to
+    quantize_q8_0 -> pack_q8_0 (incl. tie rounding, zero blocks, and the
+    f16-stored scale)."""
+    from dsocr_tpu.models.deepseek.quantize import _q8_rows
+    from dsocr_tpu.ops.pallas.dequant_matmul import pack_q8_0
+
+    rng = np.random.default_rng(7)
+    rows = rng.normal(size=(8, 96)).astype(np.float32) * 3
+    rows[2] = 0.0  # zero block shortcut
+    rows[3, :32] = 2.5 * (rows[3, :32] != 0)  # exercise tie rounding
+    codes, scales = _q8_rows(rows)
+    ref_codes, ref_scales = pack_q8_0(quantize_q8_0(rows, 8, 96), 8, 96)
+    np.testing.assert_array_equal(codes, np.asarray(ref_codes))
+    np.testing.assert_array_equal(scales, np.asarray(ref_scales))
