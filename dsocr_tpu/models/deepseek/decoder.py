@@ -71,23 +71,19 @@ def init_deepseek_params(
     num_dense, num_moe = _split_layers(cfg)
 
     if host:
-        import ml_dtypes
-
-        np_dtype = (
-            ml_dtypes.bfloat16
-            if jnp.dtype(dtype) == jnp.bfloat16
-            else np.dtype(jnp.dtype(dtype).name)
-        )
+        # stays float32: ml_dtypes bf16 conversions are software-emulated
+        # (minutes over a 3B tree); the engine casts to the serving dtype
+        # during the one-shot device upload after quantization.
         rng = np.random.default_rng(int(np.asarray(key).ravel()[-1]))
 
         def normal(shape):
             return rng.standard_normal(shape, dtype=np.float32)
 
         def ones(shape):
-            return np.ones(shape, np_dtype)
+            return np.ones(shape, np.float32)
 
         def cast(x):
-            return x.astype(np_dtype)
+            return x
     else:
         keys = iter(jax.random.split(key, 32))
 

@@ -131,9 +131,21 @@ class DeepseekOcrEngine:
             from .quantize import quantize_decoder_params
 
             params = dict(params)
-            params["decoder"] = jax.device_put(
-                quantize_decoder_params(params["decoder"], quantize, raw=raw_quant)
+            quantized = quantize_decoder_params(
+                params["decoder"], quantize, raw=raw_quant
             )
+
+            def _upload(x):
+                # host-init leaves that stayed float (norms, router, the
+                # dense-prefix MLP, embeddings) cast to the serving dtype
+                # during upload; packed planes are already device arrays.
+                if isinstance(x, np.ndarray) and np.issubdtype(
+                    x.dtype, np.floating
+                ):
+                    return jnp.asarray(x, dtype)
+                return jnp.asarray(x)
+
+            params["decoder"] = jax.tree_util.tree_map(_upload, quantized)
         if mesh is not None:
             # shard the decoder over the mesh (TP heads + expert/MLP
             # intermediate dims; ep=True shards routed-expert stacks over
