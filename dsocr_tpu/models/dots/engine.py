@@ -188,9 +188,36 @@ class DotsOcrEngine:
             ngram_max=ngram_max,
         )
 
+    def prefill_for_slots(self, tokenizer, requests):
+        """Batched prefill for the scheduler's prefill worker: requests
+        sharing VisionSettings pack their images into ONE DotsVision
+        pass (the packed SequenceLayout already handles multi-image
+        batches), then each request prefills its own row.
+        requests = [(prompt, images, vision), ...]."""
+        out = [None] * len(requests)
+        groups: Dict = {}
+        for idx, (_, _, vision) in enumerate(requests):
+            groups.setdefault(vision, []).append(idx)
+        for vision, idxs in groups.items():
+            flat = [img for i in idxs for img in requests[i][1]]
+            embeddings, grids = self.encode_images(flat, vision)
+            cursor = 0
+            for i in idxs:
+                n = len(requests[i][1])
+                out[i] = self._prefill_row(
+                    tokenizer, requests[i][0],
+                    embeddings[cursor : cursor + n],
+                    grids[cursor : cursor + n],
+                )
+                cursor += n
+        return out
+
     def prefill_for_slot(self, tokenizer, prompt, images, vision):
         """Vision + prompt + single-row prefill for SlotRunner.join."""
         embeddings, grids = self.encode_images(images, vision)
+        return self._prefill_row(tokenizer, prompt, embeddings, grids)
+
+    def _prefill_row(self, tokenizer, prompt, embeddings, grids):
         tokens, image_mask = self.build_prompt_tokens(tokenizer, prompt, grids)
         prompt_len = len(tokens)
         s_pad = _round_up(prompt_len, 128)

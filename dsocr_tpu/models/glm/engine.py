@@ -224,6 +224,40 @@ class GlmOcrEngine:
             ngram_max=ngram_max,
         )
 
+    def prefill_for_slots(self, tokenizer, requests):
+        """Batched prefill for the scheduler's prefill worker: every
+        queued request's images run through ONE GLM vision pass (the
+        grids list already packs multiple images), then each request
+        prefills its own row. requests = [(prompt, images, vision), ...]
+        (GLM vision budgets come from the model config, so requests
+        never split by VisionSettings)."""
+        cfg = self.cfg
+        all_patches = []
+        per_req_grids: List[List[Tuple[int, int, int]]] = []
+        for _, images, _ in requests:
+            grids = []
+            for image in images:
+                patches, grid = preprocess_glm_image(np.asarray(image), cfg)
+                all_patches.append(patches)
+                grids.append(grid)
+            per_req_grids.append(grids)
+        embeddings = None
+        if all_patches:
+            packed = jnp.asarray(np.concatenate(all_patches), self.dtype_)
+            embeddings = glm_vision_forward(
+                self.params["vision"], cfg.vision,
+                packed, [g for gs in per_req_grids for g in gs],
+            )
+        merge_area = cfg.vision.spatial_merge_size ** 2
+        out = []
+        cursor = 0
+        for (prompt, _, _), grids in zip(requests, per_req_grids):
+            count = sum(t * h * w // merge_area for t, h, w in grids)
+            emb = embeddings[cursor : cursor + count] if embeddings is not None else None
+            cursor += count
+            out.append(self._prefill_row(tokenizer, prompt, grids, emb))
+        return out
+
     def prefill_for_slot(self, tokenizer, prompt, images, vision):
         """Vision + scaffold prompt + single-row prefill for
         SlotRunner.join. pos0 = the 3-axis position base after the
@@ -241,6 +275,10 @@ class GlmOcrEngine:
             embeddings = glm_vision_forward(
                 self.params["vision"], cfg.vision, packed, grids
             )
+        return self._prefill_row(tokenizer, prompt, grids, embeddings)
+
+    def _prefill_row(self, tokenizer, prompt, grids, embeddings):
+        cfg = self.cfg
         tokens, image_mask = self.build_prompt_tokens(tokenizer, prompt, grids)
         prompt_len = len(tokens)
         pos_ids, next_base = compute_glm_position_ids(

@@ -141,3 +141,43 @@ def test_paddle_slot_emit_eos_matches_generator(paddle_engine):
     out = asyncio.run(go())
     assert out.generated_tokens == solo.generated_tokens
     assert out.response_tokens == solo.response_tokens
+
+
+def _simultaneous_pair(engine, tok, vision, params, prompts, imgs):
+    solos = [
+        engine.decode(tok, p, [im], vision, params)
+        for p, im in zip(prompts, imgs)
+    ]
+
+    async def go():
+        sched = ContinuousScheduler(engine, tok, n_slots=2, max_len=256,
+                                    chunk_steps=2)
+        return await asyncio.gather(
+            *(sched.submit(p, [im], vision, params)
+              for p, im in zip(prompts, imgs))
+        )
+
+    results = asyncio.run(go())
+    for got, solo in zip(results, solos):
+        assert got.generated_tokens == solo.generated_tokens
+
+
+def test_dots_batched_prefill_matches_solo(dots_engine):
+    """Two requests arriving together take prefill_for_slots (ONE packed
+    DotsVision pass across both) and must match their solo decodes."""
+    _simultaneous_pair(
+        dots_engine, FakeTokenizer(), VisionSettings(28, 56, False),
+        DecodeParameters(max_new_tokens=8, no_repeat_ngram_size=None),
+        ["<image>\nA.", "<image>\nB longer."],
+        [_img(20), _img(21, 28, 28)],
+    )
+
+
+def test_glm_batched_prefill_matches_solo(glm_engine):
+    """Two requests arriving together share one GLM vision pass."""
+    _simultaneous_pair(
+        glm_engine, FakeTokenizer(), VisionSettings(336, 336, False),
+        DecodeParameters(max_new_tokens=8, no_repeat_ngram_size=None),
+        ["<image>x", "<image>other"],
+        [_img(22, 40, 60), _img(23, 30, 30)],
+    )
