@@ -71,6 +71,27 @@ def cmd_capture(args) -> int:
     return 0
 
 
+def cmd_bench_native(args) -> int:
+    """Run OUR CLI on one case and save the --output-json artifact (the
+    reference's `bench-rust`, benchsuite/cli.py:97-186). Requires real
+    weights to produce meaningful tokens."""
+    from .capture import run_candidate
+    import pathlib as _pl
+    import tempfile
+
+    with tempfile.NamedTemporaryFile(suffix=".json", delete=False) as tmp:
+        base = tmp.name
+    _pl.Path(base).write_text(json.dumps({
+        "model_id": args.model,
+        "image": args.image,
+        "prompt": args.prompt,
+        "max_new_tokens": args.max_new_tokens,
+    }))
+    out = run_candidate(_pl.Path(base), _pl.Path(args.output))
+    print(str(out))
+    return 0
+
+
 def cmd_perf(args) -> int:
     from .perf import compare_history, run_perf_matrix, save_history
 
@@ -134,6 +155,33 @@ def main(argv=None) -> int:
         help="also run our CLI on the case and strict-gate the tokens",
     )
     c.set_defaults(fn=cmd_capture)
+
+    for alias in ("bench-native", "bench-rust"):
+        bn = sub.add_parser(
+            alias, help="run our CLI on one case, save the candidate JSON"
+        )
+        bn.add_argument("--model", default="deepseek-ocr")
+        bn.add_argument("--image", required=True)
+        bn.add_argument("--prompt", default="<image>\nFree OCR.")
+        bn.add_argument("--max-new-tokens", type=int, default=64)
+        bn.add_argument("--output", required=True)
+        bn.set_defaults(fn=cmd_bench_native)
+
+    # reference name for the teacher capture (benchsuite `bench-python`)
+    bp = sub.add_parser("bench-python", help="alias of `capture`")
+    bp.add_argument("--model-dir", required=True)
+    bp.add_argument("--model", default="deepseek-ocr")
+    bp.add_argument("--image", required=True)
+    bp.add_argument("--prompt", default="<image>\nFree OCR.")
+    bp.add_argument("--max-new-tokens", type=int, default=64)
+    bp.add_argument("--out", default="baselines/sample")
+    bp.add_argument("--base-size", type=int, default=1024)
+    bp.add_argument("--image-size", type=int, default=640)
+    bp.add_argument(
+        "--crop-mode", type=lambda v: v.lower() in ("1", "true"), default=True
+    )
+    bp.add_argument("--gate", action="store_true")
+    bp.set_defaults(fn=cmd_capture)
 
     p = sub.add_parser("perf", help="perf matrix with history compare")
     p.add_argument("--models", default="paddleocr-vl")

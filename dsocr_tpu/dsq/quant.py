@@ -357,6 +357,17 @@ _QUANTIZERS = {
 
 
 def quantize(dtype: str, weights: np.ndarray, rows: int, cols: int) -> bytes:
+    """Native C++ kernel when available (byte-identical, ~10x — the
+    NumPy k-quant scale searches allocate dozens of temporaries);
+    DSOCR_NO_NATIVE=1 forces the NumPy path."""
+    import os
+
+    if os.environ.get("DSOCR_NO_NATIVE") != "1":
+        from ..native import quantize_native
+
+        payload = quantize_native(dtype.lower(), weights, rows, cols)
+        if payload is not None:
+            return payload
     return _QUANTIZERS[dtype][0](weights, rows, cols)
 
 

@@ -133,16 +133,12 @@ def quantize_plain(w, method: str = "q8_0", raw=None) -> Dict:
             "codes": jnp.asarray(codes.reshape(*lead, o, i)),
             "scales": jnp.asarray(scales.reshape(*lead, o, i // 32)),
         }
-    from ...dsq.quant import quantize_q4_k, quantize_q6_k
+    from ...dsq.quant import quantize as ggml_quantize
     from ...ops.pallas.kquant_matmul import pack_q4_k, pack_q6_k
 
     if payload is None:
         rows = arr.reshape(-1, i, o).transpose(0, 2, 1).reshape(-1, i)
-        payload = (
-            quantize_q4_k(rows, rows_n, i)
-            if method == "q4_k"
-            else quantize_q6_k(rows, rows_n, i)
-        )
+        payload = ggml_quantize(method.upper(), rows, rows_n, i)
     packed = (pack_q4_k if method == "q4_k" else pack_q6_k)(payload, rows_n, i)
     return {
         key: jnp.asarray(np.asarray(v).reshape(*lead, o, *v.shape[1:]))
@@ -182,7 +178,7 @@ def quantize_expert_stack(w, method: str = "q8_0", raw=None) -> Dict:
             codes_out[l] = codes.reshape(E, o, i).transpose(0, 2, 1)
             scales_out[l] = scales.reshape(E, o, i // 32).transpose(0, 2, 1)
         return {"codes": jnp.asarray(codes_out), "scales": jnp.asarray(scales_out)}
-    from ...dsq.quant import quantize_q4_k, quantize_q6_k
+    from ...dsq.quant import quantize as ggml_quantize
     from ...ops.pallas.kquant_matmul import pack_q4_k_inmajor, pack_q6_k_inmajor
 
     per_layer = []
@@ -190,11 +186,7 @@ def quantize_expert_stack(w, method: str = "q8_0", raw=None) -> Dict:
         payload = layer_payload(l)
         if payload is None:
             rows = arr[l].transpose(0, 2, 1).reshape(-1, i)
-            payload = (
-                quantize_q4_k(rows, E * o, i)
-                if method == "q4_k"
-                else quantize_q6_k(rows, E * o, i)
-            )
+            payload = ggml_quantize(method.upper(), rows, E * o, i)
         per_layer.append(
             (pack_q4_k_inmajor if method == "q4_k" else pack_q6_k_inmajor)(
                 payload, E, o, i

@@ -12,9 +12,12 @@ from .resample import (
     resize_bicubic_native,
     resize_normalize_chw_native,
 )
+from .quant import quant_native_available, quantize_native
 
 __all__ = [
     "native_available",
     "resize_bicubic_native",
     "resize_normalize_chw_native",
+    "quant_native_available",
+    "quantize_native",
 ]
