@@ -106,8 +106,10 @@ def main():
     # tunnel) per chunk, but admissions between chunks keep slot
     # occupancy high while the prefill worker pipelines new pages.
     chunk = int(os.environ.get("BENCH_CHUNK", "64"))
+    prefill_batch = int(os.environ.get("BENCH_PREFILL_BATCH", "0")) or None
     scheduler = ContinuousScheduler(
-        engine, tokenizer, n_slots=n_slots, max_len=max_len, chunk_steps=chunk
+        engine, tokenizer, n_slots=n_slots, max_len=max_len, chunk_steps=chunk,
+        prefill_batch=prefill_batch,
     )
 
     async def serve_n(n):

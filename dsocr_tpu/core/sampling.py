@@ -375,32 +375,39 @@ def select_token_id_slots(
     filtered = jnp.where(any_valid, filtered, adjusted)
 
     greedy = jnp.argmax(filtered, axis=-1).astype(jnp.int32)
-
-    # sampled path (per-row temperature / top-k / top-p)
-    temp = jnp.maximum(sampling.temperature, 1e-6)[:, None]
-    scaled = filtered / temp
-    k_eff = jnp.where(
-        (sampling.top_k <= 0) | (sampling.top_k >= V), V, sampling.top_k
-    )
-    order = jnp.argsort(-scaled, axis=-1, stable=True)
-    ranks = jnp.argsort(order, axis=-1, stable=True)
-    scaled = jnp.where(ranks >= k_eff[:, None], _NEG_INF, scaled)
-    p_eff = jnp.where(
-        (sampling.top_p < 0.0) | (sampling.top_p >= 1.0), 1.0, sampling.top_p
-    )
-    sorted_logits = jnp.sort(scaled, axis=-1)[..., ::-1]
-    probs = jax.nn.softmax(sorted_logits, axis=-1)
-    cumulative = jnp.cumsum(probs, axis=-1)
-    keep_sorted = (cumulative - probs) <= p_eff[:, None]
-    keep_sorted = keep_sorted.at[..., 0].set(True)
-    threshold = jnp.min(
-        jnp.where(keep_sorted, sorted_logits, jnp.inf), axis=-1, keepdims=True
-    )
-    scaled = jnp.where(scaled < threshold, _NEG_INF, scaled)
-    sampled = jax.random.categorical(rng_key, scaled, axis=-1).astype(jnp.int32)
-
     use_sample = sampling.do_sample & (sampling.temperature > 0.0)
-    return jnp.where(use_sample, sampled, greedy)
+
+    def _sampled_branch(_):
+        # per-row temperature / top-k / top-p — three [B, V] sorts, so
+        # it only executes when some row actually samples (the cond
+        # keeps all-greedy decode ~2x faster per step; its operands
+        # carry no KV cache, so no aliasing copies)
+        temp = jnp.maximum(sampling.temperature, 1e-6)[:, None]
+        scaled = filtered / temp
+        k_eff = jnp.where(
+            (sampling.top_k <= 0) | (sampling.top_k >= V), V, sampling.top_k
+        )
+        order = jnp.argsort(-scaled, axis=-1, stable=True)
+        ranks = jnp.argsort(order, axis=-1, stable=True)
+        scaled = jnp.where(ranks >= k_eff[:, None], _NEG_INF, scaled)
+        p_eff = jnp.where(
+            (sampling.top_p < 0.0) | (sampling.top_p >= 1.0), 1.0, sampling.top_p
+        )
+        sorted_logits = jnp.sort(scaled, axis=-1)[..., ::-1]
+        probs = jax.nn.softmax(sorted_logits, axis=-1)
+        cumulative = jnp.cumsum(probs, axis=-1)
+        keep_sorted = (cumulative - probs) <= p_eff[:, None]
+        keep_sorted = keep_sorted.at[..., 0].set(True)
+        threshold = jnp.min(
+            jnp.where(keep_sorted, sorted_logits, jnp.inf), axis=-1, keepdims=True
+        )
+        scaled = jnp.where(scaled < threshold, _NEG_INF, scaled)
+        sampled = jax.random.categorical(rng_key, scaled, axis=-1).astype(jnp.int32)
+        return jnp.where(use_sample, sampled, greedy)
+
+    return jax.lax.cond(
+        jnp.any(use_sample), _sampled_branch, lambda _: greedy, None
+    )
 
 
 def select_token_id_device(

@@ -78,6 +78,7 @@ class ContinuousScheduler:
         max_len: Optional[int] = None,
         chunk_steps: int = 32,
         stream_chunk_steps: int = 16,
+        prefill_batch: Optional[int] = None,
     ):
         self.engine = engine
         self.tokenizer = tokenizer
@@ -88,10 +89,15 @@ class ContinuousScheduler:
         )
         self.chunk_steps = chunk_steps
         self.stream_chunk_steps = stream_chunk_steps
+        # prefill wave size: bigger waves pool the vision towers better
+        # (throughput); smaller waves admit sooner (latency)
+        self.prefill_batch = prefill_batch or max(2, self.n_slots // 2)
         self.queue: asyncio.Queue = asyncio.Queue()
-        # prefilled packets awaiting a free slot; bounded so at most a few
-        # prefill KV blocks sit in HBM while slots are busy
-        self._ready_q: asyncio.Queue = asyncio.Queue(maxsize=2)
+        # prefilled packets awaiting a free slot; bounded so at most a
+        # wave of prefill KV blocks sits in HBM while slots are busy
+        self._ready_q: asyncio.Queue = asyncio.Queue(
+            maxsize=max(2, self.prefill_batch)
+        )
         self._worker_task: Optional[asyncio.Task] = None
         self._prefill_task: Optional[asyncio.Task] = None
         self._inflight = 0  # submitted, not yet resolved
@@ -266,9 +272,7 @@ class ContinuousScheduler:
         try:
             while True:
                 jobs: List[_SlotJob] = []
-                # drain up to half the slots per round: big enough to pool
-                # the vision towers, small enough to keep joins flowing
-                cap = max(2, self.n_slots // 2)
+                cap = self.prefill_batch
                 while len(jobs) < cap:
                     try:
                         jobs.append(self.queue.get_nowait())
