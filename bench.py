@@ -14,10 +14,11 @@ replacement for the reference's model mutex), which pipelines host
 preprocessing, vision towers, prefill, and chunked batched decode.
 Extra fields report the single-request latency path.
 
-Env knobs: BENCH_REQUESTS (default 8), BENCH_SLOTS (8),
-BENCH_MAX_NEW_TOKENS (512), BENCH_REPS (2), BENCH_CHUNK (64),
-BENCH_QUANT ('' | q8_0 | q4_k | q6_k), BENCH_BATCH1 (1 → also measure
-single-request latency).
+Env knobs: BENCH_REQUESTS (default 16), BENCH_SLOTS (8),
+BENCH_MAX_NEW_TOKENS (512), BENCH_REPS (2), BENCH_CHUNK (128),
+BENCH_PREFILL_BATCH (= slots), BENCH_QUANT ('' | q8_0 | q4_k | q6_k),
+BENCH_BATCH1 (1 → also measure single-request latency),
+BENCH_DEBUG (occupancy + stage breakdown on stderr).
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
 """
@@ -68,7 +69,7 @@ def main():
     from dsocr_tpu.server.scheduler import ContinuousScheduler
 
     max_new = int(os.environ.get("BENCH_MAX_NEW_TOKENS", "512"))
-    n_requests = int(os.environ.get("BENCH_REQUESTS", "8"))
+    n_requests = int(os.environ.get("BENCH_REQUESTS", "16"))
     n_slots = int(os.environ.get("BENCH_SLOTS", "8"))
     reps = int(os.environ.get("BENCH_REPS", "2"))
     quant = os.environ.get("BENCH_QUANT") or None
@@ -105,8 +106,10 @@ def main():
     # Moderate chunks: one harvest (~50ms fused device_get over the
     # tunnel) per chunk, but admissions between chunks keep slot
     # occupancy high while the prefill worker pipelines new pages.
-    chunk = int(os.environ.get("BENCH_CHUNK", "64"))
-    prefill_batch = int(os.environ.get("BENCH_PREFILL_BATCH", "0")) or None
+    # measured best on v5e-1: full-slot prefill waves + 128-step chunks
+    # (occupancy 8.0; decode is HBM-bound on expert streaming)
+    chunk = int(os.environ.get("BENCH_CHUNK", "128"))
+    prefill_batch = int(os.environ.get("BENCH_PREFILL_BATCH", str(n_slots))) or None
     scheduler = ContinuousScheduler(
         engine, tokenizer, n_slots=n_slots, max_len=max_len, chunk_steps=chunk,
         prefill_batch=prefill_batch,
@@ -132,18 +135,27 @@ def main():
         jax.profiler.start_trace(profile_dir)
     serve_times = []
     decode_tokens = 0
+    debug = os.environ.get("BENCH_DEBUG")
+    if debug:
+        from dsocr_tpu.core.benchmark import BenchRecorder, set_recorder
     for _ in range(reps):
         scheduler.batch_sizes.clear()
+        if debug:
+            recorder = BenchRecorder()
+            set_recorder(recorder)
         dt, toks = asyncio.run(serve_n(n_requests))
         serve_times.append(dt)
         decode_tokens = toks
-        if os.environ.get("BENCH_DEBUG"):
+        if debug:
+            set_recorder(None)
             occ = scheduler.batch_sizes
             print(
                 f"[debug] rep: {dt:.2f}s, chunks={len(occ)}, "
                 f"mean_occ={sum(occ)/max(len(occ),1):.2f}, occ={occ[:50]}",
                 file=sys.stderr,
             )
+            for stage, ms in sorted(recorder.stage_totals().items()):
+                print(f"[debug]   {stage:24s} {ms:9.1f} ms", file=sys.stderr)
     if profile_dir:
         jax.profiler.stop_trace()
     best = min(serve_times)

@@ -737,6 +737,7 @@ class DeepseekOcrEngine:
         ]
         from concurrent.futures import ThreadPoolExecutor
 
+        prep_t = Timer("slot.prepare_inputs")
         if len(flat) > 1:
             with ThreadPoolExecutor(max_workers=min(8, len(flat))) as pool:
                 prepared = list(
@@ -752,18 +753,26 @@ class DeepseekOcrEngine:
                 self.prepare_vision_input(img, requests[ri][2])
                 for ri, img in flat
             ]
+        prep_t.finish(images=len(flat))
+        tower_t = Timer("slot.vision_towers")
         embeddings_flat = self._compute_image_embeddings_batched(prepared)
+        if embeddings_flat:
+            np.asarray(embeddings_flat[-1][:1])  # true sync (tunnel)
+        tower_t.finish(images=len(flat))
         per_req_vins = [[] for _ in requests]
         per_req_embeds = [[] for _ in requests]
         for (ri, _), vin, emb in zip(flat, prepared, embeddings_flat):
             per_req_vins[ri].append(vin)
             per_req_embeds[ri].append(emb)
-        return [
+        pf_t = Timer("slot.prefill_rows")
+        out = [
             self._prefill_row(
                 tokenizer, prompt, per_req_vins[ri], per_req_embeds[ri], vision
             )
             for ri, (prompt, _, vision) in enumerate(requests)
         ]
+        pf_t.finish(rows=len(out))
+        return out
 
     def prefill_for_slot(self, tokenizer, prompt, images, vision):
         """Vision + prompt + single-row prefill, producing the row KV block
