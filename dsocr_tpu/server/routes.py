@@ -136,6 +136,15 @@ async def metrics(request: web.Request) -> web.Response:
     for name, value in state.metrics.items():
         lines.append(f"# TYPE dsocr_{name} counter")
         lines.append(f"dsocr_{name} {value}")
+    sched = state.scheduler
+    if sched is not None and getattr(sched, "batch_sizes", None):
+        occ = sched.batch_sizes
+        lines.append("# TYPE dsocr_slot_occupancy gauge")
+        lines.append(f"dsocr_slot_occupancy {occ[-1]}")
+        lines.append("# TYPE dsocr_slot_occupancy_mean gauge")
+        lines.append(f"dsocr_slot_occupancy_mean {sum(occ) / len(occ):.3f}")
+        lines.append("# TYPE dsocr_decode_chunks_total counter")
+        lines.append(f"dsocr_decode_chunks_total {len(occ)}")
     return web.Response(
         text="\n".join(lines) + "\n", content_type="text/plain"
     )
