@@ -498,6 +498,32 @@ def moe_apply_fused(
     return combined.astype(tokens.dtype)
 
 
+def moe_apply_q8_dense_fused(tokens, topk_weights, topk_indices, gateup_q, down_q):
+    """Dense ALL-expert q8 decode: read every expert's packed weights
+    ONCE (the bf16 tier's moe_apply_dense strategy at ~half the bytes).
+    Cheaper than the per-selection gather once N*top_k > n_experts —
+    gathers re-stream shared experts at high slot occupancy."""
+    from .pallas.dequant_matmul import (
+        q8_dense_experts_layered_auto,
+        q8_dense_experts_perx_layered_auto,
+    )
+
+    li = gateup_q.layer
+    gus = q8_dense_experts_layered_auto(
+        tokens, gateup_q.codes, gateup_q.scales, li
+    )  # [E, N, 2*inter]
+    gates, ups = _split_gateup(gus)
+    inter = (silu(gates) * ups).astype(tokens.dtype)
+    outs = q8_dense_experts_perx_layered_auto(
+        inter, down_q.codes, down_q.scales, li
+    )  # [E, N, hidden]
+    sel = jnp.take_along_axis(
+        outs.transpose(1, 0, 2), topk_indices[..., None], axis=1
+    )  # [N, K, hidden]
+    combined = jnp.sum(sel * topk_weights[..., None], axis=1)
+    return combined.astype(tokens.dtype)
+
+
 def moe_apply_q8_fused(tokens, topk_weights, topk_indices, gateup_q, down_q):
     """Fused-gate_up q8 decode path (one gather kernel for gate+up)."""
     from .pallas.dequant_matmul import (
@@ -507,6 +533,13 @@ def moe_apply_q8_fused(tokens, topk_weights, topk_indices, gateup_q, down_q):
 
     n, k = topk_indices.shape
     hidden = tokens.shape[1]
+    if (
+        isinstance(gateup_q, LayeredQ8)
+        and n * k > gateup_q.codes.shape[1]  # selections exceed n_experts
+    ):
+        return moe_apply_q8_dense_fused(
+            tokens, topk_weights, topk_indices, gateup_q, down_q
+        )
     flat_idx = topk_indices.reshape(n * k)
     flat_x = jnp.repeat(tokens, k, axis=0)
     if isinstance(gateup_q, LayeredQ8):

@@ -339,3 +339,139 @@ def q8_gather_matmul_layered_auto(x, codes, scales, idx, layer):
     return q8_gather_matmul_layered(
         x, codes, scales, idx, layer, interpret=jax.default_backend() != "tpu"
     )
+
+
+# ---------------------------------------------------------------------------
+# Dense ALL-expert matmuls (packed weights, read each expert ONCE)
+#
+# The per-selection gather kernels above re-read shared experts: at
+# occupancy N with top-K routing they stream N*K expert matrices. Once
+# N*K > E (e.g. 16 rows x top-6 = 96 > 64 experts), running EVERY expert
+# once — the bf16 decode tier's moe_apply_dense strategy — moves fewer
+# bytes; these kernels do that dense sweep straight from the packed int8
+# codes (~half the bf16 bytes), writing [E, N, M] for the caller's
+# take_along_axis combine.
+# ---------------------------------------------------------------------------
+
+
+def _dense_experts_kernel(li_ref, x_ref, q_ref, s_ref, out_ref):
+    del li_ref  # consumed by the index maps
+    _, h = x_ref.shape
+    q = q_ref[0, 0].astype(jnp.float32)  # [H, tile]
+    s = s_ref[0, 0]  # [H // 32, tile]
+    nb = s.shape[0]
+    rows = jax.lax.broadcasted_iota(jnp.int32, (h, nb), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (h, nb), 1)
+    expand = (rows // Q8_BLOCK == cols).astype(jnp.float32)
+    s_full = jax.lax.dot_general(
+        expand, s, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )  # [H, tile]
+    w = (q * s_full).astype(jnp.bfloat16)
+    out_ref[0] = jax.lax.dot_general(
+        x_ref[...].astype(jnp.bfloat16), w,
+        (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+    )
+
+
+def _dense_experts_perx_kernel(li_ref, x_ref, q_ref, s_ref, out_ref):
+    del li_ref
+    _, _, h = x_ref.shape
+    q = q_ref[0, 0].astype(jnp.float32)
+    s = s_ref[0, 0]
+    nb = s.shape[0]
+    rows = jax.lax.broadcasted_iota(jnp.int32, (h, nb), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (h, nb), 1)
+    expand = (rows // Q8_BLOCK == cols).astype(jnp.float32)
+    s_full = jax.lax.dot_general(
+        expand, s, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    w = (q * s_full).astype(jnp.bfloat16)
+    out_ref[0] = jax.lax.dot_general(
+        x_ref[0].astype(jnp.bfloat16), w,
+        (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+    )
+
+
+def _expert_tile(m: int) -> int:
+    tile = m if (m % 128 or m <= 512) else 512
+    while m % tile:
+        tile //= 2
+    return tile
+
+
+@functools.partial(jax.jit, static_argnames=("interpret", "tile"))
+def q8_dense_experts_layered(
+    x: jnp.ndarray,  # [N, H] — shared across experts (gate/up input)
+    codes: jnp.ndarray,  # [L, E, H, M] int8 (in-major)
+    scales: jnp.ndarray,  # [L, E, H/32, M] f32
+    layer: jnp.ndarray,  # scalar int32
+    interpret: bool = False,
+    tile: int = 0,
+) -> jnp.ndarray:
+    """out[e] = x @ dequant(W[layer, e]) → [E, N, M]."""
+    n, h = x.shape
+    L, e, _, m = codes.shape
+    tile = tile or _expert_tile(m)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(e, m // tile),
+        in_specs=[
+            pl.BlockSpec((n, h), lambda ei, ji, li: (0, 0)),
+            pl.BlockSpec((1, 1, h, tile), lambda ei, ji, li: (li[0], ei, 0, ji)),
+            pl.BlockSpec(
+                (1, 1, h // Q8_BLOCK, tile), lambda ei, ji, li: (li[0], ei, 0, ji)
+            ),
+        ],
+        out_specs=pl.BlockSpec((1, n, tile), lambda ei, ji, li: (ei, 0, ji)),
+    )
+    return pl.pallas_call(
+        _dense_experts_kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((e, n, m), jnp.float32),
+        interpret=interpret,
+    )(jnp.asarray(layer, jnp.int32).reshape(1), x, codes, scales)
+
+
+def q8_dense_experts_layered_auto(x, codes, scales, layer):
+    return q8_dense_experts_layered(
+        x, codes, scales, layer, interpret=jax.default_backend() != "tpu"
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("interpret", "tile"))
+def q8_dense_experts_perx_layered(
+    x: jnp.ndarray,  # [E, N, K] — per-expert input (down projection)
+    codes: jnp.ndarray,  # [L, E, K, M] int8
+    scales: jnp.ndarray,  # [L, E, K/32, M] f32
+    layer: jnp.ndarray,  # scalar int32
+    interpret: bool = False,
+    tile: int = 0,
+) -> jnp.ndarray:
+    """out[e] = x[e] @ dequant(W[layer, e]) → [E, N, M]."""
+    e, n, k = x.shape
+    L, _, _, m = codes.shape
+    tile = tile or _expert_tile(m)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(e, m // tile),
+        in_specs=[
+            pl.BlockSpec((1, n, k), lambda ei, ji, li: (ei, 0, 0)),
+            pl.BlockSpec((1, 1, k, tile), lambda ei, ji, li: (li[0], ei, 0, ji)),
+            pl.BlockSpec(
+                (1, 1, k // Q8_BLOCK, tile), lambda ei, ji, li: (li[0], ei, 0, ji)
+            ),
+        ],
+        out_specs=pl.BlockSpec((1, n, tile), lambda ei, ji, li: (ei, 0, ji)),
+    )
+    return pl.pallas_call(
+        _dense_experts_perx_kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((e, n, m), jnp.float32),
+        interpret=interpret,
+    )(jnp.asarray(layer, jnp.int32).reshape(1), x, codes, scales)
+
+
+def q8_dense_experts_perx_layered_auto(x, codes, scales, layer):
+    return q8_dense_experts_perx_layered(
+        x, codes, scales, layer, interpret=jax.default_backend() != "tpu"
+    )

@@ -75,3 +75,118 @@ def test_q8_requantize_roundtrip_bit_exact():
     q = quantize_plain(deq.T)  # quantize_plain takes [in, out]
     np.testing.assert_array_equal(np.asarray(q["codes"]), np.asarray(codes0))
     np.testing.assert_array_equal(np.asarray(q["scales"]), np.asarray(scales0))
+
+
+def test_q8_dense_experts_layered_matches_reference():
+    """Dense all-expert sweep: out[e] = x @ dequant(W[layer, e])."""
+    from dsocr_tpu.ops.pallas.dequant_matmul import (
+        q8_dense_experts_layered_auto,
+    )
+
+    rng = np.random.default_rng(9)
+    L, E, H, M, N = 3, 4, 64, 48, 5
+    w = rng.normal(size=(L, E, M, H)).astype(np.float32)
+    x = rng.normal(size=(N, H)).astype(np.float32)
+    codes = np.zeros((L, E, H, M), np.int8)
+    scales = np.zeros((L, E, H // 32, M), np.float32)
+    deq = np.zeros((L, E, M, H), np.float32)
+    for l in range(L):
+        for e in range(E):
+            payload = quantize_q8_0(w[l, e], M, H)
+            c, s = pack_q8_0(payload, M, H)
+            codes[l, e] = np.asarray(c).T
+            scales[l, e] = np.asarray(s).T
+            deq[l, e] = dequantize_q8_0(payload, M, H)
+    for layer in (0, 2):
+        out = np.asarray(
+            q8_dense_experts_layered_auto(
+                jnp.asarray(x), jnp.asarray(codes), jnp.asarray(scales),
+                jnp.int32(layer),
+            )
+        )
+        expected = np.stack([x @ deq[layer, e].T for e in range(E)])
+        np.testing.assert_allclose(out, expected, rtol=5e-2, atol=0.15)
+
+
+def test_q8_dense_experts_perx_layered_matches_reference():
+    """Per-expert-input sweep (down proj): out[e] = x[e] @ dequant(W[l,e])."""
+    from dsocr_tpu.ops.pallas.dequant_matmul import (
+        q8_dense_experts_perx_layered_auto,
+    )
+
+    rng = np.random.default_rng(10)
+    L, E, K, M, N = 2, 3, 64, 32, 4
+    w = rng.normal(size=(L, E, M, K)).astype(np.float32)
+    x = rng.normal(size=(E, N, K)).astype(np.float32)
+    codes = np.zeros((L, E, K, M), np.int8)
+    scales = np.zeros((L, E, K // 32, M), np.float32)
+    deq = np.zeros((L, E, M, K), np.float32)
+    for l in range(L):
+        for e in range(E):
+            payload = quantize_q8_0(w[l, e], M, K)
+            c, s = pack_q8_0(payload, M, K)
+            codes[l, e] = np.asarray(c).T
+            scales[l, e] = np.asarray(s).T
+            deq[l, e] = dequantize_q8_0(payload, M, K)
+    out = np.asarray(
+        q8_dense_experts_perx_layered_auto(
+            jnp.asarray(x), jnp.asarray(codes), jnp.asarray(scales), jnp.int32(1)
+        )
+    )
+    expected = np.stack([x[e] @ deq[1, e].T for e in range(E)])
+    np.testing.assert_allclose(out, expected, rtol=5e-2, atol=0.15)
+
+
+def test_moe_q8_dense_matches_gather():
+    """At N*K > E the fused q8 MoE switches to the dense sweep; both
+    paths must agree (same packed weights, same routing)."""
+    from dsocr_tpu.ops.moe import (
+        LayeredQ8,
+        moe_apply_q8_dense_fused,
+        moe_apply_q8_fused,
+    )
+
+    rng = np.random.default_rng(11)
+    L, E, H, I, N, K = 2, 4, 64, 32, 6, 2  # N*K=12 > E=4 → dense dispatch
+    gu = rng.normal(size=(L, E, 2 * I, H)).astype(np.float32)
+    dn = rng.normal(size=(L, E, H, I)).astype(np.float32)
+
+    def pack(stack, out_dim, in_dim):
+        codes = np.zeros((L, E, in_dim, out_dim), np.int8)
+        scales = np.zeros((L, E, in_dim // 32, out_dim), np.float32)
+        for l in range(L):
+            for e in range(E):
+                payload = quantize_q8_0(stack[l, e], out_dim, in_dim)
+                c, s = pack_q8_0(payload, out_dim, in_dim)
+                codes[l, e] = np.asarray(c).T
+                scales[l, e] = np.asarray(s).T
+        return jnp.asarray(codes), jnp.asarray(scales)
+
+    gu_c, gu_s = pack(gu, 2 * I, H)
+    dn_c, dn_s = pack(dn, H, I)
+    x = jnp.asarray(rng.normal(size=(N, H)).astype(np.float32))
+    tw = jnp.asarray(rng.random((N, K)).astype(np.float32))
+    ti = jnp.asarray(rng.integers(0, E, (N, K)).astype(np.int32))
+
+    for layer in (0, 1):
+        gu_q = LayeredQ8(gu_c, gu_s, jnp.int32(layer))
+        dn_q = LayeredQ8(dn_c, dn_s, jnp.int32(layer))
+        dense = np.asarray(moe_apply_q8_dense_fused(x, tw, ti, gu_q, dn_q))
+        via_dispatch = np.asarray(moe_apply_q8_fused(x, tw, ti, gu_q, dn_q))
+        np.testing.assert_allclose(dense, via_dispatch, rtol=1e-5, atol=1e-5)
+        # and both match the explicit per-selection gather math
+        from dsocr_tpu.ops.pallas.dequant_matmul import (
+            q8_gather_matmul_layered_auto,
+        )
+        from dsocr_tpu.ops.moe import silu
+
+        flat_idx = ti.reshape(-1)
+        flat_x = jnp.repeat(x, K, axis=0)
+        gus = q8_gather_matmul_layered_auto(flat_x, gu_c, gu_s, flat_idx, layer)
+        g, u = gus[..., :I], gus[..., I:]
+        inter = (silu(g) * u).astype(x.dtype)
+        outs = q8_gather_matmul_layered_auto(inter, dn_c, dn_s, flat_idx, layer)
+        gather = np.asarray(
+            jnp.sum(outs.reshape(N, K, H) * tw[..., None], axis=1)
+        )
+        np.testing.assert_allclose(dense, gather, rtol=5e-2, atol=0.15)
