@@ -61,7 +61,18 @@ def _q8_rows(rows: np.ndarray):
     round trip dominated host quantization time on 3B models. Codes use
     the f32 scale's inverse; the RETURNED scale is the f16-stored value
     (what dequantize reads), exactly like the payload path."""
+    import os
+
     r, k = rows.shape
+    if os.environ.get("DSOCR_NO_NATIVE") != "1":
+        from ...native import quantize_native
+
+        payload = quantize_native(
+            "q8_0", np.ascontiguousarray(rows, np.float32), r, k
+        )
+        if payload is not None:
+            codes, scales = pack_q8_0(payload, r, k)
+            return np.asarray(codes), np.asarray(scales)
     x = np.ascontiguousarray(rows, np.float32).reshape(r, k // 32, 32)
     amax = np.abs(x).max(axis=2)
     scale = np.where(amax > 0.0, amax / 127.0, 0.0).astype(np.float32)
