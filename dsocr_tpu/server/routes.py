@@ -359,6 +359,13 @@ async def error_middleware(request: web.Request, handler):
         return web.json_response(err.body(), status=err.status)
     except web.HTTPException:
         raise
+    except ValueError as err:
+        # request-attributable validation failures (e.g. ngram beyond the
+        # slot runtime limit, prompt over KV capacity) are client errors
+        return web.json_response(
+            {"error": {"message": str(err), "type": "invalid_request_error"}},
+            status=400,
+        )
     except Exception as err:
         return web.json_response(
             {"error": {"message": str(err), "type": "server_error"}}, status=500

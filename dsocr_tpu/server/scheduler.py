@@ -18,12 +18,15 @@ from __future__ import annotations
 import asyncio
 import dataclasses
 import functools
+import logging
 import os
-from typing import Any, Callable, List, Optional, Tuple
+from typing import Any, Callable, List, Optional, Tuple, Union
 
 from ..core import DecodeOutcome, DecodeParameters, VisionSettings
 from ..core.text import normalize_text
 from ..runtime.generate import clamp_new_tokens
+
+logger = logging.getLogger("dsocr.scheduler")
 
 
 @dataclasses.dataclass
@@ -83,10 +86,15 @@ class ContinuousScheduler:
         self.engine = engine
         self.tokenizer = tokenizer
         self.n_slots = n_slots or int(os.environ.get("DSOCR_SLOTS", "8"))
-        self.max_len = max_len or min(
+        max_len = max_len or min(
             int(os.environ.get("DSOCR_SLOT_SEQ", "4096")),
             getattr(engine, "max_seq_len", 4096),
         )
+        # Row KV blocks are padded to 128-token multiples at prefill; a
+        # non-multiple capacity would pass clamp_new_tokens yet fail the
+        # dynamic_update_slice insert with an XLA shape error for
+        # near-capacity prompts. Align the capacity down instead.
+        self.max_len = max(128, (max_len // 128) * 128)
         self.chunk_steps = chunk_steps
         self.stream_chunk_steps = stream_chunk_steps
         # prefill wave size: bigger waves pool the vision towers better
@@ -169,21 +177,28 @@ class ContinuousScheduler:
     def _free_rows(self) -> List[int]:
         return [r for r, job in enumerate(self._rows) if job is None]
 
-    def _prepare_job(self, job: _SlotJob) -> dict:
-        """Blocking (host + device): vision, prompt build, single-row
-        prefill. Slot-independent — runs while other rows decode."""
+    def _validate_job(self, job: _SlotJob) -> None:
+        """Raise for params the slot runtime cannot honor exactly."""
         validate = getattr(self.engine, "validate_slot_params", None)
         if validate is not None:  # e.g. GLM is greedy-only
             validate(job.params)
+        ngram = job.params.no_repeat_ngram_size
+        ngram_max = self._runner.ngram_max if self._runner is not None else None
+        if ngram_max is not None and ngram and ngram > ngram_max:
+            # the static slot ngram window would silently match a shorter
+            # prefix and over-ban, diverging from the solo Generator path
+            raise ValueError(
+                f"no_repeat_ngram_size={ngram} exceeds this server's slot "
+                f"runtime limit ({ngram_max})"
+            )
+
+    def _prepare_job(self, job: _SlotJob) -> dict:
+        """Blocking (host + device): vision, prompt build, single-row
+        prefill. Slot-independent — runs while other rows decode."""
         pre = self.engine.prefill_for_slot(
             self.tokenizer, job.prompt, job.images, job.vision
         )
-        job.prompt_len = len(pre["prompt_ids"])
-        requested = job.params.max_new_tokens
-        # per-row budget bounded by this slot's cache capacity
-        job.max_new = clamp_new_tokens(job.prompt_len, requested, self.max_len)
-        job.truncated = job.max_new < requested
-        return pre
+        return self._finish_prepare(job, pre)
 
     def _join_ready(self, row: int, job: _SlotJob, pre: dict) -> bool:
         """Blocking (device): insert a prefilled packet into slot `row`."""
@@ -221,22 +236,24 @@ class ContinuousScheduler:
         if not job.future.done():
             job.future.set_exception(err)
 
-    def _prepare_jobs(self, jobs: List[_SlotJob]) -> List[Optional[dict]]:
+    def _prepare_jobs(
+        self, jobs: List[_SlotJob]
+    ) -> List[Union[dict, Exception]]:
         """Blocking: batched vision + per-row prefill when the engine
         supports it (prefill_for_slots pools the tower passes — the
         serving pipeline is prefill-bound); falls back to per-job
-        prepare. Returns one packet (or None on failure) per job."""
-        validate = getattr(self.engine, "validate_slot_params", None)
+        prepare. Returns one packet (or the failure) per job. Runs on an
+        executor thread, so futures are NEVER touched here — the prefill
+        worker resolves failures on the event-loop thread."""
         batched = getattr(self.engine, "prefill_for_slots", None)
-        packets: List[Optional[dict]] = [None] * len(jobs)
+        packets: List[Union[dict, Exception, None]] = [None] * len(jobs)
         todo = []
         for i, job in enumerate(jobs):
             try:
-                if validate is not None:
-                    validate(job.params)
+                self._validate_job(job)
                 todo.append(i)
             except Exception as err:
-                self._fail(job, err)
+                packets[i] = err
         if batched is not None and len(todo) > 1:
             try:
                 pres = batched(
@@ -250,14 +267,22 @@ class ContinuousScheduler:
                     packets[i] = self._finish_prepare(jobs[i], pre)
                 return packets
             except Exception:
-                pass  # fall through to the per-job path for clean errors
+                # fall through to the per-job path for clean per-request
+                # errors — but never silently: this doubles vision work
+                # and can mask device failures (e.g. transient tunnel
+                # INVALID_ARGUMENT)
+                logger.warning(
+                    "batched prefill of %d jobs failed; retrying per-request",
+                    len(todo),
+                    exc_info=True,
+                )
         for i in todo:
             if packets[i] is not None:
                 continue
             try:
                 packets[i] = self._prepare_job(jobs[i])
             except Exception as err:
-                self._fail(jobs[i], err)
+                packets[i] = err
         return packets
 
     def _finish_prepare(self, job: _SlotJob, pre: dict) -> dict:
@@ -285,8 +310,11 @@ class ContinuousScheduler:
                     None, self._prepare_jobs, jobs
                 )
                 for job, pre in zip(jobs, packets):
-                    if pre is None:
-                        continue  # already failed
+                    if isinstance(pre, Exception) or pre is None:
+                        # resolve failures HERE, on the loop thread —
+                        # asyncio futures are not thread-safe
+                        self._fail(job, pre or RuntimeError("prefill failed"))
+                        continue
                     await self._ready_q.put((job, pre))  # backpressure when full
                     self._ensure_workers()  # decode worker may have exited idle
         finally:
@@ -325,10 +353,31 @@ class ContinuousScheduler:
                 if not active_jobs:
                     if self._inflight == 0:
                         return
-                    # prefills in flight: wait for the next ready packet
-                    # (or for every pending job to fail at prefill)
+                    # prefills in flight: block on the ready queue instead
+                    # of poll-spinning (the single host core is what the
+                    # prefill work needs). Timeout re-checks _inflight in
+                    # case every pending job failed at prefill.
                     if self._ready_q.empty():
-                        await asyncio.sleep(0.005)
+                        try:
+                            item = await asyncio.wait_for(
+                                self._ready_q.get(), timeout=0.25
+                            )
+                        except asyncio.TimeoutError:
+                            continue
+                        # hand the packet straight to the first free slot
+                        job, pre = item
+                        row = self._free_rows()[0]
+                        try:
+                            finished = await loop.run_in_executor(
+                                None, self._join_ready, row, job, pre
+                            )
+                        except Exception as err:
+                            self._fail(job, err)
+                            continue
+                        if finished:
+                            self._finalize(job, [])
+                        else:
+                            self._rows[row] = job
                     continue
                 self.batch_sizes.append(len(active_jobs))
                 chunk = (

@@ -306,3 +306,37 @@ def test_continuous_survives_repeated_asyncio_run(slot_engine):
         assert got.generated_tokens == solo.generated_tokens
     for got, solo in zip(second, solos[:3]):
         assert got.generated_tokens == solo.generated_tokens
+
+
+def test_continuous_rejects_oversize_ngram(slot_engine):
+    """no_repeat_ngram_size beyond the slot runtime's static window is
+    rejected with a clean error instead of silently over-banning
+    (ADVICE r2: core/sampling.py banned_ngram_mask_slots truncation)."""
+    tok = SlotTokenizer()
+    params = DecodeParameters(max_new_tokens=4, no_repeat_ngram_size=99)
+
+    async def go():
+        sched = ContinuousScheduler(slot_engine, tok, n_slots=1, max_len=256,
+                                    chunk_steps=2)
+        return await asyncio.gather(
+            sched.submit("<image>x", [_img(9)], VS, params),
+            return_exceptions=True,
+        )
+
+    (res,) = asyncio.run(go())
+    assert isinstance(res, ValueError)
+    assert "no_repeat_ngram_size" in str(res)
+
+
+def test_continuous_max_len_rounds_down_to_128():
+    """Non-128-multiple capacities are aligned down so near-capacity
+    prompts are clamped instead of crashing the KV insert (ADVICE r2)."""
+
+    class NoSlotEngine:
+        pass
+
+    sched = ContinuousScheduler.__new__(ContinuousScheduler)
+    ContinuousScheduler.__init__(
+        sched, engine=NoSlotEngine(), tokenizer=None, n_slots=1, max_len=1000
+    )
+    assert sched.max_len == 896
