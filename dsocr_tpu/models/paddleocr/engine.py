@@ -81,6 +81,12 @@ class PaddleOcrEngine:
         self._vision_jit = jax.jit(
             partial(self._vision_impl), static_argnames=("grid_thw",)
         )
+        # batched tower (images vmapped over a leading axis; one compile
+        # per distinct grid) for pooled slot prefill
+        self._vision_batched_jit = jax.jit(
+            jax.vmap(self._vision_impl, in_axes=(None, 0, 0, 0, None)),
+            static_argnums=(4,),
+        )
 
     # -- OcrEngine surface ----------------------------------------------------
 
@@ -113,12 +119,7 @@ class PaddleOcrEngine:
     def encode_image(
         self, image: np.ndarray, vision: VisionSettings
     ) -> ProjectedImage:
-        prep = SmartResizeConfig(
-            patch_size=self.cfg.vision_config.patch_size,
-            merge_size=self.cfg.vision_config.spatial_merge_size,
-            **getattr(self, "prep_overrides", {}),
-        ).with_max_image_size(vision.image_size)
-        patches: ImagePatches = preprocess_patches(image, prep)
+        patches: ImagePatches = self._preprocess_for_grid(image, vision)
         t, gh, gw = patches.grid_thw
         merge = self.cfg.vision_config.spatial_merge_size
         embeds = self._vision_jit(
@@ -245,12 +246,85 @@ class PaddleOcrEngine:
             ngram_max=ngram_max,
         )
 
+    def _preprocess_for_grid(self, image: np.ndarray, vision: VisionSettings):
+        prep = SmartResizeConfig(
+            patch_size=self.cfg.vision_config.patch_size,
+            merge_size=self.cfg.vision_config.spatial_merge_size,
+            **getattr(self, "prep_overrides", {}),
+        ).with_max_image_size(vision.image_size)
+        return preprocess_patches(image, prep)
+
+    def prefill_for_slots(self, tokenizer, requests):
+        """Batched prefill for the scheduler's prefill worker: images
+        across queued requests that resolve to the SAME smart_resize grid
+        pool into ONE vmapped SigLIP pass (document pages overwhelmingly
+        share a resolution), then each request prefills its own row.
+        requests = [(prompt, images, vision), ...]."""
+        merge = self.cfg.vision_config.spatial_merge_size
+        # host preprocess everything, keyed by (request, image) position
+        prepped: List[List[ImagePatches]] = [
+            [self._preprocess_for_grid(np.asarray(img), vision) for img in images]
+            for (_, images, vision) in requests
+        ]
+        groups: Dict[Tuple[int, int, int], List[Tuple[int, int]]] = {}
+        for r, plist in enumerate(prepped):
+            for i, p in enumerate(plist):
+                groups.setdefault(p.grid_thw, []).append((r, i))
+        projected: Dict[Tuple[int, int], ProjectedImage] = {}
+        for grid, locs in groups.items():
+            t, gh, gw = grid
+            if len(locs) == 1:
+                r, i = locs[0]
+                p = prepped[r][i]
+                embeds = self._vision_jit(
+                    self.params,
+                    jnp.asarray(p.patches, self.dtype_),
+                    jnp.asarray(p.height_ids, jnp.int32),
+                    jnp.asarray(p.width_ids, jnp.int32),
+                    grid_thw=grid,
+                )
+                batch_embeds = embeds[None]
+            else:
+                batch_embeds = self._vision_batched_jit(
+                    self.params,
+                    jnp.asarray(
+                        np.stack([prepped[r][i].patches for r, i in locs]),
+                        self.dtype_,
+                    ),
+                    jnp.asarray(
+                        np.stack([prepped[r][i].height_ids for r, i in locs]),
+                        jnp.int32,
+                    ),
+                    jnp.asarray(
+                        np.stack([prepped[r][i].width_ids for r, i in locs]),
+                        jnp.int32,
+                    ),
+                    grid,
+                )
+            for b, (r, i) in enumerate(locs):
+                projected[(r, i)] = ProjectedImage(
+                    embeddings=batch_embeds[b],
+                    original_grid=grid,
+                    merged_grid=(t, gh // merge, gw // merge),
+                )
+        return [
+            self._prefill_row(
+                tokenizer,
+                prompt,
+                [projected[(r, i)] for i in range(len(images))],
+            )
+            for r, (prompt, images, _) in enumerate(requests)
+        ]
+
     def prefill_for_slot(self, tokenizer, prompt, images, vision):
         """Vision + prompt + single-row prefill for SlotRunner.join.
         pos0 = prompt_len + M-RoPE delta (the next position base,
         matching decode()'s next_position_base)."""
-        cfg = self.cfg
         projected = [self.encode_image(np.asarray(img), vision) for img in images]
+        return self._prefill_row(tokenizer, prompt, projected)
+
+    def _prefill_row(self, tokenizer, prompt, projected: List[ProjectedImage]):
+        cfg = self.cfg
         grids = [p.original_grid for p in projected]
         tokens, image_mask = self.build_prompt_tokens(tokenizer, prompt, grids)
         prompt_len = len(tokens)

@@ -181,3 +181,42 @@ def test_glm_batched_prefill_matches_solo(glm_engine):
         ["<image>x", "<image>other"],
         [_img(22, 40, 60), _img(23, 30, 30)],
     )
+
+
+def test_paddle_batched_prefill_matches_solo(paddle_engine):
+    """Requests whose images share a smart_resize grid pool into ONE
+    vmapped SigLIP pass (prefill_for_slots) and must match solo decodes;
+    a mixed-grid image in the same wave takes the solo tower path."""
+    calls = {"batched": 0}
+    orig = PaddleOcrEngine._vision_batched_jit.__get__ if False else None
+    batched = paddle_engine._vision_batched_jit
+
+    def counting(*args, **kw):
+        calls["batched"] += 1
+        return batched(*args, **kw)
+
+    paddle_engine._vision_batched_jit = counting
+    try:
+        _simultaneous_pair(
+            paddle_engine, FakeTokenizer(),
+            VisionSettings(base_size=28, image_size=56, crop_mode=False),
+            DecodeParameters(max_new_tokens=8, no_repeat_ngram_size=None),
+            # same shape -> same grid -> pooled
+            ["<image>\nA.", "<image>\nB longer."],
+            [_img(30), _img(31)],
+        )
+    finally:
+        paddle_engine._vision_batched_jit = batched
+    assert calls["batched"] >= 1  # the pooled tower path really ran
+
+
+def test_paddle_batched_prefill_mixed_grids(paddle_engine):
+    """Different-resolution images in one wave still decode correctly
+    (grouped per grid; singleton groups use the unbatched tower)."""
+    _simultaneous_pair(
+        paddle_engine, FakeTokenizer(),
+        VisionSettings(base_size=28, image_size=56, crop_mode=False),
+        DecodeParameters(max_new_tokens=8, no_repeat_ngram_size=None),
+        ["<image>\nA.", "<image>\nB."],
+        [_img(32), _img(33, 28, 28)],
+    )
