@@ -122,7 +122,14 @@ class SlotRunner:
             self._run_chunk_impl, static_argnames=("n_steps",), donate_argnums=(1,)
         )
         self._join_jit = jax.jit(self._join_impl, donate_argnums=(0,))
-        self._release_jit = jax.jit(self._release_impl, donate_argnums=(0,))
+        # release is NOT donating: it only rewrites [B]-sized bookkeeping
+        # rows (the KV buffers pass through untouched and jit forwards
+        # them without copy), and the scheduler may be torn down with a
+        # release still in flight on an executor thread (asyncio.run
+        # returns as soon as the last future resolves) — a donating
+        # release whose result is dropped would leave the caller's state
+        # referencing deleted buffers.
+        self._release_jit = jax.jit(self._release_impl)
 
     # -- state construction ---------------------------------------------------
 

@@ -143,6 +143,12 @@ class ContinuousScheduler:
                 r for r, j in enumerate(self._rows) if j is not None
             )
             self._rows = [None] * self.n_slots
+            if self._state_invalid():
+                # the old loop died with a donating jit (chunk/join) still
+                # in flight on an executor thread: its dropped result left
+                # self._state referencing deleted buffers. Rebuild.
+                self._state = None
+                self._stale_rows.clear()
             self._loop = loop
         job = _SlotJob(prompt, images, vision, params, loop.create_future(), stream_cb)
         self._inflight += 1
@@ -168,9 +174,25 @@ class ContinuousScheduler:
                 self._worker()
             )
 
+    def _state_invalid(self) -> bool:
+        """True when any device buffer in the slot state has been deleted
+        (a donating jit's result was dropped mid-teardown)."""
+        if self._state is None:
+            return False
+        try:
+            import jax
+
+            return any(
+                getattr(leaf, "is_deleted", lambda: False)()
+                for leaf in jax.tree_util.tree_leaves(self._state)
+            )
+        except Exception:
+            return True
+
     def _ensure_state(self):
         if self._runner is None:
             self._runner = self.engine.make_slot_runner()
+        if self._state is None:
             cache = self.engine.new_slot_cache(self.n_slots, self.max_len)
             self._state = self._runner.init_state(cache, context_len=self.max_len)
 

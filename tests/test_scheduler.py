@@ -340,3 +340,28 @@ def test_continuous_max_len_rounds_down_to_128():
         sched, engine=NoSlotEngine(), tokenizer=None, n_slots=1, max_len=1000
     )
     assert sched.max_len == 896
+
+
+def test_continuous_recovers_from_donated_state(slot_engine):
+    """A loop that dies with a donating jit (chunk/join) still in flight
+    leaves the scheduler's slot state referencing deleted buffers; the
+    next loop's first submit must detect that and rebuild the state
+    instead of crashing (root cause of the repeated-asyncio.run flake)."""
+    import jax
+
+    tok = SlotTokenizer()
+    params = DecodeParameters(max_new_tokens=4, no_repeat_ngram_size=None)
+    img = _img(50)
+    sched = ContinuousScheduler(slot_engine, tok, n_slots=1, max_len=256,
+                                chunk_steps=2)
+
+    async def one():
+        return await sched.submit("<image>gen", [img], VS, params)
+
+    first = asyncio.run(one())
+    # simulate the dropped donating-jit result: delete the state buffers
+    for leaf in jax.tree_util.tree_leaves(sched._state):
+        if hasattr(leaf, "delete"):
+            leaf.delete()
+    second = asyncio.run(one())
+    assert second.generated_tokens == first.generated_tokens
