@@ -259,6 +259,7 @@ def deepseek_forward(
     pad_start: Optional[jnp.ndarray] = None,  # [B] int32 left-pad boundary
     row_lengths: Optional[jnp.ndarray] = None,  # [B] int32 per-row KV lengths
     flash_prefill: bool = False,  # S>1 steps attend via the Pallas kernel
+    mesh=None,  # shard the flash-prefill kernel over this mesh (shard_map)
 ) -> Tuple[jnp.ndarray, KVCache]:
     B, S, H = embeds.shape
     NH = cfg.num_attention_heads
@@ -342,7 +343,8 @@ def deepseek_forward(
             # computed K/V — the Pallas kernel never materializes the
             # [B, H, S, S_max] f32 score tensor the XLA path builds.
             attn = flash_prefill_attention_auto(
-                q, k.astype(q.dtype), v.astype(q.dtype), pad_start, scale=scale
+                q, k.astype(q.dtype), v.astype(q.dtype), pad_start, scale=scale,
+                mesh=mesh,
             )
         else:
             k_layer = jax.lax.dynamic_index_in_dim(k_all, li, 0, keepdims=False)

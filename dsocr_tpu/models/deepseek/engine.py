@@ -75,12 +75,11 @@ class DeepseekOcrEngine:
         self.max_seq_len = max_seq_len
         self.mesh = mesh
         # Pallas prefill attention (no [B,H,S,S_max] f32 scores in HBM);
-        # not mesh-partitioned yet, so gated to single-chip execution.
+        # under a mesh the kernel runs per-shard via shard_map (heads
+        # over mp when divisible — prefill_attention.py).
         import os as _os
 
-        self._flash_prefill = mesh is None and _os.environ.get(
-            "DSOCR_FLASH_PREFILL", "1"
-        ) != "0"
+        self._flash_prefill = _os.environ.get("DSOCR_FLASH_PREFILL", "1") != "0"
         if cfg.variant == "ocr2":
             from .ocr2 import Qwen2EncoderParams
 
@@ -496,6 +495,7 @@ class DeepseekOcrEngine:
             self._rope,
             last_index=(true_len - 1)[None],
             flash_prefill=self._flash_prefill,
+            mesh=self.mesh,
         )
         return logits, bump_length(cache, true_len)
 
@@ -529,7 +529,7 @@ class DeepseekOcrEngine:
         logits, cache = deepseek_forward(
             params["decoder"], self.cfg.language, embeds, positions, cache,
             self._rope, last_index=last, pad_start=pad_start,
-            flash_prefill=self._flash_prefill,
+            flash_prefill=self._flash_prefill, mesh=self.mesh,
         )
         return logits, bump_length(cache, seq_len)
 
@@ -706,11 +706,22 @@ class DeepseekOcrEngine:
         return logits, SlotCache(kv.k, kv.v, cache.lengths)
 
     def new_slot_cache(self, n_slots: int, max_len: int):
-        """Allocate the shared B-slot KV buffers."""
+        """Allocate the shared B-slot KV buffers. Under a mesh the KV
+        heads shard over mp (slots over dp) so the serving decode step
+        runs tensor-parallel — matching decode_batch's cache layout."""
         from ...runtime.slots import SlotCache
 
         base = new_cache(self.cfg.language, n_slots, max_len, self.dtype_)
-        return SlotCache(k=base.k, v=base.v, lengths=jnp.zeros((n_slots,), jnp.int32))
+        lengths = jnp.zeros((n_slots,), jnp.int32)
+        if self.mesh is not None:
+            from ...parallel import cache_sharding, replicated
+
+            cs = cache_sharding(self.mesh, self.cfg.language.resolved_kv_heads)
+            base = base._replace(
+                k=jax.device_put(base.k, cs), v=jax.device_put(base.v, cs)
+            )
+            lengths = jax.device_put(lengths, replicated(self.mesh))
+        return SlotCache(k=base.k, v=base.v, lengths=lengths)
 
     def make_slot_runner(self, ngram_max: int = 24):
         from ...runtime.slots import SlotRunner
@@ -765,13 +776,24 @@ class DeepseekOcrEngine:
             per_req_vins[ri].append(vin)
             per_req_embeds[ri].append(emb)
         pf_t = Timer("slot.prefill_rows")
-        out = [
-            self._prefill_row(
+        rows_in = [
+            self._build_row_inputs(
                 tokenizer, prompt, per_req_vins[ri], per_req_embeds[ri], vision
             )
             for ri, (prompt, _, vision) in enumerate(requests)
         ]
-        pf_t.finish(rows=len(out))
+        # group rows sharing an s_pad bucket into ONE batched prefill:
+        # per-call weight streaming (q8: the per-prefill expert dequant)
+        # amortizes across the wave instead of repeating per request
+        groups: Dict[int, List[int]] = {}
+        for i, (_, embeds) in enumerate(rows_in):
+            groups.setdefault(embeds.shape[0], []).append(i)
+        out: List[Optional[dict]] = [None] * len(rows_in)
+        for idxs in groups.values():
+            packets = self._prefill_rows([rows_in[i] for i in idxs])
+            for i, pkt in zip(idxs, packets):
+                out[i] = pkt
+        pf_t.finish(rows=len(out), waves=len(groups))
         return out
 
     def prefill_for_slot(self, tokenizer, prompt, images, vision):
@@ -784,7 +806,8 @@ class DeepseekOcrEngine:
         embeddings = [self.compute_image_embedding(v) for v in vision_inputs]
         return self._prefill_row(tokenizer, prompt, vision_inputs, embeddings, vision)
 
-    def _prefill_row(self, tokenizer, prompt, vision_inputs, embeddings, vision):
+    def _build_row_inputs(self, tokenizer, prompt, vision_inputs, embeddings, vision):
+        """Prompt tokens + per-row prefill embeddings [s_pad, H]."""
         tokens, image_mask = self.build_prompt_tokens(
             tokenizer, prompt, vision_inputs, embeddings, vision
         )
@@ -799,7 +822,33 @@ class DeepseekOcrEngine:
             flat = jnp.concatenate(embeddings, axis=0)
             idx = np.nonzero(np.asarray(image_mask, bool))[0]
             embeds = embeds.at[jnp.asarray(idx)].set(flat.astype(self.dtype_))
-        cache = reset(new_cache(self.cfg.language, 1, s_pad, self.dtype_))
+        return tokens, embeds
+
+    def _row_cache_sharded(self, cache):
+        if self.mesh is not None:
+            # row KV sharded like the slot cache it will be inserted into
+            # (heads over mp; B stays unsharded) — keeps the join update
+            # shard-local on the mp axis
+            from ...parallel import row_cache_sharding
+
+            cs = row_cache_sharding(self.mesh, self.cfg.language.resolved_kv_heads)
+            cache = cache._replace(
+                k=jax.device_put(cache.k, cs), v=jax.device_put(cache.v, cs)
+            )
+        return cache
+
+    def _prefill_row(self, tokenizer, prompt, vision_inputs, embeddings, vision):
+        tokens, embeds = self._build_row_inputs(
+            tokenizer, prompt, vision_inputs, embeddings, vision
+        )
+        return self._prefill_single(tokens, embeds)
+
+    def _prefill_single(self, tokens, embeds):
+        prompt_len = len(tokens)
+        s_pad = embeds.shape[0]
+        cache = self._row_cache_sharded(
+            reset(new_cache(self.cfg.language, 1, s_pad, self.dtype_))
+        )
         logits, cache = self._prefill_jit(
             self.params,
             embeds[None],
@@ -815,6 +864,63 @@ class DeepseekOcrEngine:
             logits=np.asarray(logits[0], np.float32),
             pos0=prompt_len,
         )
+
+    def _prefill_rows_impl(self, params, embeds, positions, cache, true_lens, seq_len: int):
+        """Shared-length multi-row prefill: rows are RIGHT-padded to one
+        s_pad bucket (pad keys are causally unreachable from real query
+        positions and decode overwrites their KV slots), so one batched
+        pass amortizes per-call weight streaming — for quantized serving
+        that is the per-prefill expert dequant, the q8 wave's dominant
+        cost — across the whole admission wave."""
+        logits, cache = deepseek_forward(
+            params["decoder"],
+            self.cfg.language,
+            embeds,
+            positions,
+            cache,
+            self._rope,
+            last_index=true_lens - 1,
+            flash_prefill=self._flash_prefill,
+            mesh=self.mesh,
+        )
+        return logits, cache
+
+    def _prefill_rows(self, rows):
+        """rows: [(tokens, embeds [s_pad, H])] sharing one s_pad.
+        Returns one join packet per row."""
+        if len(rows) == 1:
+            return [self._prefill_single(*rows[0])]
+        s_pad = rows[0][1].shape[0]
+        B_real = len(rows)
+        B = max(1, 1 << (B_real - 1).bit_length())  # bucket compiles
+        rows = rows + [rows[-1]] * (B - B_real)
+        embeds = jnp.stack([e for _, e in rows])
+        positions = jnp.tile(jnp.arange(s_pad, dtype=jnp.int32)[None], (B, 1))
+        true_lens = jnp.asarray([len(t) for t, _ in rows], jnp.int32)
+        cache = self._row_cache_sharded(
+            reset(new_cache(self.cfg.language, B, s_pad, self.dtype_))
+        )
+        if not hasattr(self, "_prefill_rows_jit"):
+            self._prefill_rows_jit = jax.jit(
+                self._prefill_rows_impl, static_argnames=("seq_len",)
+            )
+        logits, cache = self._prefill_rows_jit(
+            self.params, embeds, positions, cache, true_lens, seq_len=s_pad
+        )
+        logits_host = np.asarray(logits, np.float32)
+        out = []
+        for i in range(B_real):
+            tokens = rows[i][0]
+            out.append(
+                dict(
+                    prompt_ids=tokens,
+                    row_k=jax.lax.slice_in_dim(cache.k, i, i + 1, axis=1),
+                    row_v=jax.lax.slice_in_dim(cache.v, i, i + 1, axis=1),
+                    logits=logits_host[i],
+                    pos0=len(tokens),
+                )
+            )
+        return out
 
     def _decode_without_cache(
         self, tokenizer, tokens, embeds_fn, params: DecodeParameters, stream

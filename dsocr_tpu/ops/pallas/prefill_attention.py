@@ -107,11 +107,45 @@ def flash_prefill_attention(
     return out.transpose(0, 2, 1, 3).reshape(B, S, H * Dv).astype(q.dtype)
 
 
-def flash_prefill_attention_auto(q, k, v, pad_start=None, *, scale):
-    """Pallas on TPU, interpreter elsewhere (CPU tests)."""
+def flash_prefill_attention_auto(q, k, v, pad_start=None, *, scale, mesh=None):
+    """Pallas on TPU, interpreter elsewhere (CPU tests).
+
+    Under a mesh the kernel runs per-shard via shard_map with heads
+    sharded over mp (and batch over dp when divisible) — Pallas calls
+    have no GSPMD partitioning rule, so without this every sharded
+    prefill fell back to the XLA [B,H,S,S] f32-score path the kernel
+    exists to kill. Falls back to replicated execution when the head
+    counts don't divide the mesh."""
     if pad_start is None:
         pad_start = jnp.zeros((q.shape[0],), jnp.int32)
-    return flash_prefill_attention(
-        q, k, v, pad_start, scale=scale,
-        interpret=jax.default_backend() != "tpu",
+    interpret = jax.default_backend() != "tpu"
+    if mesh is None:
+        return flash_prefill_attention(
+            q, k, v, pad_start, scale=scale, interpret=interpret
+        )
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    mp = mesh.shape.get("mp", 1)
+    dp = mesh.shape.get("dp", 1)
+    B, H = q.shape[0], q.shape[1]
+    H_kv = k.shape[1]
+    h_axis = "mp" if (mp > 1 and H % mp == 0 and H_kv % mp == 0) else None
+    b_axis = "dp" if (dp > 1 and B % dp == 0) else None
+    fn = shard_map(
+        functools.partial(
+            flash_prefill_attention, scale=scale, interpret=interpret
+        ),
+        mesh=mesh,
+        in_specs=(
+            P(b_axis, h_axis, None, None),
+            P(b_axis, h_axis, None, None),
+            P(b_axis, h_axis, None, None),
+            P(b_axis),
+        ),
+        # [B, S, H*Dv]: the flattened head dim stays sharded over mp —
+        # exactly the layout o_proj (input dim over mp) consumes
+        out_specs=P(b_axis, None, h_axis),
+        check_rep=False,
     )
+    return fn(q, k, v, pad_start)

@@ -13,6 +13,7 @@ from .mesh import (
     batch_sharding,
     replicated,
     cache_sharding,
+    row_cache_sharding,
 )
 
 __all__ = [
@@ -21,4 +22,5 @@ __all__ = [
     "batch_sharding",
     "replicated",
     "cache_sharding",
+    "row_cache_sharding",
 ]

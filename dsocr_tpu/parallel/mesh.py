@@ -50,6 +50,15 @@ def cache_sharding(mesh: Mesh, num_kv_heads: int) -> NamedSharding:
     return NamedSharding(mesh, P(None, "dp", None, None, None))
 
 
+def row_cache_sharding(mesh: Mesh, num_kv_heads: int) -> NamedSharding:
+    """Single-row KV block [L, 1, H_kv, s_pad, D] (slot prefill): heads
+    over mp only — B=1 cannot shard over dp."""
+    mp = mesh.shape["mp"]
+    if num_kv_heads % mp == 0:
+        return NamedSharding(mesh, P(None, None, "mp", None, None))
+    return NamedSharding(mesh, P())
+
+
 def deepseek_param_shardings(params: Dict, mesh: Mesh, ep: bool = False) -> Dict:
     """PartitionSpec tree matching init_deepseek_params' layout.
 

@@ -255,3 +255,102 @@ def test_mesh_decode_batch_shards_vision():
         )
     for a, b in zip(out_plain, out_sharded):
         assert a.generated_tokens == b.generated_tokens
+
+
+def test_mesh_slot_serving_matches_plain():
+    """Continuous-batching (slot) serving under a TP mesh: the scheduler
+    drives a mesh-sharded engine (slot KV heads over mp, vision towers
+    data-parallel) and must reproduce the single-device slot outputs.
+    This is the v5e-4 north-star path (BASELINE.md) — the reference
+    serializes on a model mutex (server/src/state.rs:22)."""
+    import asyncio
+
+    import jax.numpy as jnp
+
+    from dsocr_tpu.core import DecodeParameters, VisionSettings
+    from dsocr_tpu.models.deepseek import DeepseekOcrEngine
+    from dsocr_tpu.models.deepseek.config import tiny_deepseek_config
+    from dsocr_tpu.server.scheduler import ContinuousScheduler
+
+    class FakeTokenizer:
+        def encode(self, text):
+            return [ord(c) % 100 for c in text]
+
+        def decode(self, ids, skip_special_tokens=True):
+            return "".join(chr(97 + (i % 26)) for i in ids)
+
+        def token_to_id(self, token):
+            return 127 if token == "<image>" else None
+
+    cfg = tiny_deepseek_config()
+    rng = np.random.default_rng(7)
+    imgs = [rng.integers(0, 256, (50, 50, 3), dtype=np.uint8) for _ in range(3)]
+    settings = VisionSettings(64, 64, False)
+    params = DecodeParameters(max_new_tokens=6, no_repeat_ngram_size=None)
+    prompts = ["<image>a", "<image>bb longer", "<image>c"]
+
+    def serve(engine):
+        async def go():
+            sched = ContinuousScheduler(
+                engine, FakeTokenizer(), n_slots=2, max_len=256, chunk_steps=2
+            )
+            return await asyncio.gather(
+                *(
+                    sched.submit(p, [im], settings, params)
+                    for p, im in zip(prompts, imgs)
+                )
+            )
+
+        return asyncio.run(go())
+
+    plain = DeepseekOcrEngine(cfg, dtype=jnp.float32, max_seq_len=512, seed=3)
+    out_plain = serve(plain)
+
+    for dp in (1, 2):  # TP-only and slots-sharded-over-dp layouts
+        mesh = make_mesh(8, dp=dp)
+        sharded = DeepseekOcrEngine(
+            cfg, dtype=jnp.float32, max_seq_len=512, seed=3, mesh=mesh
+        )
+        out_sharded = serve(sharded)
+        for a, b in zip(out_plain, out_sharded):
+            assert a.generated_tokens == b.generated_tokens
+
+
+def test_flash_prefill_under_mesh_matches_xla(cfg):
+    """The Pallas prefill kernel runs per-shard via shard_map under the
+    mesh (heads over mp) and must match the XLA attention path — round 2
+    gated it to single-chip, so every sharded prefill paid the
+    [B,H,S,S_max] f32-score fallback."""
+    params = init_deepseek_params(cfg, jax.random.PRNGKey(0), jnp.float32)
+    rope = build_decoder_rope(cfg, 64)
+    S, B = 16, 2
+    embeds = jnp.asarray(
+        np.random.default_rng(1).normal(size=(B, S, cfg.hidden_size)).astype(np.float32)
+    )
+    positions = jnp.tile(jnp.arange(S, dtype=jnp.int32)[None], (B, 1))
+    pad_start = jnp.asarray([0, 3], jnp.int32)
+
+    mesh = make_mesh(8, dp=2)
+    shardings = deepseek_param_shardings(params, mesh)
+    params_sharded = jax.device_put(params, shardings)
+    cs = cache_sharding(mesh, cfg.resolved_kv_heads)
+
+    def run(p, flash, mesh_arg):
+        cache = reset(new_cache(cfg, B, 32, jnp.float32))
+        if mesh_arg is not None:
+            cache = KVCache(
+                k=jax.device_put(cache.k, cs),
+                v=jax.device_put(cache.v, cs),
+                length=cache.length,
+            )
+        logits, _ = jax.jit(
+            lambda p, e, pos, c, ps: deepseek_forward(
+                p, cfg, e, pos, c, rope, pad_start=ps,
+                flash_prefill=flash, mesh=mesh_arg,
+            )
+        )(p, embeds, positions, cache, pad_start)
+        return np.asarray(logits)
+
+    ref = run(params, False, None)
+    flash_mesh = run(params_sharded, True, mesh)
+    np.testing.assert_allclose(flash_mesh, ref, rtol=2e-4, atol=2e-4)
