@@ -412,28 +412,34 @@ def deepseek_forward(
         quant_types = (dict, LayeredQ8, LayeredKQuant)
         if "experts_gateup" in layer:
             egu = layer["experts_gateup"]
-            if isinstance(egu, quant_types):  # packed quant stacks
-                if B * S <= 32:  # decode: gather kernels read packed bytes
-                    routed = moe_apply_quant_fused(tokens, weights, indices, egu, ed)
-                else:  # prefill: once-per-layer dequant → grouped matmul
-                    routed = moe_apply_fused(
-                        tokens, weights, indices,
-                        dequant_stack(egu), dequant_stack(ed),
-                    )
+            # gather kernels need EVERY stack packed; a group may be
+            # mixed quant/float when one projection's in_dim misses the
+            # block size — that group prefers the dequant float path
+            all_quant = isinstance(egu, quant_types) and isinstance(ed, quant_types)
+            if all_quant and B * S <= 32:  # decode: kernels read packed bytes
+                routed = moe_apply_quant_fused(tokens, weights, indices, egu, ed)
+            elif isinstance(egu, quant_types) or isinstance(ed, quant_types):
+                # prefill (or mixed): once-per-layer dequant → grouped matmul
+                routed = moe_apply_fused(
+                    tokens, weights, indices,
+                    dequant_stack(egu), dequant_stack(ed),
+                )
             else:
                 routed = moe_apply_fused(tokens, weights, indices, egu, ed)
         else:
             eg = layer["experts_gate"]
             eu = layer["experts_up"]
-            if isinstance(eg, quant_types):  # packed quant expert stacks
-                if B * S <= 32:
-                    routed = moe_apply_quant(tokens, weights, indices, eg, eu, ed)
-                else:
-                    routed = moe_apply(
-                        tokens, weights, indices,
-                        dequant_stack(eg), dequant_stack(eu),
-                        dequant_stack(ed),
-                    )
+            all_quant = all(
+                isinstance(w, quant_types) for w in (eg, eu, ed)
+            )
+            if all_quant and B * S <= 32:
+                routed = moe_apply_quant(tokens, weights, indices, eg, eu, ed)
+            elif any(isinstance(w, quant_types) for w in (eg, eu, ed)):
+                routed = moe_apply(
+                    tokens, weights, indices,
+                    dequant_stack(eg), dequant_stack(eu),
+                    dequant_stack(ed),
+                )
             else:
                 routed = moe_apply(tokens, weights, indices, eg, eu, ed)
         out = routed.astype(jnp.float32)

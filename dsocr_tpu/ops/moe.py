@@ -205,7 +205,12 @@ def is_quantized(q) -> bool:
 def dequant_stack(q) -> jnp.ndarray:
     """Any packed-quant dict or Layered view of an in-major expert stack →
     bf16 [E, in, out] for the prefill grouped-matmul path (one dequant
-    write per layer is cheap next to the prefill matmuls)."""
+    write per layer is cheap next to the prefill matmuls). Float stacks
+    pass through unchanged — a group may be MIXED quant/float when one
+    projection's in_dim misses the block size (e.g. down_proj with
+    moe_intermediate_size % 32 != 0 stays float while gate/up quantize)."""
+    if not is_quantized(q):
+        return q
     method = quant_method(q)
     if method == "q8_0":
         return dequant_q8_stack(q)

@@ -141,13 +141,13 @@ def test_engine_multi_image(tiny_engine):
     assert out.response_tokens > 0
 
 
-def test_dots_loader_roundtrip(tmp_path):
+def make_dots_checkpoint(path, cfg=None):
+    """HF-named synthetic dots checkpoint (shared with test_weights_day)."""
     from safetensors.numpy import save_file
 
-    from dsocr_tpu.models.dots.loader import load_dots_params
-
+    cfg = cfg or CFG
     rng = np.random.default_rng(5)
-    v, t = CFG.vision, CFG.text
+    v, t = cfg.vision, cfg.text
 
     def r(*shape):
         return (rng.normal(size=shape) * 0.05).astype(np.float32)
@@ -192,8 +192,15 @@ def test_dots_loader_roundtrip(tmp_path):
         tensors[f"{b}.mlp.gate_proj.weight"] = r(t.intermediate_size, t.hidden_size)
         tensors[f"{b}.mlp.up_proj.weight"] = r(t.intermediate_size, t.hidden_size)
         tensors[f"{b}.mlp.down_proj.weight"] = r(t.hidden_size, t.intermediate_size)
-    path = tmp_path / "model.safetensors"
     save_file(tensors, str(path))
+    return tensors
+
+
+def test_dots_loader_roundtrip(tmp_path):
+    from dsocr_tpu.models.dots.loader import load_dots_params
+
+    path = tmp_path / "model.safetensors"
+    tensors = make_dots_checkpoint(path)
 
     params = load_dots_params(path, CFG, dtype=jnp.float32)
     assert "q_bias" in params["decoder"]["layers"]
