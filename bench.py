@@ -49,6 +49,39 @@ class BenchTokenizer:
         return 128815 if token == "<image>" else None
 
 
+def probe_tunnel(timeout_s: float = 120.0) -> float:
+    """1-op matmul probe: the axon tunnel can wedge (device listing works,
+    compute hangs) — fail fast with a diagnosable error instead of
+    hanging the graded capture. Returns the probe round-trip seconds."""
+    import queue
+    import threading
+
+    import jax
+    import jax.numpy as jnp
+
+    out: "queue.Queue" = queue.Queue()
+
+    def work():
+        try:
+            x = jnp.full((256, 256), 1.0, jnp.bfloat16)
+            out.put(float(np.asarray((x @ x))[0, 0]))
+        except Exception as err:  # pragma: no cover
+            out.put(err)
+
+    t0 = time.perf_counter()
+    threading.Thread(target=work, daemon=True).start()
+    try:
+        result = out.get(timeout=timeout_s)
+    except queue.Empty:
+        raise RuntimeError(
+            f"TPU tunnel probe did not complete within {timeout_s:.0f}s — "
+            "the axon tunnel is likely wedged; retry later"
+        )
+    if isinstance(result, Exception):
+        raise result
+    return time.perf_counter() - t0
+
+
 def main():
     import jax
 
@@ -62,6 +95,10 @@ def main():
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     import jax.numpy as jnp
     from PIL import Image
+
+    if jax.default_backend() not in ("cpu",):
+        probe_s = probe_tunnel(float(os.environ.get("BENCH_PROBE_TIMEOUT", "120")))
+        print(f"[bench] tunnel probe ok ({probe_s:.1f}s)", file=sys.stderr)
 
     from dsocr_tpu.core import DecodeParameters, VisionSettings
     from dsocr_tpu.models.deepseek import DeepseekOcrEngine
@@ -127,31 +164,52 @@ def main():
         toks = sum(o.response_tokens for o in outs)
         return dt, toks
 
-    # warmup/compile (joins + chunk + prefill bucket)
-    asyncio.run(serve_n(min(2, n_requests)))
+    # warmup/compile (joins + chunk + prefill bucket); a FULL-size wave
+    # warms every shape the timed reps will hit (a 2-request warmup left
+    # the wave-8 prefill bucket compiling inside the first timed rep)
+    asyncio.run(serve_n(n_requests))
 
     profile_dir = os.environ.get("DSOCR_PROFILE_DIR")
     if profile_dir:
         jax.profiler.start_trace(profile_dir)
     serve_times = []
     decode_tokens = 0
+    best_stages = {}
+    best_occ = 0.0
     debug = os.environ.get("BENCH_DEBUG")
-    if debug:
-        from dsocr_tpu.core.benchmark import BenchRecorder, set_recorder
-    for _ in range(reps):
+    from dsocr_tpu.core.benchmark import BenchRecorder, set_recorder
+
+    rep = 0
+    retried = 0
+    while rep < reps:
         scheduler.batch_sizes.clear()
-        if debug:
-            recorder = BenchRecorder()
-            set_recorder(recorder)
-        dt, toks = asyncio.run(serve_n(n_requests))
+        recorder = BenchRecorder()
+        set_recorder(recorder)
+        try:
+            dt, toks = asyncio.run(serve_n(n_requests))
+        except Exception as err:
+            # sporadic `INVALID_ARGUMENT: TPU backend error` surfaces at
+            # the next dispatch after an async failure and an identical
+            # retry usually succeeds (CLAUDE.md) — don't lose the capture
+            set_recorder(None)
+            retried += 1
+            if retried > 2:
+                raise
+            print(f"[bench] rep failed ({err}); retrying", file=sys.stderr)
+            continue
+        set_recorder(None)
+        rep += 1
+        occ = scheduler.batch_sizes
+        mean_occ = sum(occ) / max(len(occ), 1)
+        if not serve_times or dt < min(serve_times):
+            best_stages = recorder.stage_totals()
+            best_occ = mean_occ
         serve_times.append(dt)
         decode_tokens = toks
         if debug:
-            set_recorder(None)
-            occ = scheduler.batch_sizes
             print(
                 f"[debug] rep: {dt:.2f}s, chunks={len(occ)}, "
-                f"mean_occ={sum(occ)/max(len(occ),1):.2f}, occ={occ[:50]}",
+                f"mean_occ={mean_occ:.2f}, occ={occ[:50]}",
                 file=sys.stderr,
             )
             for stage, ms in sorted(recorder.stage_totals().items()):
@@ -172,6 +230,11 @@ def main():
         ),
         "vs_baseline": round(pages_per_sec / BASELINE_PAGES_PER_SEC, 2),
         "decode_tok_per_sec": round(decode_tok_per_sec, 1),
+        # attribution for regressions: host-side stage totals of the best
+        # rep + mean slot occupancy + per-rep times (variance visibility)
+        "mean_occupancy": round(best_occ, 2),
+        "rep_times_s": [round(t, 2) for t in serve_times],
+        "stage_ms": {k: round(v, 1) for k, v in sorted(best_stages.items())},
     }
 
     if os.environ.get("BENCH_BATCH1", "1") == "1":
