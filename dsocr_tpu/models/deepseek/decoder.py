@@ -417,7 +417,16 @@ def deepseek_forward(
             # block size — that group prefers the dequant float path
             all_quant = isinstance(egu, quant_types) and isinstance(ed, quant_types)
             if all_quant and B * S <= 32:  # decode: kernels read packed bytes
-                routed = moe_apply_quant_fused(tokens, weights, indices, egu, ed)
+                if mesh is not None:
+                    # EP: stacks are E-sharded; Pallas has no GSPMD rule,
+                    # so the gather kernels run per-shard (ops.moe EP)
+                    from ...ops.moe import moe_apply_quant_ep_fused
+
+                    routed = moe_apply_quant_ep_fused(
+                        tokens, weights, indices, egu, ed, mesh
+                    )
+                else:
+                    routed = moe_apply_quant_fused(tokens, weights, indices, egu, ed)
             elif isinstance(egu, quant_types) or isinstance(ed, quant_types):
                 # prefill (or mixed): once-per-layer dequant → grouped matmul
                 routed = moe_apply_fused(
@@ -433,7 +442,14 @@ def deepseek_forward(
                 isinstance(w, quant_types) for w in (eg, eu, ed)
             )
             if all_quant and B * S <= 32:
-                routed = moe_apply_quant(tokens, weights, indices, eg, eu, ed)
+                if mesh is not None:
+                    from ...ops.moe import moe_apply_quant_ep
+
+                    routed = moe_apply_quant_ep(
+                        tokens, weights, indices, eg, eu, ed, mesh
+                    )
+                else:
+                    routed = moe_apply_quant(tokens, weights, indices, eg, eu, ed)
             elif any(isinstance(w, quant_types) for w in (eg, eu, ed)):
                 routed = moe_apply(
                     tokens, weights, indices,

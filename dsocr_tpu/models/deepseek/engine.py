@@ -123,28 +123,74 @@ class DeepseekOcrEngine:
             params = dict(params)
             params["decoder"] = fuse_decoder_params(params["decoder"])
         if quantize:
-            if mesh is not None:
+            if mesh is not None and (not ep or quantize != "q8_0"):
                 raise NotImplementedError(
-                    "quantized serving + mesh sharding not combined yet"
+                    "quantized serving under a mesh is expert-parallel "
+                    "Q8_0 only (pass ep=True with quantize='q8_0'): the "
+                    "packed gather kernels run per-expert-shard via "
+                    "shard_map (ops.moe EP dispatch); attention/shared "
+                    "projections stay replicated"
                 )
-            from .quantize import quantize_decoder_params
+            from .quantize import EXPERT_KEYS, quantize_decoder_params
 
             params = dict(params)
             quantized = quantize_decoder_params(
                 params["decoder"], quantize, raw=raw_quant
             )
 
-            def _upload(x):
-                # host-init leaves that stayed float (norms, router, the
-                # dense-prefix MLP, embeddings) cast to the serving dtype
-                # during upload; packed planes are already device arrays.
-                if isinstance(x, np.ndarray) and np.issubdtype(
-                    x.dtype, np.floating
-                ):
-                    return jnp.asarray(x, dtype)
-                return jnp.asarray(x)
+            if mesh is None:
+                def _upload(x):
+                    # host-init leaves that stayed float (norms, router,
+                    # the dense-prefix MLP, embeddings) cast to the
+                    # serving dtype during upload; packed planes are
+                    # already device arrays.
+                    if isinstance(x, np.ndarray) and np.issubdtype(
+                        x.dtype, np.floating
+                    ):
+                        return jnp.asarray(x, dtype)
+                    return jnp.asarray(x)
 
-            params["decoder"] = jax.tree_util.tree_map(_upload, quantized)
+                params["decoder"] = jax.tree_util.tree_map(_upload, quantized)
+            else:
+                # EP placement: packed expert stacks [L, E, ...] shard
+                # over E; every other leaf (plain q8 linears, floats)
+                # replicates — decode compute outside the MoE is
+                # replicated, the experts are what EP shrinks.
+                from ...ops.moe import expert_stack_sharding
+                from ...parallel import replicated
+
+                es = expert_stack_sharding(mesh)
+                rep = replicated(mesh)
+
+                def _place(x, sharding):
+                    if isinstance(x, np.ndarray) and np.issubdtype(
+                        x.dtype, np.floating
+                    ):
+                        x = jnp.asarray(x, dtype)
+                    return jax.device_put(x, sharding)
+
+                placed = {}
+                for key, value in quantized.items():
+                    if isinstance(value, dict) and any(
+                        k in value for k in EXPERT_KEYS
+                    ):
+                        placed[key] = {
+                            k: (
+                                jax.tree_util.tree_map(
+                                    lambda x: _place(x, es), v
+                                )
+                                if k in EXPERT_KEYS
+                                else jax.tree_util.tree_map(
+                                    lambda x: _place(x, rep), v
+                                )
+                            )
+                            for k, v in value.items()
+                        }
+                    else:
+                        placed[key] = jax.tree_util.tree_map(
+                            lambda x: _place(x, rep), value
+                        )
+                params["decoder"] = placed
         if mesh is not None:
             # shard the decoder over the mesh (TP heads + expert/MLP
             # intermediate dims; ep=True shards routed-expert stacks over
@@ -162,13 +208,13 @@ class DeepseekOcrEngine:
                     )
                 )
                 for key, value in params.items()
-                if value is not None
+                if value is not None and not (key == "decoder" and quantize)
             }
             params = {
                 key: (
                     jax.device_put(value, shardings[key])
-                    if value is not None
-                    else None
+                    if key in shardings
+                    else value  # quantized decoder already EP-placed
                 )
                 for key, value in params.items()
             }
@@ -506,7 +552,8 @@ class DeepseekOcrEngine:
         positions = cache.length[None, None].astype(jnp.int32)  # [1,1] == [B,S]
         positions = jnp.broadcast_to(positions, (token_ids.shape[0], 1))
         logits, cache = deepseek_forward(
-            params["decoder"], self.cfg.language, embeds, positions, cache, self._rope
+            params["decoder"], self.cfg.language, embeds, positions, cache,
+            self._rope, mesh=self.mesh,
         )
         return logits, bump_length(cache, 1), pos_state
 
@@ -519,7 +566,7 @@ class DeepseekOcrEngine:
         positions = (cache.length - pos_state)[:, None].astype(jnp.int32)
         logits, cache = deepseek_forward(
             params["decoder"], self.cfg.language, embeds, positions, cache,
-            self._rope, pad_start=pos_state,
+            self._rope, pad_start=pos_state, mesh=self.mesh,
         )
         return logits, bump_length(cache, 1), pos_state
 
@@ -701,7 +748,7 @@ class DeepseekOcrEngine:
         kv = KVCache(k=cache.k, v=cache.v, length=jnp.int32(0))
         logits, kv = deepseek_forward(
             model_params["decoder"], self.cfg.language, embeds, positions, kv,
-            self._rope, row_lengths=cache.lengths,
+            self._rope, row_lengths=cache.lengths, mesh=self.mesh,
         )
         return logits, SlotCache(kv.k, kv.v, cache.lengths)
 
@@ -716,7 +763,13 @@ class DeepseekOcrEngine:
         if self.mesh is not None:
             from ...parallel import cache_sharding, replicated
 
-            cs = cache_sharding(self.mesh, self.cfg.language.resolved_kv_heads)
+            if self.quantize_:
+                # EP-quantized serving replicates attention compute —
+                # the KV cache replicates with it (experts are what EP
+                # shrinks); a head-sharded cache would reshard per step
+                cs = replicated(self.mesh)
+            else:
+                cs = cache_sharding(self.mesh, self.cfg.language.resolved_kv_heads)
             base = base._replace(
                 k=jax.device_put(base.k, cs), v=jax.device_put(base.v, cs)
             )
@@ -829,9 +882,14 @@ class DeepseekOcrEngine:
             # row KV sharded like the slot cache it will be inserted into
             # (heads over mp; B stays unsharded) — keeps the join update
             # shard-local on the mp axis
-            from ...parallel import row_cache_sharding
+            from ...parallel import replicated, row_cache_sharding
 
-            cs = row_cache_sharding(self.mesh, self.cfg.language.resolved_kv_heads)
+            if self.quantize_:
+                cs = replicated(self.mesh)
+            else:
+                cs = row_cache_sharding(
+                    self.mesh, self.cfg.language.resolved_kv_heads
+                )
             cache = cache._replace(
                 k=jax.device_put(cache.k, cs), v=jax.device_put(cache.v, cs)
             )

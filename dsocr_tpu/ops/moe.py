@@ -569,3 +569,86 @@ def moe_apply_q8_fused(tokens, topk_weights, topk_indices, gateup_q, down_q):
         outs.reshape(n, k, hidden) * topk_weights[..., None], axis=1
     )
     return combined.astype(tokens.dtype)
+
+
+# -- expert-parallel (EP) quantized dispatch -----------------------------------
+#
+# Packed-quant expert stacks shard over the E axis of the mesh's mp
+# dimension (the reference explicitly bails on ep_size > 1,
+# block.rs:1248-1252). Pallas calls have no GSPMD partitioning rule, so
+# the decode gather/dense kernels run per-shard via shard_map: each
+# device gathers only ITS experts (global top-k ids remapped to local,
+# off-shard selections weight-masked to zero) and one psum combines the
+# routed outputs. Prefill needs no shard_map — its dequant+ragged_dot
+# path is pure XLA and GSPMD partitions it like the float EP path.
+
+
+def _ep_spec():
+    from jax.sharding import PartitionSpec as P
+
+    return P(None, "mp", None, None)  # [L, E, ...] stacks: E over mp
+
+
+def expert_stack_sharding(mesh, ndim: int = 4):
+    """NamedSharding for a packed [L, E, ...] expert stack under EP."""
+    from jax.sharding import NamedSharding
+
+    return NamedSharding(mesh, _ep_spec())
+
+
+def _ep_localize(topk_weights, topk_indices, e_local):
+    rank = jax.lax.axis_index("mp")
+    local_idx = topk_indices - rank * e_local
+    valid = (local_idx >= 0) & (local_idx < e_local)
+    safe = jnp.clip(local_idx, 0, e_local - 1)
+    w = jnp.where(valid, topk_weights, 0.0)
+    return w, safe
+
+
+def moe_apply_quant_ep_fused(tokens, topk_weights, topk_indices, gateup, down, mesh):
+    """EP decode dispatch for fused gate+up packed-Q8 stacks
+    (LayeredQ8 views over [L, E, in, out])."""
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    def local(tokens, w, idx, layer, gu_c, gu_s, d_c, d_s):
+        w, safe = _ep_localize(w, idx, gu_c.shape[1])
+        out = moe_apply_quant_fused(
+            tokens, w, safe, LayeredQ8(gu_c, gu_s, layer), LayeredQ8(d_c, d_s, layer)
+        )
+        return jax.lax.psum(out.astype(jnp.float32), "mp")
+
+    es = _ep_spec()
+    out = shard_map(
+        local, mesh=mesh,
+        in_specs=(P(), P(), P(), P(), es, es, es, es),
+        out_specs=P(),
+        check_vma=False,  # pallas out_shape carries no vma
+    )(tokens, topk_weights, topk_indices, gateup.layer,
+      gateup.codes, gateup.scales, down.codes, down.scales)
+    return out.astype(tokens.dtype)
+
+
+def moe_apply_quant_ep(tokens, topk_weights, topk_indices, gate, up, down, mesh):
+    """EP decode dispatch for split gate/up/down packed-Q8 stacks."""
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    def local(tokens, w, idx, layer, g_c, g_s, u_c, u_s, d_c, d_s):
+        w, safe = _ep_localize(w, idx, g_c.shape[1])
+        out = moe_apply_quant(
+            tokens, w, safe,
+            LayeredQ8(g_c, g_s, layer), LayeredQ8(u_c, u_s, layer),
+            LayeredQ8(d_c, d_s, layer),
+        )
+        return jax.lax.psum(out.astype(jnp.float32), "mp")
+
+    es = _ep_spec()
+    out = shard_map(
+        local, mesh=mesh,
+        in_specs=(P(), P(), P(), P(), es, es, es, es, es, es),
+        out_specs=P(),
+        check_vma=False,  # pallas out_shape carries no vma
+    )(tokens, topk_weights, topk_indices, gate.layer,
+      gate.codes, gate.scales, up.codes, up.scales, down.codes, down.scales)
+    return out.astype(tokens.dtype)

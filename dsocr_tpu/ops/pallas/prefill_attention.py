@@ -123,7 +123,7 @@ def flash_prefill_attention_auto(q, k, v, pad_start=None, *, scale, mesh=None):
         return flash_prefill_attention(
             q, k, v, pad_start, scale=scale, interpret=interpret
         )
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
     from jax.sharding import PartitionSpec as P
 
     mp = mesh.shape.get("mp", 1)
@@ -146,6 +146,6 @@ def flash_prefill_attention_auto(q, k, v, pad_start=None, *, scale, mesh=None):
         # [B, S, H*Dv]: the flattened head dim stays sharded over mp —
         # exactly the layout o_proj (input dim over mp) consumes
         out_specs=P(b_axis, None, h_axis),
-        check_rep=False,
+        check_vma=False,  # pallas out_shape carries no vma
     )
     return fn(q, k, v, pad_start)

@@ -354,3 +354,61 @@ def test_flash_prefill_under_mesh_matches_xla(cfg):
     ref = run(params, False, None)
     flash_mesh = run(params_sharded, True, mesh)
     np.testing.assert_allclose(flash_mesh, ref, rtol=2e-4, atol=2e-4)
+
+
+def test_q8_ep_engine_decode_matches_single_device():
+    """Quantized (packed Q8_0) serving under an EP mesh: expert stacks
+    shard over E and the gather kernels run per-shard (shard_map);
+    greedy decode must match the single-device q8 engine token-for-token
+    (round-2 raised NotImplementedError for quant x mesh)."""
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    from dsocr_tpu.core import DecodeParameters, VisionSettings
+    from dsocr_tpu.models.deepseek import DeepseekOcrEngine
+    from dsocr_tpu.models.deepseek.config import tiny_deepseek_config
+
+    class FakeTokenizer:
+        def encode(self, text):
+            return [ord(c) % 100 for c in text]
+
+        def decode(self, ids, skip_special_tokens=True):
+            return "".join(chr(97 + (i % 26)) for i in ids)
+
+        def token_to_id(self, token):
+            return 127 if token == "<image>" else None
+
+    base = tiny_deepseek_config()
+    qcfg = dataclasses.replace(
+        base,
+        language=dataclasses.replace(
+            base.language, moe_intermediate_size=32, intermediate_size=64
+        ),
+    )
+    image = np.random.default_rng(21).integers(0, 256, (50, 50, 3), dtype=np.uint8)
+    settings = VisionSettings(64, 64, False)
+    params = DecodeParameters(max_new_tokens=5, no_repeat_ngram_size=None)
+
+    solo = DeepseekOcrEngine(
+        qcfg, dtype=jnp.float32, max_seq_len=512, seed=3, quantize="q8_0"
+    )
+    out_solo = solo.decode(FakeTokenizer(), "<image>q", [image], settings, params)
+
+    mesh = make_mesh(8, dp=2)  # mp=4 divides the 4 experts
+    ep_engine = DeepseekOcrEngine(
+        qcfg, dtype=jnp.float32, max_seq_len=512, seed=3,
+        quantize="q8_0", mesh=mesh, ep=True,
+    )
+    # expert stacks really sharded over E
+    eg = ep_engine.params["decoder"]["moe_layers"]["experts_gate"]
+    assert "mp" in str(eg["codes"].sharding.spec)
+    out_ep = ep_engine.decode(FakeTokenizer(), "<image>q", [image], settings, params)
+    assert out_ep.generated_tokens == out_solo.generated_tokens
+
+    # quant x mesh without EP still raises a clear error
+    with pytest.raises(NotImplementedError):
+        DeepseekOcrEngine(
+            qcfg, dtype=jnp.float32, max_seq_len=512, quantize="q8_0",
+            mesh=mesh, ep=False,
+        )
