@@ -258,6 +258,7 @@ def deepseek_forward(
     last_index: Optional[jnp.ndarray] = None,  # [B] int32
     pad_start: Optional[jnp.ndarray] = None,  # [B] int32 left-pad boundary
     row_lengths: Optional[jnp.ndarray] = None,  # [B] int32 per-row KV lengths
+    page_tables: Optional[jnp.ndarray] = None,  # [B, P_max] int32 — paged slot KV
     flash_prefill: bool = False,  # S>1 steps attend via the Pallas kernel
     mesh=None,  # shard the flash-prefill kernel over this mesh (shard_map)
 ) -> Tuple[jnp.ndarray, KVCache]:
@@ -274,7 +275,16 @@ def deepseek_forward(
     cos_t, sin_t = rope_tables
     cos = cos_t[positions][:, None]  # [B, 1, S, rope_dim]
     sin = sin_t[positions][:, None]
-    if row_lengths is not None:
+    if page_tables is not None:
+        # Paged slot mode: cache.k/v are page POOLS [L, P, H, page, D];
+        # row r's tokens live in the pages page_tables[r] lists, the new
+        # token is written at logical position row_lengths[r], and the
+        # paged Pallas kernel walks only the used pages (masking happens
+        # in-kernel; no [B, S_max] mask exists).
+        if S != 1 or row_lengths is None:
+            raise ValueError("paged decode supports single-token slot steps")
+        mask = None
+    elif row_lengths is not None:
         # Slot mode (continuous batching): row r's tokens live at
         # [0, row_lengths[r]) of its own cache row; the new token is
         # written at row_lengths[r] and may attend to [0, row_lengths[r]].
@@ -320,7 +330,20 @@ def deepseek_forward(
         k = _partial_rope(k, cos, sin, rope_dim, cfg.use_mla)
         # In-place updates on the scan carry (XLA aliases the buffers;
         # the old slice/concat layout copied the whole cache every step).
-        if row_lengths is not None:
+        if page_tables is not None:
+            # paged write: the new token's KV goes to its row's page
+            # page_tables[r][len // page] at offset len % page
+            page = k_all.shape[3]
+            rows = jnp.arange(B)
+            pids = page_tables[rows, row_lengths // page]
+            offs = row_lengths % page
+            k_all = k_all.at[li, pids, :, offs, :].set(
+                k[:, :, 0, :].astype(k_all.dtype)
+            )
+            v_all = v_all.at[li, pids, :, offs, :].set(
+                v[:, :, 0, :].astype(v_all.dtype)
+            )
+        elif row_lengths is not None:
             # per-row write positions → scatter (one [B,H,D] slab per layer)
             rows = jnp.arange(B)
             k_all = k_all.at[li, rows, :, row_lengths, :].set(
@@ -336,7 +359,17 @@ def deepseek_forward(
             v_all = jax.lax.dynamic_update_slice(
                 v_all, v[None].astype(v_all.dtype), (li, zero, zero, start, zero)
             )
-        if flash_prefill and S > 1:
+        if page_tables is not None:
+            # whole pools + traced layer id ride into the kernel (never
+            # feed a lax slice of a stacked buffer to a Pallas call)
+            from ...ops.pallas.paged_attention import paged_decode_attention_auto
+
+            ctx = paged_decode_attention_auto(
+                q[:, :, 0, :].astype(jnp.float32),
+                k_all, v_all, page_tables, row_lengths, li, scale=scale,
+            )
+            attn = ctx[:, None, :].astype(q.dtype)  # [B, 1, H*Dv]
+        elif flash_prefill and S > 1:
             # Prefill always starts from an empty cache (engine invariant:
             # _prefill_impl / prefill_for_slot / the no-cache variant all
             # build a fresh cache), so attention needs only the locally

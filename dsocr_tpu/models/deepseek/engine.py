@@ -787,6 +787,67 @@ class DeepseekOcrEngine:
             ngram_max=ngram_max,
         )
 
+    # -- paged slot surface (shared page pool instead of per-slot rows) --------
+
+    def slot_step_fn_paged(self, model_params, token_ids, cache, pos):
+        """Decode step over the paged pool: reads/writes go through the
+        page tables (runtime/paged.py; kernel in ops/pallas/paged_attention)."""
+        from ...runtime.kv_cache import KVCache
+        from ...runtime.paged import PagedSlotCache
+
+        embeds = model_params["decoder"]["embed_tokens"][token_ids][
+            :, None, :
+        ].astype(self.dtype_)
+        positions = pos[:, None].astype(jnp.int32)
+        kv = KVCache(k=cache.k, v=cache.v, length=jnp.int32(0))
+        logits, kv = deepseek_forward(
+            model_params["decoder"], self.cfg.language, embeds, positions, kv,
+            self._rope, row_lengths=cache.lengths, page_tables=cache.tables,
+            mesh=self.mesh,
+        )
+        return logits, PagedSlotCache(kv.k, kv.v, cache.tables, cache.lengths)
+
+    def make_paged_slot_runner(
+        self,
+        n_slots: int,
+        max_len: int,
+        ngram_max: int = 24,
+        page_size: Optional[int] = None,
+        n_pages: Optional[int] = None,
+    ):
+        """(runner, cache) for paged continuous batching. n_pages bounds
+        the pool (< n_slots * ceil(max_len/page) gives HBM elasticity —
+        rows only hold prompt+budget pages; the allocator rejects joins
+        that would not fit)."""
+        import os
+
+        from ...runtime.paged import (
+            PageAllocator,
+            PagedSlotRunner,
+            new_page_pool,
+        )
+
+        cfg = self.cfg.language
+        page_size = page_size or int(os.environ.get("DSOCR_PAGE_SIZE", "128"))
+        p_max = -(-max_len // page_size)
+        n_pages = n_pages or int(
+            os.environ.get("DSOCR_POOL_PAGES", str(n_slots * p_max))
+        )
+        cache = new_page_pool(
+            cfg.num_hidden_layers, n_pages, cfg.resolved_kv_heads,
+            cfg.head_dim, cfg.resolved_v_head_dim, page_size, n_slots,
+            p_max, self.dtype_,
+        )
+        eos = cfg.eos_token_id
+        runner = PagedSlotRunner(
+            self.slot_step_fn_paged,
+            eos_ids=(eos,) if eos is not None else (),
+            emit_eos=False,
+            ngram_max=ngram_max,
+            allocator=PageAllocator(n_pages),
+        )
+        return runner, cache
+
     def prefill_for_slots(self, tokenizer, requests):
         """Batched variant of prefill_for_slot for the scheduler's prefill
         worker: vision towers run BATCHED across all queued requests

@@ -114,6 +114,7 @@ class ContinuousScheduler:
         self._runner = None
         self._state = None
         self._rows: List[Optional[_SlotJob]] = [None] * self.n_slots
+        self._deferred: List[Tuple] = []  # pool-exhausted packets awaiting pages
         self.batch_sizes: List[int] = []  # occupancy per chunk (observability)
 
     # -- public API ----------------------------------------------------------
@@ -143,6 +144,7 @@ class ContinuousScheduler:
                 r for r, j in enumerate(self._rows) if j is not None
             )
             self._rows = [None] * self.n_slots
+            self._deferred = []
             if self._state_invalid():
                 # the old loop died with a donating jit (chunk/join) still
                 # in flight on an executor thread: its dropped result left
@@ -190,11 +192,36 @@ class ContinuousScheduler:
             return True
 
     def _ensure_state(self):
+        paged = (
+            os.environ.get("DSOCR_PAGED_KV") == "1"
+            and hasattr(self.engine, "make_paged_slot_runner")
+        )
         if self._runner is None:
-            self._runner = self.engine.make_slot_runner()
+            if paged:
+                # paged slot KV: shared page pool + per-row page tables
+                # (runtime/paged.py) — rows hold prompt+budget pages
+                # instead of a worst-case [S_max] row
+                self._runner, self._paged_cache = (
+                    self.engine.make_paged_slot_runner(self.n_slots, self.max_len)
+                )
+            else:
+                self._runner = self.engine.make_slot_runner()
         if self._state is None:
-            cache = self.engine.new_slot_cache(self.n_slots, self.max_len)
-            self._state = self._runner.init_state(cache, context_len=self.max_len)
+            if paged:
+                cache = getattr(self, "_paged_cache", None)
+                if cache is None:
+                    _, cache = self.engine.make_paged_slot_runner(
+                        self.n_slots, self.max_len
+                    )
+                self._paged_cache = None  # the state owns it now
+                self._state = self._runner.init_state(
+                    cache, context_len=self.max_len
+                )
+            else:
+                cache = self.engine.new_slot_cache(self.n_slots, self.max_len)
+                self._state = self._runner.init_state(
+                    cache, context_len=self.max_len
+                )
 
     def _free_rows(self) -> List[int]:
         return [r for r, job in enumerate(self._rows) if job is None]
@@ -344,14 +371,25 @@ class ContinuousScheduler:
 
     async def _admit_ready(self, loop) -> None:
         for row in self._free_rows():
-            try:
-                job, pre = self._ready_q.get_nowait()
-            except asyncio.QueueEmpty:
-                return
+            if self._deferred:
+                job, pre = self._deferred.pop(0)
+            else:
+                try:
+                    job, pre = self._ready_q.get_nowait()
+                except asyncio.QueueEmpty:
+                    return
             try:
                 finished = await loop.run_in_executor(
                     None, self._join_ready, row, job, pre
                 )
+            except MemoryError as err:
+                # paged pool temporarily exhausted: defer until active
+                # rows release pages; fail only if nothing will ever free
+                if any(j is not None for j in self._rows):
+                    self._deferred.append((job, pre))
+                    return
+                self._fail(job, err)
+                continue
             except Exception as err:
                 self._fail(job, err)
                 continue

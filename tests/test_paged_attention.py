@@ -1,0 +1,72 @@
+"""Paged decode attention kernel vs the contiguous oracle."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from dsocr_tpu.ops.pallas.paged_attention import (
+    paged_decode_attention_auto,
+    paged_decode_attention_reference,
+)
+
+
+def _setup(seed, B=3, H=4, H_kv=4, D=16, L=2, P=16, page=8, P_max=4):
+    rng = np.random.default_rng(seed)
+    q = jnp.asarray(rng.normal(size=(B, H, D)).astype(np.float32))
+    k_pool = jnp.asarray(rng.normal(size=(L, P, H_kv, page, D)).astype(np.float32))
+    v_pool = jnp.asarray(rng.normal(size=(L, P, H_kv, page, D)).astype(np.float32))
+    # distinct page ids per row
+    ids = rng.permutation(P)[: B * P_max].reshape(B, P_max)
+    tables = jnp.asarray(ids.astype(np.int32))
+    return q, k_pool, v_pool, tables
+
+
+@pytest.mark.parametrize("lengths", [[0, 7, 8], [15, 22, 31], [3, 3, 3]])
+def test_paged_matches_reference(lengths):
+    q, k_pool, v_pool, tables = _setup(0)
+    lens = jnp.asarray(lengths, jnp.int32)
+    for layer in (0, 1):
+        got = paged_decode_attention_auto(
+            q, k_pool, v_pool, tables, lens, jnp.int32(layer), scale=0.25
+        )
+        want = paged_decode_attention_reference(
+            q, k_pool, v_pool, tables, lens, layer, scale=0.25
+        )
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=2e-5, atol=2e-5)
+
+
+def test_paged_gqa():
+    q, k_pool, v_pool, tables = _setup(1, H=8, H_kv=2)
+    lens = jnp.asarray([5, 12, 30], jnp.int32)
+    got = paged_decode_attention_auto(
+        q, k_pool, v_pool, tables, lens, jnp.int32(1), scale=0.25
+    )
+    want = paged_decode_attention_reference(
+        q, k_pool, v_pool, tables, lens, 1, scale=0.25
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_paged_ignores_unused_page_contents():
+    """Pages beyond a row's length must not affect the output (the index
+    map clamps to the last used page; contributions are masked)."""
+    q, k_pool, v_pool, tables = _setup(2)
+    lens = jnp.asarray([9, 9, 9], jnp.int32)  # uses 2 of 4 table pages
+    base = paged_decode_attention_auto(
+        q, k_pool, v_pool, tables, lens, jnp.int32(0), scale=0.25
+    )
+    # poison every page NOT referenced by the first two table entries
+    used = set(np.asarray(tables[:, :2]).ravel().tolist())
+    poison = np.asarray(k_pool).copy()
+    for p in range(poison.shape[1]):
+        if p not in used:
+            poison[:, p] = 1e4
+    got = paged_decode_attention_auto(
+        jnp.asarray(q), jnp.asarray(poison), v_pool, tables, lens,
+        jnp.int32(0), scale=0.25,
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(base),
+                               rtol=2e-6, atol=2e-6)
