@@ -49,10 +49,12 @@ class BenchTokenizer:
         return 128815 if token == "<image>" else None
 
 
-def probe_tunnel(timeout_s: float = 120.0) -> float:
+def probe_tunnel(timeout_s: float = 1500.0) -> float:
     """1-op matmul probe: the axon tunnel can wedge (device listing works,
-    compute hangs) — fail fast with a diagnosable error instead of
-    hanging the graded capture. Returns the probe round-trip seconds."""
+    compute hangs). The timeout is deliberately LONG — exiting with the
+    probe op still in flight is itself a wedge trigger (killed client
+    mid-device-op), so waiting out a wedge beats failing fast and
+    re-wedging on every retry. Returns the probe round-trip seconds."""
     import queue
     import threading
 
@@ -97,7 +99,7 @@ def main():
     from PIL import Image
 
     if jax.default_backend() not in ("cpu",):
-        probe_s = probe_tunnel(float(os.environ.get("BENCH_PROBE_TIMEOUT", "120")))
+        probe_s = probe_tunnel(float(os.environ.get("BENCH_PROBE_TIMEOUT", "1500")))
         print(f"[bench] tunnel probe ok ({probe_s:.1f}s)", file=sys.stderr)
 
     from dsocr_tpu.core import DecodeParameters, VisionSettings

@@ -76,7 +76,6 @@ def run_perf_matrix(
     quants: Optional[List[str]] = None,  # '' | q8_0 | q4_k | q6_k
     modes: Optional[List[str]] = None,  # single | serve
     n_requests: int = 4,
-    tiny: bool = False,
 ) -> List[PerfEntry]:
     """Run the model × dtype × quant × serving-mode matrix in-process
     with random-init weights (no weights ship with this machine);
