@@ -890,18 +890,18 @@ class DeepseekOcrEngine:
             per_req_vins[ri].append(vin)
             per_req_embeds[ri].append(emb)
         pf_t = Timer("slot.prefill_rows")
-        rows_in = [
-            self._build_row_inputs(
+        rows_in = []
+        for ri, (prompt, _, vision) in enumerate(requests):
+            tokens, image_mask = self.build_prompt_tokens(
                 tokenizer, prompt, per_req_vins[ri], per_req_embeds[ri], vision
             )
-            for ri, (prompt, _, vision) in enumerate(requests)
-        ]
+            rows_in.append((tokens, image_mask, per_req_embeds[ri]))
         # group rows sharing an s_pad bucket into ONE batched prefill:
         # per-call weight streaming (q8: the per-prefill expert dequant)
         # amortizes across the wave instead of repeating per request
         groups: Dict[int, List[int]] = {}
-        for i, (_, embeds) in enumerate(rows_in):
-            groups.setdefault(embeds.shape[0], []).append(i)
+        for i, (tokens, _, _) in enumerate(rows_in):
+            groups.setdefault(_round_up(len(tokens), 128), []).append(i)
         out: List[Optional[dict]] = [None] * len(rows_in)
         for idxs in groups.values():
             packets = self._prefill_rows([rows_in[i] for i in idxs])
@@ -920,11 +920,9 @@ class DeepseekOcrEngine:
         embeddings = [self.compute_image_embedding(v) for v in vision_inputs]
         return self._prefill_row(tokenizer, prompt, vision_inputs, embeddings, vision)
 
-    def _build_row_inputs(self, tokenizer, prompt, vision_inputs, embeddings, vision):
-        """Prompt tokens + per-row prefill embeddings [s_pad, H]."""
-        tokens, image_mask = self.build_prompt_tokens(
-            tokenizer, prompt, vision_inputs, embeddings, vision
-        )
+    def _row_embeds(self, tokens, image_mask, embeddings):
+        """Per-row prefill embeddings [s_pad, H] (single-row path; the
+        batched wave does this inside the prefill jit)."""
         prompt_len = len(tokens)
         s_pad = _round_up(prompt_len, 128)
         padded = np.zeros(s_pad, np.int32)
@@ -936,7 +934,7 @@ class DeepseekOcrEngine:
             flat = jnp.concatenate(embeddings, axis=0)
             idx = np.nonzero(np.asarray(image_mask, bool))[0]
             embeds = embeds.at[jnp.asarray(idx)].set(flat.astype(self.dtype_))
-        return tokens, embeds
+        return embeds
 
     def _row_cache_sharded(self, cache):
         if self.mesh is not None:
@@ -957,10 +955,12 @@ class DeepseekOcrEngine:
         return cache
 
     def _prefill_row(self, tokenizer, prompt, vision_inputs, embeddings, vision):
-        tokens, embeds = self._build_row_inputs(
+        tokens, image_mask = self.build_prompt_tokens(
             tokenizer, prompt, vision_inputs, embeddings, vision
         )
-        return self._prefill_single(tokens, embeds)
+        return self._prefill_single(
+            tokens, self._row_embeds(tokens, image_mask, embeddings)
+        )
 
     def _prefill_single(self, tokens, embeds):
         prompt_len = len(tokens)
@@ -984,13 +984,26 @@ class DeepseekOcrEngine:
             pos0=prompt_len,
         )
 
-    def _prefill_rows_impl(self, params, embeds, positions, cache, true_lens, seq_len: int):
+    def _prefill_rows_impl(
+        self, params, tokens, img_embeds, row_idx, pos_idx, cache, true_lens,
+        seq_len: int, has_images: bool = True,
+    ):
         """Shared-length multi-row prefill: rows are RIGHT-padded to one
         s_pad bucket (pad keys are causally unreachable from real query
         positions and decode overwrites their KV slots), so one batched
         pass amortizes per-call weight streaming — for quantized serving
         that is the per-prefill expert dequant, the q8 wave's dominant
-        cost — across the whole admission wave."""
+        cost — across the whole admission wave. Embedding lookup and the
+        image-token scatter happen HERE so the wave costs one dispatch
+        (per-row host ops paid ~40 ms tunnel latency each)."""
+        embeds = params["decoder"]["embed_tokens"][tokens].astype(self.dtype_)
+        if has_images:
+            embeds = embeds.at[row_idx, pos_idx].set(
+                img_embeds.astype(self.dtype_)
+            )
+        positions = jnp.broadcast_to(
+            jnp.arange(seq_len, dtype=jnp.int32)[None], tokens.shape
+        )
         logits, cache = deepseek_forward(
             params["decoder"],
             self.cfg.language,
@@ -1005,26 +1018,51 @@ class DeepseekOcrEngine:
         return logits, cache
 
     def _prefill_rows(self, rows):
-        """rows: [(tokens, embeds [s_pad, H])] sharing one s_pad.
-        Returns one join packet per row."""
+        """rows: [(tokens, image_mask, embeds_list)] sharing one s_pad
+        bucket (s_pad = round_up(max prompt_len, 128) — identical within
+        a group by construction). Returns one join packet per row."""
         if len(rows) == 1:
-            return [self._prefill_single(*rows[0])]
-        s_pad = rows[0][1].shape[0]
+            tokens, image_mask, embeds_list = rows[0]
+            return [
+                self._prefill_single(
+                    tokens,
+                    self._row_embeds(tokens, image_mask, embeds_list),
+                )
+            ]
+        s_pad = _round_up(len(rows[0][0]), 128)
         B_real = len(rows)
         B = max(1, 1 << (B_real - 1).bit_length())  # bucket compiles
         rows = rows + [rows[-1]] * (B - B_real)
-        embeds = jnp.stack([e for _, e in rows])
-        positions = jnp.tile(jnp.arange(s_pad, dtype=jnp.int32)[None], (B, 1))
-        true_lens = jnp.asarray([len(t) for t, _ in rows], jnp.int32)
+        tokens_padded = np.zeros((B, s_pad), np.int32)
+        row_idx_parts, pos_idx_parts, embed_parts = [], [], []
+        for r, (tokens, image_mask, embeds_list) in enumerate(rows):
+            tokens_padded[r, : len(tokens)] = tokens
+            if embeds_list:
+                pos = np.nonzero(np.asarray(image_mask, bool))[0]
+                row_idx_parts.append(np.full(pos.shape, r, np.int32))
+                pos_idx_parts.append(pos.astype(np.int32))
+                embed_parts.extend(embeds_list)
+        if embed_parts:
+            img_embeds = jnp.concatenate(embed_parts, axis=0)
+            row_idx = jnp.asarray(np.concatenate(row_idx_parts))
+            pos_idx = jnp.asarray(np.concatenate(pos_idx_parts))
+        else:  # degenerate text-only wave
+            img_embeds = jnp.zeros((1, self.cfg.language.hidden_size), self.dtype_)
+            row_idx = jnp.zeros((1,), jnp.int32)
+            pos_idx = jnp.zeros((1,), jnp.int32)
+        true_lens = jnp.asarray([len(t) for t, _, _ in rows], jnp.int32)
         cache = self._row_cache_sharded(
             reset(new_cache(self.cfg.language, B, s_pad, self.dtype_))
         )
         if not hasattr(self, "_prefill_rows_jit"):
             self._prefill_rows_jit = jax.jit(
-                self._prefill_rows_impl, static_argnames=("seq_len",)
+                self._prefill_rows_impl,
+                static_argnames=("seq_len", "has_images"),
             )
         logits, cache = self._prefill_rows_jit(
-            self.params, embeds, positions, cache, true_lens, seq_len=s_pad
+            self.params, jnp.asarray(tokens_padded), img_embeds, row_idx,
+            pos_idx, cache, true_lens, seq_len=s_pad,
+            has_images=bool(embed_parts),
         )
         logits_host = np.asarray(logits, np.float32)
         out = []

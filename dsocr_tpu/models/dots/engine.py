@@ -198,24 +198,141 @@ class DotsOcrEngine:
         groups: Dict = {}
         for idx, (_, _, vision) in enumerate(requests):
             groups.setdefault(vision, []).append(idx)
+        rows_in = [None] * len(requests)
         for vision, idxs in groups.items():
             flat = [img for i in idxs for img in requests[i][1]]
             embeddings, grids = self.encode_images(flat, vision)
             cursor = 0
             for i in idxs:
                 n = len(requests[i][1])
-                out[i] = self._prefill_row(
-                    tokenizer, requests[i][0],
-                    embeddings[cursor : cursor + n],
-                    grids[cursor : cursor + n],
+                tokens, image_mask = self.build_prompt_tokens(
+                    tokenizer, requests[i][0], grids[cursor : cursor + n]
+                )
+                rows_in[i] = (
+                    tokens, image_mask, embeddings[cursor : cursor + n]
                 )
                 cursor += n
+        # same-s_pad rows share ONE right-padded batched prefill
+        buckets: Dict = {}
+        for i, (tokens, _, _) in enumerate(rows_in):
+            buckets.setdefault(_round_up(len(tokens), 128), []).append(i)
+        for idxs in buckets.values():
+            packets = self._prefill_rows([rows_in[i] for i in idxs])
+            for i, pkt in zip(idxs, packets):
+                out[i] = pkt
         return out
 
     def prefill_for_slot(self, tokenizer, prompt, images, vision):
         """Vision + prompt + single-row prefill for SlotRunner.join."""
         embeddings, grids = self.encode_images(images, vision)
         return self._prefill_row(tokenizer, prompt, embeddings, grids)
+
+    def _prefill_rows_impl(
+        self, params, tokens, img_embeds, row_idx, pos_idx, cache, true_lens,
+        seq_len: int, has_images: bool = True,
+    ):
+        """Right-padded multi-row prefill: one batched pass per
+        same-s_pad admission wave (amortizes weight streaming + the
+        ~40 ms/dispatch tunnel latency of per-row embed/scatter ops)."""
+        embeds = params["decoder"]["embed_tokens"][tokens].astype(self.dtype_)
+        if has_images:
+            embeds = embeds.at[row_idx, pos_idx].set(
+                img_embeds.astype(self.dtype_)
+            )
+        positions = jnp.broadcast_to(
+            jnp.arange(seq_len, dtype=jnp.int32)[None], tokens.shape
+        )
+        logits, cache = qwen2_forward(
+            params["decoder"], self.cfg.text, embeds, positions, cache,
+            self._rope, last_index=true_lens - 1,
+            flash_prefill=self._flash_prefill,
+        )
+        return logits, cache
+
+    def _prefill_rows(self, rows):
+        """rows: [(tokens, image_mask, embeds_list)] sharing one s_pad
+        bucket. Returns one join packet per row."""
+        if len(rows) == 1:
+            tokens, image_mask, embeds_list = rows[0]
+            return [self._prefill_packed(tokens, image_mask, embeds_list)]
+        s_pad = _round_up(len(rows[0][0]), 128)
+        B_real = len(rows)
+        B = max(1, 1 << (B_real - 1).bit_length())
+        rows = rows + [rows[-1]] * (B - B_real)
+        tokens_padded = np.zeros((B, s_pad), np.int32)
+        row_idx_parts, pos_idx_parts, embed_parts = [], [], []
+        for r, (tokens, image_mask, embeds_list) in enumerate(rows):
+            tokens_padded[r, : len(tokens)] = tokens
+            if embeds_list:
+                pos = np.nonzero(np.asarray(image_mask, bool))[0]
+                row_idx_parts.append(np.full(pos.shape, r, np.int32))
+                pos_idx_parts.append(pos.astype(np.int32))
+                embed_parts.extend(embeds_list)
+        if embed_parts:
+            img_embeds = jnp.concatenate(embed_parts, axis=0)
+            row_idx = jnp.asarray(np.concatenate(row_idx_parts))
+            pos_idx = jnp.asarray(np.concatenate(pos_idx_parts))
+        else:
+            img_embeds = jnp.zeros((1, self.cfg.text.hidden_size), self.dtype_)
+            row_idx = jnp.zeros((1,), jnp.int32)
+            pos_idx = jnp.zeros((1,), jnp.int32)
+        true_lens = jnp.asarray([len(t) for t, _, _ in rows], jnp.int32)
+        cache = reset(new_cache(self.cfg.text, B, s_pad, self.dtype_))
+        if not hasattr(self, "_prefill_rows_jit"):
+            self._prefill_rows_jit = jax.jit(
+                self._prefill_rows_impl,
+                static_argnames=("seq_len", "has_images"),
+            )
+        logits, cache = self._prefill_rows_jit(
+            self.params, jnp.asarray(tokens_padded), img_embeds, row_idx,
+            pos_idx, cache, true_lens, seq_len=s_pad,
+            has_images=bool(embed_parts),
+        )
+        logits_host = np.asarray(logits, np.float32)
+        out = []
+        for i in range(B_real):
+            tokens = rows[i][0]
+            out.append(
+                dict(
+                    prompt_ids=tokens,
+                    row_k=jax.lax.slice_in_dim(cache.k, i, i + 1, axis=1),
+                    row_v=jax.lax.slice_in_dim(cache.v, i, i + 1, axis=1),
+                    logits=logits_host[i],
+                    pos0=len(tokens),
+                )
+            )
+        return out
+
+    def _prefill_packed(self, tokens, image_mask, embeddings):
+        prompt_len = len(tokens)
+        s_pad = _round_up(prompt_len, 128)
+        tokens_padded = np.zeros(s_pad, np.int32)
+        tokens_padded[:prompt_len] = tokens
+        embeds = self.params["decoder"]["embed_tokens"][
+            jnp.asarray(tokens_padded)
+        ].astype(self.dtype_)
+        if embeddings:
+            flat = jnp.concatenate(embeddings, axis=0)
+            mask_padded = np.zeros(s_pad, bool)
+            mask_padded[:prompt_len] = np.asarray(image_mask, bool)
+            idx = np.nonzero(mask_padded)[0]
+            embeds = embeds.at[jnp.asarray(idx)].set(flat.astype(self.dtype_))
+        cache = reset(new_cache(self.cfg.text, 1, s_pad, self.dtype_))
+        logits, cache = self._prefill_jit(
+            self.params,
+            embeds[None],
+            jnp.arange(s_pad, dtype=jnp.int32)[None],
+            cache,
+            jnp.int32(prompt_len),
+            seq_len=s_pad,
+        )
+        return dict(
+            prompt_ids=tokens,
+            row_k=cache.k,
+            row_v=cache.v,
+            logits=np.asarray(logits[0], np.float32),
+            pos0=prompt_len,
+        )
 
     def _prefill_row(self, tokenizer, prompt, embeddings, grids):
         tokens, image_mask = self.build_prompt_tokens(tokenizer, prompt, grids)
