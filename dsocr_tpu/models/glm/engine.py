@@ -249,13 +249,111 @@ class GlmOcrEngine:
                 packed, [g for gs in per_req_grids for g in gs],
             )
         merge_area = cfg.vision.spatial_merge_size ** 2
-        out = []
+        rows_in = []
         cursor = 0
         for (prompt, _, _), grids in zip(requests, per_req_grids):
             count = sum(t * h * w // merge_area for t, h, w in grids)
             emb = embeddings[cursor : cursor + count] if embeddings is not None else None
             cursor += count
-            out.append(self._prefill_row(tokenizer, prompt, grids, emb))
+            rows_in.append((prompt, grids, emb))
+        # same-s_pad rows share ONE right-padded batched prefill
+        built = []
+        for prompt, grids, emb in rows_in:
+            tokens, image_mask = self.build_prompt_tokens(tokenizer, prompt, grids)
+            built.append((tokens, image_mask, grids, emb))
+        buckets: Dict = {}
+        for i, (tokens, _, _, _) in enumerate(built):
+            buckets.setdefault(_round_up(len(tokens), 128), []).append(i)
+        out: List = [None] * len(built)
+        for idxs in buckets.values():
+            packets = self._prefill_rows([built[i] for i in idxs])
+            for i, pkt in zip(idxs, packets):
+                out[i] = pkt
+        return out
+
+    def _prefill_rows_impl(
+        self, params, tokens, pos_ids, img_embeds, row_idx, tok_idx, cache,
+        true_lens, seq_len: int, has_images: bool = True,
+    ):
+        """Right-padded multi-row prefill (one batched decoder pass +
+        one dispatch per same-s_pad admission wave). pos_ids [3, B, S]
+        carry each row's 3-axis M-RoPE grid."""
+        embeds = params["decoder"]["embed_tokens"][tokens].astype(self.dtype_)
+        if has_images:
+            embeds = embeds.at[row_idx, tok_idx].set(
+                img_embeds.astype(self.dtype_)
+            )
+        logits, cache = glm_forward(
+            params["decoder"], self.cfg.text, embeds, pos_ids, cache,
+            last_index=true_lens - 1, flash_prefill=self._flash_prefill,
+        )
+        return logits, cache
+
+    def _prefill_rows(self, rows):
+        """rows: [(tokens, image_mask, grids, emb)] sharing one s_pad
+        bucket. Returns one join packet per row."""
+        cfg = self.cfg
+        if len(rows) == 1:
+            tokens, image_mask, grids, emb = rows[0]
+            return [self._prefill_row_built(tokens, image_mask, grids, emb)]
+        s_pad = _round_up(len(rows[0][0]), 128)
+        B_real = len(rows)
+        B = max(1, 1 << (B_real - 1).bit_length())
+        rows = rows + [rows[-1]] * (B - B_real)
+        tokens_padded = np.zeros((B, s_pad), np.int32)
+        pos_padded = np.ones((3, B, s_pad), np.int32)
+        next_bases = []
+        row_idx_parts, tok_idx_parts, embed_parts = [], [], []
+        for r, (tokens, image_mask, grids, emb) in enumerate(rows):
+            tokens_padded[r, : len(tokens)] = tokens
+            pos_ids, next_base = compute_glm_position_ids(
+                cfg.image_token_id,
+                cfg.video_start_token_id,
+                cfg.video_end_token_id,
+                np.asarray(tokens, np.int64),
+                grids,
+                cfg.vision.spatial_merge_size,
+            )
+            pos_padded[:, r, : len(tokens)] = pos_ids
+            next_bases.append(next_base)
+            if emb is not None:
+                pos = np.nonzero(np.asarray(image_mask, bool))[0]
+                row_idx_parts.append(np.full(pos.shape, r, np.int32))
+                tok_idx_parts.append(pos.astype(np.int32))
+                embed_parts.append(emb)
+        if embed_parts:
+            img_embeds = jnp.concatenate(embed_parts, axis=0)
+            row_idx = jnp.asarray(np.concatenate(row_idx_parts))
+            tok_idx = jnp.asarray(np.concatenate(tok_idx_parts))
+        else:
+            img_embeds = jnp.zeros((1, cfg.text.hidden_size), self.dtype_)
+            row_idx = jnp.zeros((1,), jnp.int32)
+            tok_idx = jnp.zeros((1,), jnp.int32)
+        true_lens = jnp.asarray([len(t) for t, _, _, _ in rows], jnp.int32)
+        cache = reset(new_cache(cfg.text, B, s_pad, self.dtype_))
+        if not hasattr(self, "_prefill_rows_jit"):
+            self._prefill_rows_jit = jax.jit(
+                self._prefill_rows_impl,
+                static_argnames=("seq_len", "has_images"),
+            )
+        logits, cache = self._prefill_rows_jit(
+            self.params, jnp.asarray(tokens_padded), jnp.asarray(pos_padded),
+            img_embeds, row_idx, tok_idx, cache, true_lens, seq_len=s_pad,
+            has_images=bool(embed_parts),
+        )
+        logits_host = np.asarray(logits, np.float32)
+        out = []
+        for i in range(B_real):
+            tokens = rows[i][0]
+            out.append(
+                dict(
+                    prompt_ids=tokens,
+                    row_k=jax.lax.slice_in_dim(cache.k, i, i + 1, axis=1),
+                    row_v=jax.lax.slice_in_dim(cache.v, i, i + 1, axis=1),
+                    logits=logits_host[i],
+                    pos0=next_bases[i],
+                )
+            )
         return out
 
     def prefill_for_slot(self, tokenizer, prompt, images, vision):
@@ -278,8 +376,11 @@ class GlmOcrEngine:
         return self._prefill_row(tokenizer, prompt, grids, embeddings)
 
     def _prefill_row(self, tokenizer, prompt, grids, embeddings):
-        cfg = self.cfg
         tokens, image_mask = self.build_prompt_tokens(tokenizer, prompt, grids)
+        return self._prefill_row_built(tokens, image_mask, grids, embeddings)
+
+    def _prefill_row_built(self, tokens, image_mask, grids, embeddings):
+        cfg = self.cfg
         prompt_len = len(tokens)
         pos_ids, next_base = compute_glm_position_ids(
             cfg.image_token_id,

@@ -307,14 +307,103 @@ class PaddleOcrEngine:
                     original_grid=grid,
                     merged_grid=(t, gh // merge, gw // merge),
                 )
-        return [
-            self._prefill_row(
-                tokenizer,
-                prompt,
-                [projected[(r, i)] for i in range(len(images))],
+        rows_in = []
+        for r, (prompt, images, _) in enumerate(requests):
+            plist = [projected[(r, i)] for i in range(len(images))]
+            grids = [p.original_grid for p in plist]
+            tokens, image_mask = self.build_prompt_tokens(tokenizer, prompt, grids)
+            rows_in.append((tokens, image_mask, plist))
+        buckets: Dict = {}
+        for i, (tokens, _, _) in enumerate(rows_in):
+            buckets.setdefault(_round_up(len(tokens), 128), []).append(i)
+        out: List = [None] * len(rows_in)
+        for idxs in buckets.values():
+            packets = self._prefill_rows([rows_in[i] for i in idxs])
+            for i, pkt in zip(idxs, packets):
+                out[i] = pkt
+        return out
+
+    def _prefill_rows_impl(
+        self, params, tokens, pos_ids, img_embeds, row_idx, tok_idx, cache,
+        true_lens, seq_len: int, has_images: bool = True,
+    ):
+        """Right-padded multi-row prefill (one batched pass per
+        same-s_pad admission wave; embed lookup + image scatter inside
+        the jit so the wave costs one dispatch). pos_ids [3, B, S] carry
+        each row's M-RoPE grid."""
+        embeds = params["decoder"]["embed_tokens"][tokens].astype(self.dtype_)
+        if has_images:
+            embeds = embeds.at[row_idx, tok_idx].set(
+                img_embeds.astype(self.dtype_)
             )
-            for r, (prompt, images, _) in enumerate(requests)
-        ]
+        logits, cache = ernie_forward(
+            params["decoder"], self.cfg, embeds, pos_ids, cache,
+            last_index=true_lens - 1, flash_prefill=self._flash_prefill,
+        )
+        return logits, cache
+
+    def _prefill_rows(self, rows):
+        """rows: [(tokens, image_mask, projected_list)] sharing one
+        s_pad bucket. Returns one join packet per row."""
+        if len(rows) == 1:
+            tokens, image_mask, projected = rows[0]
+            return [self._prefill_row_built(tokens, image_mask, projected)]
+        cfg = self.cfg
+        s_pad = _round_up(len(rows[0][0]), 128)
+        B_real = len(rows)
+        B = max(1, 1 << (B_real - 1).bit_length())
+        rows = rows + [rows[-1]] * (B - B_real)
+        tokens_padded = np.zeros((B, s_pad), np.int32)
+        pos_padded = np.ones((3, B, s_pad), np.int32)
+        deltas = []
+        row_idx_parts, tok_idx_parts, embed_parts = [], [], []
+        for r, (tokens, image_mask, projected) in enumerate(rows):
+            tokens_padded[r, : len(tokens)] = tokens
+            grids = [p.original_grid for p in projected]
+            pos_ids, delta = compute_position_ids(
+                cfg, np.asarray(tokens, np.int64), grids
+            )
+            pos_padded[:, r, : len(tokens)] = pos_ids
+            deltas.append(delta)
+            if projected:
+                pos = np.nonzero(np.asarray(image_mask, bool))[0]
+                row_idx_parts.append(np.full(pos.shape, r, np.int32))
+                tok_idx_parts.append(pos.astype(np.int32))
+                embed_parts.extend(p.embeddings for p in projected)
+        if embed_parts:
+            img_embeds = jnp.concatenate(embed_parts, axis=0)
+            row_idx = jnp.asarray(np.concatenate(row_idx_parts))
+            tok_idx = jnp.asarray(np.concatenate(tok_idx_parts))
+        else:
+            img_embeds = jnp.zeros((1, cfg.hidden_size), self.dtype_)
+            row_idx = jnp.zeros((1,), jnp.int32)
+            tok_idx = jnp.zeros((1,), jnp.int32)
+        true_lens = jnp.asarray([len(t) for t, _, _ in rows], jnp.int32)
+        cache = reset(new_cache(cfg, B, s_pad, self.dtype_))
+        if not hasattr(self, "_prefill_rows_jit"):
+            self._prefill_rows_jit = jax.jit(
+                self._prefill_rows_impl,
+                static_argnames=("seq_len", "has_images"),
+            )
+        logits, cache = self._prefill_rows_jit(
+            self.params, jnp.asarray(tokens_padded), jnp.asarray(pos_padded),
+            img_embeds, row_idx, tok_idx, cache, true_lens, seq_len=s_pad,
+            has_images=bool(embed_parts),
+        )
+        logits_host = np.asarray(logits, np.float32)
+        out = []
+        for i in range(B_real):
+            tokens = rows[i][0]
+            out.append(
+                dict(
+                    prompt_ids=tokens,
+                    row_k=jax.lax.slice_in_dim(cache.k, i, i + 1, axis=1),
+                    row_v=jax.lax.slice_in_dim(cache.v, i, i + 1, axis=1),
+                    logits=logits_host[i],
+                    pos0=len(tokens) + deltas[i],
+                )
+            )
+        return out
 
     def prefill_for_slot(self, tokenizer, prompt, images, vision):
         """Vision + prompt + single-row prefill for SlotRunner.join.
@@ -324,9 +413,13 @@ class PaddleOcrEngine:
         return self._prefill_row(tokenizer, prompt, projected)
 
     def _prefill_row(self, tokenizer, prompt, projected: List[ProjectedImage]):
-        cfg = self.cfg
         grids = [p.original_grid for p in projected]
         tokens, image_mask = self.build_prompt_tokens(tokenizer, prompt, grids)
+        return self._prefill_row_built(tokens, image_mask, projected)
+
+    def _prefill_row_built(self, tokens, image_mask, projected):
+        cfg = self.cfg
+        grids = [p.original_grid for p in projected]
         prompt_len = len(tokens)
         pos_ids, delta = compute_position_ids(
             cfg, np.asarray(tokens, np.int64), grids
