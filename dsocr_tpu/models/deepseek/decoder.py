@@ -198,42 +198,8 @@ def new_cache(
     )
 
 
-def _proj(x, w):
-    if isinstance(w, LayeredQ8):  # stacked packed-Q8 linear inside a scan
-        from ...ops.pallas.dequant_matmul import q8_matmul_layered_auto
-
-        lead = x.shape[:-1]
-        x2 = x.reshape(-1, x.shape[-1])
-        out = q8_matmul_layered_auto(x2, w.codes, w.scales, w.layer)
-        return out.reshape(*lead, out.shape[-1]).astype(x.dtype)
-    if isinstance(w, LayeredKQuant):  # stacked packed k-quant inside a scan
-        from ...ops.pallas.kquant_matmul import (
-            q4k_matmul_layered_auto,
-            q6k_matmul_layered_auto,
-        )
-
-        fn = q4k_matmul_layered_auto if w.method == "q4_k" else q6k_matmul_layered_auto
-        lead = x.shape[:-1]
-        x2 = x.reshape(-1, x.shape[-1])
-        out = fn(x2, w.arrays, w.layer)
-        return out.reshape(*lead, out.shape[-1]).astype(x.dtype)
-    if isinstance(w, dict):  # packed quant linear (models/deepseek/quantize.py)
-        method = quant_method(w)
-        lead = x.shape[:-1]
-        x2 = x.reshape(-1, x.shape[-1])
-        if method == "q8_0":
-            from ...ops.pallas.dequant_matmul import q8_matmul_auto
-
-            out = q8_matmul_auto(x2, w["codes"], w["scales"])
-        else:
-            from ...ops.pallas.kquant_matmul import q4k_matmul_auto, q6k_matmul_auto
-
-            fn = q4k_matmul_auto if method == "q4_k" else q6k_matmul_auto
-            out = fn(x2, w)
-        return out.reshape(*lead, out.shape[-1]).astype(x.dtype)
-    return jnp.einsum(
-        "...i,io->...o", x, w, preferred_element_type=jnp.float32
-    ).astype(x.dtype)
+# polymorphic float/packed-quant projection (shared across families)
+from ...ops.linear import project as _proj  # noqa: E402
 
 
 def _partial_rope(x: jnp.ndarray, cos, sin, rope_dim: int, use_mla: bool):
@@ -389,25 +355,8 @@ def deepseek_forward(
         x = (x.astype(jnp.float32) + attn.astype(jnp.float32)).astype(x.dtype)
         return x, k_all, v_all
 
-    def _split_quantized(group):
-        """Packed-Q8 stacks must not ride scan xs (XLA would materialize
-        a full per-layer copy feeding each Pallas call — measured 150 MB
-        per expert stack per decode step). They stay closure-captured and
-        the bodies wrap them in LayeredQ8 views indexed by the traced
-        layer id."""
-        q = {k: v for k, v in group.items() if isinstance(v, dict)}
-        xs = {k: v for k, v in group.items() if not isinstance(v, dict)}
-        return q, xs
-
-    def _with_quantized(layer_xs, qgroup, local_idx):
-        layer = dict(layer_xs)
-        for key, q in qgroup.items():
-            method = quant_method(q)
-            if method == "q8_0":
-                layer[key] = LayeredQ8(q["codes"], q["scales"], local_idx)
-            else:
-                layer[key] = LayeredKQuant(q, local_idx, method)
-        return layer
+    from ...ops.linear import split_quantized as _split_quantized
+    from ...ops.linear import with_quantized as _with_quantized
 
     dense_q, dense_xs = (
         _split_quantized(params["dense_layers"]) if num_dense else ({}, {})

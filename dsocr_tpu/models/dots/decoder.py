@@ -20,37 +20,101 @@ from ...runtime.kv_cache import KVCache, init_kv_cache
 from .config import DotsTextConfig
 
 
-def init_qwen2_params(cfg: DotsTextConfig, key: jax.Array, dtype=jnp.bfloat16) -> Dict:
-    keys = iter(jax.random.split(key, 12))
+def init_qwen2_params(
+    cfg: DotsTextConfig, key: jax.Array, dtype=jnp.bfloat16, host: bool = False
+) -> Dict:
+    """Random-init decoder tree. host=True builds f32 numpy arrays
+    (runtime quantization consumes host numpy; the engine casts during
+    the one-shot device upload — see the deepseek counterpart)."""
+    import numpy as np
+
     H, D = cfg.hidden_size, cfg.head_dim
     NH, NKV = cfg.num_attention_heads, cfg.num_key_value_heads
     I, L, V = cfg.intermediate_size, cfg.num_hidden_layers, cfg.vocab_size
 
-    def stack(k, shape, scale):
-        return (jax.random.normal(k, (L, *shape)) * scale).astype(dtype)
+    if host:
+        rng = np.random.default_rng(int(np.asarray(key).ravel()[-1]))
+        pool = rng.standard_normal(1 << 20, dtype=np.float32)
+
+        def normal(shape):
+            n = int(np.prod(shape, dtype=np.int64))
+            reps = -(-n // pool.size)
+            return np.tile(pool, reps)[:n].reshape(shape)
+
+        def ones(shape):
+            return np.ones(shape, np.float32)
+
+        def zeros(shape):
+            return np.zeros(shape, np.float32)
+
+        def cast(x):
+            return np.asarray(x, np.float32)
+    else:
+        keys = iter(jax.random.split(key, 12))
+
+        def normal(shape):
+            return jax.random.normal(next(keys), shape)
+
+        def ones(shape):
+            return jnp.ones(shape, dtype)
+
+        def zeros(shape):
+            return jnp.zeros(shape, dtype)
+
+        def cast(x):
+            return x.astype(dtype)
+
+    def stack(shape, scale):
+        return cast(normal((L, *shape)) * scale)
 
     params = {
-        "embed_tokens": (jax.random.normal(next(keys), (V, H)) * 0.02).astype(dtype),
-        "norm": jnp.ones((H,), dtype),
+        "embed_tokens": cast(normal((V, H)) * 0.02),
+        "norm": ones((H,)),
         "layers": {
-            "input_layernorm": jnp.ones((L, H), dtype),
-            "post_attention_layernorm": jnp.ones((L, H), dtype),
-            "q_proj": stack(next(keys), (H, NH * D), H**-0.5),
-            "k_proj": stack(next(keys), (H, NKV * D), H**-0.5),
-            "v_proj": stack(next(keys), (H, NKV * D), H**-0.5),
-            "o_proj": stack(next(keys), (NH * D, H), (NH * D) ** -0.5),
-            "gate_proj": stack(next(keys), (H, I), H**-0.5),
-            "up_proj": stack(next(keys), (H, I), H**-0.5),
-            "down_proj": stack(next(keys), (I, H), I**-0.5),
+            "input_layernorm": ones((L, H)),
+            "post_attention_layernorm": ones((L, H)),
+            "q_proj": stack((H, NH * D), H**-0.5),
+            "k_proj": stack((H, NKV * D), H**-0.5),
+            "v_proj": stack((H, NKV * D), H**-0.5),
+            "o_proj": stack((NH * D, H), (NH * D) ** -0.5),
+            "gate_proj": stack((H, I), H**-0.5),
+            "up_proj": stack((H, I), H**-0.5),
+            "down_proj": stack((I, H), I**-0.5),
         },
     }
     if cfg.attention_bias:
-        params["layers"]["q_bias"] = jnp.zeros((L, NH * D), dtype)
-        params["layers"]["k_bias"] = jnp.zeros((L, NKV * D), dtype)
-        params["layers"]["v_bias"] = jnp.zeros((L, NKV * D), dtype)
+        params["layers"]["q_bias"] = zeros((L, NH * D))
+        params["layers"]["k_bias"] = zeros((L, NKV * D))
+        params["layers"]["v_bias"] = zeros((L, NKV * D))
     if not cfg.tie_word_embeddings:
-        params["lm_head"] = (jax.random.normal(next(keys), (H, V)) * 0.02).astype(dtype)
+        params["lm_head"] = cast(normal((H, V)) * 0.02)
     return params
+
+
+def fuse_qwen2_params(params: Dict) -> Dict:
+    """Concat column-independent projections along their output dims
+    (q/k/v → qkv_proj + qkv_bias, gate/up → gateup_proj) — bit-identical
+    math, halves the decode projection count."""
+    import numpy as np
+
+    def fuse(group, keys, new_key):
+        if all(k in group for k in keys):
+            parts = [group.pop(k) for k in keys]
+            cat = (
+                np.concatenate
+                if all(isinstance(p, np.ndarray) for p in parts)
+                else jnp.concatenate
+            )
+            group[new_key] = cat(parts, axis=-1)
+        return group
+
+    out = dict(params)
+    grp = dict(out["layers"])
+    grp = fuse(grp, ("q_proj", "k_proj", "v_proj"), "qkv_proj")
+    grp = fuse(grp, ("q_bias", "k_bias", "v_bias"), "qkv_bias")
+    grp = fuse(grp, ("gate_proj", "up_proj"), "gateup_proj")
+    out["layers"] = grp
+    return out
 
 
 def new_cache(cfg: DotsTextConfig, batch: int, max_len: int, dtype=jnp.bfloat16) -> KVCache:
@@ -64,11 +128,8 @@ def build_qwen2_rope(cfg: DotsTextConfig, max_len: int):
     return build_rope_tables(max_len, cfg.head_dim, cfg.rope_theta)
 
 
-def _proj(x, w, b=None):
-    out = jnp.einsum("...i,io->...o", x, w, preferred_element_type=jnp.float32)
-    if b is not None:
-        out = out + b.astype(jnp.float32)
-    return out.astype(x.dtype)
+# polymorphic float/packed-quant projection (shared across families)
+from ...ops.linear import project as _proj  # noqa: E402
 
 
 def qwen2_forward(
@@ -106,23 +167,26 @@ def qwen2_forward(
             _kv_pos = jnp.arange(S_max, dtype=jnp.int32)
             mask = mask & (_kv_pos[None, None, None, :] >= pad_start[:, None, None, None])
     scale = 1.0 / (D**0.5)
-    lp = params["layers"]
-    has_bias = "q_bias" in lp
+    from ...ops.linear import split_quantized, with_quantized
+
+    lq, lp = split_quantized(params["layers"])
     zero = jnp.int32(0)
 
     def body(carry, xs):
         x, k_all, v_all = carry
-        layer, li = xs
+        layer_xs, li = xs
+        layer = with_quantized(layer_xs, lq, li)
         normed = rms_norm(x, layer["input_layernorm"], cfg.rms_norm_eps)
-        q = _proj(normed, layer["q_proj"], layer.get("q_bias")).reshape(
-            B, S, NH, D
-        ).transpose(0, 2, 1, 3)
-        k = _proj(normed, layer["k_proj"], layer.get("k_bias")).reshape(
-            B, S, NKV, D
-        ).transpose(0, 2, 1, 3)
-        v = _proj(normed, layer["v_proj"], layer.get("v_bias")).reshape(
-            B, S, NKV, D
-        ).transpose(0, 2, 1, 3)
+        if "qkv_proj" in layer:
+            qkv = _proj(normed, layer["qkv_proj"], layer.get("qkv_bias"))
+            q, k, v = jnp.split(qkv, [NH * D, NH * D + NKV * D], axis=-1)
+        else:
+            q = _proj(normed, layer["q_proj"], layer.get("q_bias"))
+            k = _proj(normed, layer["k_proj"], layer.get("k_bias"))
+            v = _proj(normed, layer["v_proj"], layer.get("v_bias"))
+        q = q.reshape(B, S, NH, D).transpose(0, 2, 1, 3)
+        k = k.reshape(B, S, NKV, D).transpose(0, 2, 1, 3)
+        v = v.reshape(B, S, NKV, D).transpose(0, 2, 1, 3)
         q = apply_rope(q, cos, sin)
         k = apply_rope(k, cos, sin)
         if row_lengths is not None:
@@ -155,8 +219,12 @@ def qwen2_forward(
         x = (x.astype(jnp.float32) + _proj(attn, layer["o_proj"]).astype(jnp.float32)).astype(x.dtype)
 
         normed = rms_norm(x, layer["post_attention_layernorm"], cfg.rms_norm_eps)
-        gate = _proj(normed, layer["gate_proj"]).astype(jnp.float32)
-        up = _proj(normed, layer["up_proj"]).astype(jnp.float32)
+        if "gateup_proj" in layer:
+            gu = _proj(normed, layer["gateup_proj"]).astype(jnp.float32)
+            gate, up = jnp.split(gu, 2, axis=-1)
+        else:
+            gate = _proj(normed, layer["gate_proj"]).astype(jnp.float32)
+            up = _proj(normed, layer["up_proj"]).astype(jnp.float32)
         mlp = _proj((jax.nn.silu(gate) * up).astype(x.dtype), layer["down_proj"])
         x = (x.astype(jnp.float32) + mlp.astype(jnp.float32)).astype(x.dtype)
         return (x, k_all, v_all), None
@@ -170,6 +238,8 @@ def qwen2_forward(
     if head is None:
         head = params["embed_tokens"].T
     if full_logits:
+        if isinstance(head, dict):  # packed-quant lm_head
+            return _proj(x.astype(jnp.float32), head).astype(jnp.float32), cache
         return (
             jnp.einsum("bsh,hv->bsv", x, head, preferred_element_type=jnp.float32)
             .astype(jnp.float32),
@@ -179,5 +249,7 @@ def qwen2_forward(
         x_last = x[:, -1]
     else:
         x_last = jnp.take_along_axis(x, last_index[:, None, None], axis=1)[:, 0]
+    if isinstance(head, dict):  # packed-quant lm_head
+        return _proj(x_last.astype(jnp.float32), head).astype(jnp.float32), cache
     logits = jnp.einsum("bh,hv->bv", x_last, head, preferred_element_type=jnp.float32)
     return logits.astype(jnp.float32), cache

@@ -118,6 +118,33 @@ def load_qwen2_params(reader, cfg: DotsConfig, dtype=jnp.bfloat16) -> Dict:
     return params
 
 
+def collect_raw_quant(reader, cfg: DotsConfig) -> Dict:
+    """Raw ggml payloads for the decoder's quantization-eligible linears
+    (the reference's dots adapter scope), keyed (group, key) →
+    {"method", "layers": [payload per layer]} — packed directly by
+    quantize_qwen2_params for published-snapshot parity."""
+    from ...dsq.serve_quant import collect_raw_plain
+
+    L = cfg.text.num_hidden_layers
+    raw: Dict = {}
+    base = "model.layers.{i}."
+    for key, suffix in (
+        ("q_proj", "self_attn.q_proj"),
+        ("k_proj", "self_attn.k_proj"),
+        ("v_proj", "self_attn.v_proj"),
+        ("o_proj", "self_attn.o_proj"),
+        ("gate_proj", "mlp.gate_proj"),
+        ("up_proj", "mlp.up_proj"),
+        ("down_proj", "mlp.down_proj"),
+    ):
+        collect_raw_plain(
+            reader, raw, "layers", key,
+            [(base + suffix).format(i=i) for i in range(L)],
+        )
+    collect_raw_plain(reader, raw, "", "lm_head", ["lm_head"])
+    return raw
+
+
 def load_dots_params(
     weights_path: pathlib.Path,
     cfg: DotsConfig,
@@ -128,7 +155,12 @@ def load_dots_params(
     from ...dsq.runtime import WeightSource
 
     reader = WeightSource.open(weights_path, snapshot_path)
-    return {
+    params = {
         "vision": load_dots_vision_params(reader, cfg, vision_dtype),
         "decoder": load_qwen2_params(reader, cfg, dtype),
     }
+    if snapshot_path is not None:
+        raw = collect_raw_quant(reader, cfg)
+        if raw:
+            params["decoder"]["__raw_quant__"] = raw
+    return params

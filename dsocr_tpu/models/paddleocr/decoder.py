@@ -28,8 +28,12 @@ from .config import PaddleConfig
 # -- parameters -----------------------------------------------------------------
 
 
-def init_ernie_params(cfg: PaddleConfig, key: jax.Array, dtype=jnp.bfloat16) -> Dict:
-    keys = iter(jax.random.split(key, 10))
+def init_ernie_params(
+    cfg: PaddleConfig, key: jax.Array, dtype=jnp.bfloat16, host: bool = False
+) -> Dict:
+    """Random-init decoder tree. host=True builds f32 numpy arrays
+    (runtime quantization consumes host numpy; the engine casts during
+    the one-shot device upload — see the deepseek counterpart)."""
     H = cfg.hidden_size
     D = cfg.head_dim
     NH = cfg.num_attention_heads
@@ -38,27 +42,77 @@ def init_ernie_params(cfg: PaddleConfig, key: jax.Array, dtype=jnp.bfloat16) -> 
     L = cfg.num_hidden_layers
     V = cfg.vocab_size
 
-    def stack(k, shape, scale):
-        return (jax.random.normal(k, (L, *shape)) * scale).astype(dtype)
+    if host:
+        rng = np.random.default_rng(int(np.asarray(key).ravel()[-1]))
+        pool = rng.standard_normal(1 << 20, dtype=np.float32)
+
+        def normal(shape):
+            n = int(np.prod(shape, dtype=np.int64))
+            reps = -(-n // pool.size)
+            return np.tile(pool, reps)[:n].reshape(shape)
+
+        def ones(shape):
+            return np.ones(shape, np.float32)
+
+        def cast(x):
+            return np.asarray(x, np.float32)
+    else:
+        keys = iter(jax.random.split(key, 10))
+
+        def normal(shape):
+            return jax.random.normal(next(keys), shape)
+
+        def ones(shape):
+            return jnp.ones(shape, dtype)
+
+        def cast(x):
+            return x.astype(dtype)
+
+    def stack(shape, scale):
+        return cast(normal((L, *shape)) * scale)
 
     params = {
-        "embed_tokens": (jax.random.normal(next(keys), (V, H)) * 0.02).astype(dtype),
+        "embed_tokens": cast(normal((V, H)) * 0.02),
         "layers": {
-            "input_layernorm": jnp.ones((L, H), dtype),
-            "post_attention_layernorm": jnp.ones((L, H), dtype),
-            "q_proj": stack(next(keys), (H, NH * D), H**-0.5),
-            "k_proj": stack(next(keys), (H, NKV * D), H**-0.5),
-            "v_proj": stack(next(keys), (H, NKV * D), H**-0.5),
-            "o_proj": stack(next(keys), (NH * D, H), (NH * D) ** -0.5),
-            "gate_proj": stack(next(keys), (H, I), H**-0.5),
-            "up_proj": stack(next(keys), (H, I), H**-0.5),
-            "down_proj": stack(next(keys), (I, H), I**-0.5),
+            "input_layernorm": ones((L, H)),
+            "post_attention_layernorm": ones((L, H)),
+            "q_proj": stack((H, NH * D), H**-0.5),
+            "k_proj": stack((H, NKV * D), H**-0.5),
+            "v_proj": stack((H, NKV * D), H**-0.5),
+            "o_proj": stack((NH * D, H), (NH * D) ** -0.5),
+            "gate_proj": stack((H, I), H**-0.5),
+            "up_proj": stack((H, I), H**-0.5),
+            "down_proj": stack((I, H), I**-0.5),
         },
-        "norm": jnp.ones((H,), dtype),
+        "norm": ones((H,)),
     }
     if not cfg.tie_word_embeddings:
-        params["lm_head"] = (jax.random.normal(next(keys), (H, V)) * 0.02).astype(dtype)
+        params["lm_head"] = cast(normal((H, V)) * 0.02)
     return params
+
+
+def fuse_ernie_params(params: Dict) -> Dict:
+    """Concat column-independent projections along their output dims
+    (q/k/v → qkv_proj, gate/up → gateup_proj) — bit-identical math,
+    halves the decode projection count (see deepseek fuse_decoder_params)."""
+
+    def fuse(group, keys, new_key):
+        if all(k in group for k in keys):
+            parts = [group.pop(k) for k in keys]
+            cat = (
+                np.concatenate
+                if all(isinstance(p, np.ndarray) for p in parts)
+                else jnp.concatenate
+            )
+            group[new_key] = cat(parts, axis=-1)
+        return group
+
+    out = dict(params)
+    grp = dict(out["layers"])
+    grp = fuse(grp, ("q_proj", "k_proj", "v_proj"), "qkv_proj")
+    grp = fuse(grp, ("gate_proj", "up_proj"), "gateup_proj")
+    out["layers"] = grp
+    return out
 
 
 def new_cache(cfg: PaddleConfig, batch: int, max_len: int, dtype=jnp.bfloat16) -> KVCache:
@@ -160,17 +214,27 @@ def ernie_forward(
             )
     scale = 1.0 / (D**0.5)
 
-    lp = params["layers"]
+    from ...ops.linear import split_quantized, with_quantized
+
+    lq, lp = split_quantized(params["layers"])
 
     zero = jnp.int32(0)
 
     def body(carry, xs):
         x, k_all, v_all = carry
-        layer, li = xs
+        layer_xs, li = xs
+        layer = with_quantized(layer_xs, lq, li)
         normed = rms_norm(x, layer["input_layernorm"], cfg.rms_norm_eps)
-        q = _proj(normed, layer["q_proj"]).reshape(B, S, NH, D).transpose(0, 2, 1, 3)
-        k = _proj(normed, layer["k_proj"]).reshape(B, S, NKV, D).transpose(0, 2, 1, 3)
-        v = _proj(normed, layer["v_proj"]).reshape(B, S, NKV, D).transpose(0, 2, 1, 3)
+        if "qkv_proj" in layer:
+            qkv = _proj(normed, layer["qkv_proj"])
+            q, k, v = jnp.split(qkv, [NH * D, NH * D + NKV * D], axis=-1)
+        else:
+            q = _proj(normed, layer["q_proj"])
+            k = _proj(normed, layer["k_proj"])
+            v = _proj(normed, layer["v_proj"])
+        q = q.reshape(B, S, NH, D).transpose(0, 2, 1, 3)
+        k = k.reshape(B, S, NKV, D).transpose(0, 2, 1, 3)
+        v = v.reshape(B, S, NKV, D).transpose(0, 2, 1, 3)
         q = _apply_mrope(q, cos, sin)
         k = _apply_mrope(k, cos, sin)
 
@@ -208,8 +272,12 @@ def ernie_forward(
         x = (x.astype(jnp.float32) + attn.astype(jnp.float32)).astype(x.dtype)
 
         normed = rms_norm(x, layer["post_attention_layernorm"], cfg.rms_norm_eps)
-        gate = _proj(normed, layer["gate_proj"]).astype(jnp.float32)
-        up = _proj(normed, layer["up_proj"]).astype(jnp.float32)
+        if "gateup_proj" in layer:
+            gu = _proj(normed, layer["gateup_proj"]).astype(jnp.float32)
+            gate, up = jnp.split(gu, 2, axis=-1)
+        else:
+            gate = _proj(normed, layer["gate_proj"]).astype(jnp.float32)
+            up = _proj(normed, layer["up_proj"]).astype(jnp.float32)
         mlp = _proj((jax.nn.silu(gate) * up).astype(x.dtype), layer["down_proj"])
         x = (x.astype(jnp.float32) + mlp.astype(jnp.float32)).astype(x.dtype)
         return (x, k_all, v_all), None
@@ -223,6 +291,8 @@ def ernie_forward(
     if head is None:
         head = params["embed_tokens"].T  # tied
     if full_logits:
+        if isinstance(head, dict):  # packed-quant lm_head
+            return _proj(x.astype(jnp.float32), head).astype(jnp.float32), cache
         logits = jnp.einsum(
             "bsh,hv->bsv", x, head, preferred_element_type=jnp.float32
         )
@@ -231,14 +301,21 @@ def ernie_forward(
         x_last = x[:, -1]
     else:
         x_last = jnp.take_along_axis(x, last_index[:, None, None], axis=1)[:, 0]
-    logits = jnp.einsum("bh,hv->bv", x_last, head, preferred_element_type=jnp.float32)
-    return logits.astype(jnp.float32), cache
+    logits = _head_logits(x_last, head)
+    return logits, cache
 
 
-def _proj(x, w):
+def _head_logits(x_last, head):
+    """[B, H] @ lm_head → [B, V] f32 (packed-quant or float head)."""
+    if isinstance(head, dict):
+        return _proj(x_last.astype(jnp.float32), head).astype(jnp.float32)
     return jnp.einsum(
-        "...i,io->...o", x, w, preferred_element_type=jnp.float32
-    ).astype(x.dtype)
+        "bh,hv->bv", x_last, head, preferred_element_type=jnp.float32
+    ).astype(jnp.float32)
+
+
+# polymorphic float/packed-quant projection (shared across families)
+from ...ops.linear import project as _proj  # noqa: E402
 
 
 # -- host-side position ids (M-RoPE) ---------------------------------------------

@@ -58,12 +58,16 @@ class PaddleOcrEngine:
         dtype=jnp.bfloat16,
         max_seq_len: int = 4096,
         seed: int = 0,
+        quantize: Optional[str] = None,
     ):
         self.cfg = cfg
         self.dtype_ = dtype
-        self.max_seq_len = max_seq_len
         import os as _os
 
+        if quantize is None:
+            quantize = _os.environ.get("DSOCR_QUANT") or None
+        self.quantize_ = quantize
+        self.max_seq_len = max_seq_len
         self._flash_prefill = _os.environ.get("DSOCR_FLASH_PREFILL", "1") != "0"
         if params is None:
             key = jax.random.PRNGKey(seed)
@@ -71,8 +75,37 @@ class PaddleOcrEngine:
             params = {
                 "vision": init_siglip_params(cfg.vision_config, kv, dtype),
                 "projector": init_projector_params(cfg, kp, dtype),
-                "decoder": init_ernie_params(cfg, kd, dtype),
+                # quantize consumes host numpy (see deepseek engine)
+                "decoder": init_ernie_params(cfg, kd, dtype, host=bool(quantize)),
             }
+        # snapshot raw-payload table (loader.collect_raw_quant): lets
+        # quantized serving pack the PUBLISHED ggml codes directly
+        raw_quant = None
+        if isinstance(params.get("decoder"), dict):
+            params = dict(params)
+            params["decoder"] = dict(params["decoder"])
+            raw_quant = params["decoder"].pop("__raw_quant__", None)
+        from .decoder import fuse_ernie_params
+
+        params["decoder"] = fuse_ernie_params(params["decoder"])
+        if quantize:
+            from .quantize import quantize_ernie_params
+
+            quantized = quantize_ernie_params(
+                params["decoder"], quantize, raw=raw_quant
+            )
+
+            def _upload(x):
+                # host-init leaves that stayed float (norms, embeddings)
+                # cast to the serving dtype during upload; packed planes
+                # are already device arrays.
+                if isinstance(x, np.ndarray) and np.issubdtype(
+                    x.dtype, np.floating
+                ):
+                    return jnp.asarray(x, dtype)
+                return jnp.asarray(x)
+
+            params["decoder"] = jax.tree_util.tree_map(_upload, quantized)
         self.params = params
         self._generator_cache = {}
         self._prefill_jit = jax.jit(

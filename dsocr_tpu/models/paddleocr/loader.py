@@ -117,6 +117,33 @@ def load_ernie_params(reader: CheckpointReader, cfg: PaddleConfig, dtype=jnp.bfl
     return params
 
 
+def collect_raw_quant(reader, cfg: PaddleConfig) -> Dict:
+    """Raw ggml payloads for the decoder's quantization-eligible linears
+    (the reference's paddleocr-vl adapter scope), keyed (group, key) →
+    {"method", "layers": [payload per layer]} — packed directly by
+    quantize_ernie_params for published-snapshot parity."""
+    from ...dsq.serve_quant import collect_raw_plain
+
+    L = cfg.num_hidden_layers
+    raw: Dict = {}
+    base = "model.layers.{i}."
+    for key, suffix in (
+        ("q_proj", "self_attn.q_proj"),
+        ("k_proj", "self_attn.k_proj"),
+        ("v_proj", "self_attn.v_proj"),
+        ("o_proj", "self_attn.o_proj"),
+        ("gate_proj", "mlp.gate_proj"),
+        ("up_proj", "mlp.up_proj"),
+        ("down_proj", "mlp.down_proj"),
+    ):
+        collect_raw_plain(
+            reader, raw, "layers", key,
+            [(base + suffix).format(i=i) for i in range(L)],
+        )
+    collect_raw_plain(reader, raw, "", "lm_head", ["lm_head"])
+    return raw
+
+
 def load_paddle_params(
     weights_path: pathlib.Path,
     cfg: PaddleConfig,
@@ -127,8 +154,13 @@ def load_paddle_params(
     from ...dsq.runtime import WeightSource
 
     reader = WeightSource.open(weights_path, snapshot_path)
-    return {
+    params = {
         "vision": load_siglip_params(reader, cfg, vision_dtype),
         "projector": load_projector_params(reader, cfg, dtype),
         "decoder": load_ernie_params(reader, cfg, dtype),
     }
+    if snapshot_path is not None:
+        raw = collect_raw_quant(reader, cfg)
+        if raw:
+            params["decoder"]["__raw_quant__"] = raw
+    return params

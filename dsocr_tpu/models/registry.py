@@ -56,6 +56,26 @@ def parse_mesh_spec(spec: Optional[str]):
     return make_mesh(dp * mp, dp=dp), ep
 
 
+def _snapshot_quant_method(snapshot_path) -> Optional[str]:
+    """DSQ snapshot default dtype → runtime quantize method. Quantized
+    snapshots serve PACKED at matmul time (the reference's QMatMul path,
+    dsq-runtime/src/lib.rs:316-369): Q8_0 via ops/pallas/dequant_matmul
+    (requantize of the dequantized payload is bit-exact, tested),
+    Q4_K/Q6_K via the plane-decomposed ops/pallas/kquant_matmul kernels
+    fed the snapshot's published payload bytes."""
+    if not snapshot_path:
+        return None
+    from ..dsq.format import DsqReader
+
+    reader = DsqReader(pathlib.Path(snapshot_path))
+    try:
+        return {
+            "Q8_0": "q8_0", "Q4_K": "q4_k", "Q6_K": "q6_k"
+        }.get(reader.header.default_qdtype)
+    finally:
+        reader.close()
+
+
 def load_engine(
     kind: ModelKind,
     config_path: Optional[pathlib.Path] = None,
@@ -80,21 +100,7 @@ def load_engine(
             if config_path
             else DeepseekOcrConfig()
         )
-        if quantize is None and snapshot_path:
-            # Quantized snapshots serve PACKED at matmul time (the
-            # reference's QMatMul path, dsq-runtime/src/lib.rs:316-369):
-            # Q8_0 via ops/pallas/dequant_matmul (requantize of the
-            # dequantized payload is bit-exact, tested), Q4_K/Q6_K via
-            # the plane-decomposed ops/pallas/kquant_matmul kernels.
-            from ..dsq.format import DsqReader
-
-            reader = DsqReader(pathlib.Path(snapshot_path))
-            try:
-                quantize = {
-                    "Q8_0": "q8_0", "Q4_K": "q4_k", "Q6_K": "q6_k"
-                }.get(reader.header.default_qdtype)
-            finally:
-                reader.close()
+        quantize = quantize or _snapshot_quant_method(snapshot_path)
         params = None
         if weights_path:
             params = load_deepseek_params(
@@ -109,28 +115,41 @@ def load_engine(
             quantize=quantize,
             ep=ep,
         )
+    if kind is not ModelKind.DEEPSEEK and mesh is not None:
+        raise NotImplementedError(
+            "mesh sharding is deepseek-only today (the serving-throughput "
+            "path); paddle/dots engines run single-chip"
+        )
     if kind is ModelKind.PADDLE_OCR_VL:
         from .paddleocr import PaddleConfig, PaddleOcrEngine
         from .paddleocr.loader import load_paddle_params
 
         cfg = PaddleConfig.from_json(config_path) if config_path else PaddleConfig()
+        quantize = quantize or _snapshot_quant_method(snapshot_path)
         params = None
         if weights_path:
             params = load_paddle_params(
                 weights_path, cfg, dtype=jdtype, snapshot_path=snapshot_path
             )
-        return PaddleOcrEngine(cfg, params=params, dtype=jdtype, max_seq_len=max_seq_len)
+        return PaddleOcrEngine(
+            cfg, params=params, dtype=jdtype, max_seq_len=max_seq_len,
+            quantize=quantize,
+        )
     if kind is ModelKind.DOTS_OCR:
         from .dots import DotsConfig, DotsOcrEngine
         from .dots.loader import load_dots_params
 
         cfg = DotsConfig.from_json(config_path) if config_path else DotsConfig()
+        quantize = quantize or _snapshot_quant_method(snapshot_path)
         params = None
         if weights_path:
             params = load_dots_params(
                 weights_path, cfg, dtype=jdtype, snapshot_path=snapshot_path
             )
-        return DotsOcrEngine(cfg, params=params, dtype=jdtype, max_seq_len=max_seq_len)
+        return DotsOcrEngine(
+            cfg, params=params, dtype=jdtype, max_seq_len=max_seq_len,
+            quantize=quantize,
+        )
     if kind is ModelKind.GLM_OCR:
         from .glm import GlmConfig, GlmOcrEngine
         from .glm.loader import load_glm_params

@@ -33,9 +33,12 @@ def _load() -> Optional[ctypes.CDLL]:
             build_dir = _build_dir()
             build_dir.mkdir(parents=True, exist_ok=True)
             lib_path = build_dir / "libdsocr_quant.so"
-            if (
-                not lib_path.exists()
-                or lib_path.stat().st_mtime < _SOURCE.stat().st_mtime
+            # a prebuilt library without the .cpp source (wheel/container
+            # installs) is valid — only rebuild when the source is present
+            # and newer
+            if not lib_path.exists() or (
+                _SOURCE.exists()
+                and lib_path.stat().st_mtime < _SOURCE.stat().st_mtime
             ):
                 subprocess.run(
                     [

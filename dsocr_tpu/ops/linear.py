@@ -1,0 +1,89 @@
+"""Polymorphic linear projection over float or packed-quant weights.
+
+Every decoder family projects with the same dispatch: a plain float
+matrix, a packed quant dict (models/*/quantize.py layouts), or — inside
+a `lax.scan` over stacked layers — a Layered* view whose layer index
+rides scalar prefetch into the Pallas kernels (never feed a lax
+dynamic-slice of a weight stack into a Pallas call: XLA materializes a
+full copy of the slice per call).
+
+Reference analogue: candle QMatMul vs Linear dispatch per linear
+(dsq-runtime/src/lib.rs:316-369, infer-*/quant glue).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Tuple
+
+import jax.numpy as jnp
+
+from .moe import LayeredKQuant, LayeredQ8, quant_method
+
+QUANT_TYPES = (dict, LayeredQ8, LayeredKQuant)
+
+
+def project(x, w, bias=None):
+    """x [.., in] @ w → [.., out] in x.dtype (f32 accumulation)."""
+    if isinstance(w, LayeredQ8):  # stacked packed-Q8 linear inside a scan
+        from .pallas.dequant_matmul import q8_matmul_layered_auto
+
+        lead = x.shape[:-1]
+        x2 = x.reshape(-1, x.shape[-1])
+        out = q8_matmul_layered_auto(x2, w.codes, w.scales, w.layer)
+        out = out.reshape(*lead, out.shape[-1]).astype(x.dtype)
+    elif isinstance(w, LayeredKQuant):  # stacked packed k-quant inside a scan
+        from .pallas.kquant_matmul import (
+            q4k_matmul_layered_auto,
+            q6k_matmul_layered_auto,
+        )
+
+        fn = q4k_matmul_layered_auto if w.method == "q4_k" else q6k_matmul_layered_auto
+        lead = x.shape[:-1]
+        x2 = x.reshape(-1, x.shape[-1])
+        out = fn(x2, w.arrays, w.layer)
+        out = out.reshape(*lead, out.shape[-1]).astype(x.dtype)
+    elif isinstance(w, dict):  # packed quant linear (dsq/serve_quant.py)
+        method = quant_method(w)
+        lead = x.shape[:-1]
+        x2 = x.reshape(-1, x.shape[-1])
+        if method == "q8_0":
+            from .pallas.dequant_matmul import q8_matmul_auto
+
+            out = q8_matmul_auto(x2, w["codes"], w["scales"])
+        else:
+            from .pallas.kquant_matmul import q4k_matmul_auto, q6k_matmul_auto
+
+            fn = q4k_matmul_auto if method == "q4_k" else q6k_matmul_auto
+            out = fn(x2, w)
+        out = out.reshape(*lead, out.shape[-1]).astype(x.dtype)
+    else:
+        out = jnp.einsum(
+            "...i,io->...o", x, w, preferred_element_type=jnp.float32
+        ).astype(x.dtype)
+    if bias is not None:
+        out = (out.astype(jnp.float32) + bias.astype(jnp.float32)).astype(
+            out.dtype
+        )
+    return out
+
+
+def split_quantized(group: Dict) -> Tuple[Dict, Dict]:
+    """Packed quant stacks must not ride scan xs (XLA would materialize
+    a full per-layer copy feeding each Pallas call — measured 150 MB per
+    expert stack per decode step). They stay closure-captured and the
+    scan bodies wrap them in Layered* views indexed by the traced layer
+    id (`with_quantized`)."""
+    q = {k: v for k, v in group.items() if isinstance(v, dict)}
+    xs = {k: v for k, v in group.items() if not isinstance(v, dict)}
+    return q, xs
+
+
+def with_quantized(layer_xs: Dict, qgroup: Dict, local_idx) -> Dict:
+    layer = dict(layer_xs)
+    for key, q in qgroup.items():
+        method = quant_method(q)
+        if method == "q8_0":
+            layer[key] = LayeredQ8(q["codes"], q["scales"], local_idx)
+        else:
+            layer[key] = LayeredKQuant(q, local_idx, method)
+    return layer

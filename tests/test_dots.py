@@ -196,6 +196,72 @@ def make_dots_checkpoint(path, cfg=None):
     return tensors
 
 
+def test_fused_and_quantized_forward_track_float():
+    """Engine-init fusion (qkv/gateup concat) is bit-identical math and
+    Q8 packed projections (ops/linear.project) must track the float
+    forward within quantization error (ref QMatMul path for the dots
+    adapter, dsq-models/src/adapters)."""
+    import dataclasses
+
+    from dsocr_tpu.models.dots.decoder import fuse_qwen2_params
+    from dsocr_tpu.models.dots.quantize import quantize_qwen2_params
+
+    # hidden 64 so every linear is Q8-block-eligible (contraction % 32)
+    t = dataclasses.replace(CFG.text, hidden_size=64, intermediate_size=96)
+    params = init_qwen2_params(t, jax.random.PRNGKey(6), jnp.float32)
+    rope = build_qwen2_rope(t, 16)
+    S = 4
+    tokens = jax.random.randint(jax.random.PRNGKey(7), (S,), 0, t.vocab_size)
+    embeds = params["embed_tokens"][tokens][None].astype(jnp.float32)
+    pos = jnp.arange(S, dtype=jnp.int32)[None]
+
+    cache = reset(new_cache(t, 1, 16, jnp.float32))
+    base, _ = qwen2_forward(params, t, embeds, pos, cache, rope, full_logits=True)
+
+    host = jax.tree_util.tree_map(lambda x: np.asarray(x), params)
+    fused = fuse_qwen2_params(host)
+    fused_d = jax.tree_util.tree_map(jnp.asarray, fused)
+    assert "qkv_proj" in fused_d["layers"] and "qkv_bias" in fused_d["layers"]
+    out_f, _ = qwen2_forward(fused_d, t, embeds, pos, cache, rope, full_logits=True)
+    np.testing.assert_allclose(
+        np.asarray(out_f), np.asarray(base), rtol=5e-4, atol=5e-4
+    )
+
+    qp = quantize_qwen2_params(fused, "q8_0")
+    qp = jax.tree_util.tree_map(jnp.asarray, qp)
+    assert isinstance(qp["layers"]["qkv_proj"], dict)
+    assert isinstance(qp["lm_head"], dict)
+    out_q, _ = qwen2_forward(qp, t, embeds, pos, cache, rope, full_logits=True)
+    np.testing.assert_allclose(
+        np.asarray(out_q), np.asarray(base), rtol=5e-2, atol=5e-2
+    )
+
+
+def test_quantized_engine_decodes():
+    """DSOCR_QUANT/registry `quantize=` wiring: a Q8 dots engine decodes
+    end-to-end through the packed projections."""
+    import dataclasses
+
+    cfg = dataclasses.replace(
+        CFG,
+        vision=dataclasses.replace(CFG.vision, hidden_size=64),
+        text=dataclasses.replace(CFG.text, hidden_size=64, intermediate_size=96),
+    )
+    engine = DotsOcrEngine(
+        cfg, dtype=jnp.float32, max_seq_len=256, quantize="q8_0"
+    )
+    assert isinstance(engine.params["decoder"]["layers"]["qkv_proj"], dict)
+    engine.prep_overrides = {"min_pixels": 1, "max_pixels": 28 * 28}
+    out = engine.decode(
+        FakeTokenizer(),
+        "<image>",
+        [np.zeros((28, 28, 3), np.uint8)],
+        VisionSettings(28, 28, False),
+        DecodeParameters(max_new_tokens=3, no_repeat_ngram_size=None),
+    )
+    assert out.response_tokens > 0
+
+
 def test_dots_loader_roundtrip(tmp_path):
     from dsocr_tpu.models.dots.loader import load_dots_params
 

@@ -136,6 +136,41 @@ def test_prefill_then_decode_matches_full_forward():
         )
 
 
+def test_fused_and_quantized_forward_track_float():
+    """Engine-init fusion (qkv/gateup concat) is bit-identical math and
+    Q8 packed projections (ops/linear.project) must track the float
+    forward within quantization error (ref QMatMul path for the
+    paddleocr-vl adapter, dsq-models/src/adapters)."""
+    from dsocr_tpu.models.paddleocr.decoder import fuse_ernie_params
+    from dsocr_tpu.models.paddleocr.quantize import quantize_ernie_params
+
+    params = init_ernie_params(CFG, jax.random.PRNGKey(9), jnp.float32)
+    S = 4
+    tokens = jax.random.randint(jax.random.PRNGKey(10), (S,), 0, CFG.vocab_size)
+    embeds = params["embed_tokens"][tokens][None].astype(jnp.float32)
+    pos = jnp.tile(jnp.arange(S, dtype=jnp.int32)[None, None], (3, 1, 1))
+
+    cache = reset(new_cache(CFG, 1, 16, jnp.float32))
+    base, _ = ernie_forward(params, CFG, embeds, pos, cache, full_logits=True)
+
+    host = jax.tree_util.tree_map(lambda x: np.asarray(x), params)
+    fused = fuse_ernie_params(host)
+    fused_d = jax.tree_util.tree_map(jnp.asarray, fused)
+    assert "qkv_proj" in fused_d["layers"] and "gateup_proj" in fused_d["layers"]
+    out_f, _ = ernie_forward(fused_d, CFG, embeds, pos, cache, full_logits=True)
+    np.testing.assert_allclose(
+        np.asarray(out_f), np.asarray(base), rtol=5e-4, atol=5e-4
+    )
+
+    qp = quantize_ernie_params(fused, "q8_0")
+    qp = jax.tree_util.tree_map(jnp.asarray, qp)
+    assert isinstance(qp["layers"]["qkv_proj"], dict)
+    out_q, _ = ernie_forward(qp, CFG, embeds, pos, cache, full_logits=True)
+    np.testing.assert_allclose(
+        np.asarray(out_q), np.asarray(base), rtol=5e-2, atol=5e-2
+    )
+
+
 def test_last_index_selects_true_position():
     """Padded prefill must return logits of the true last token."""
     params = init_ernie_params(CFG, jax.random.PRNGKey(2), jnp.float32)
@@ -217,6 +252,24 @@ def test_engine_decode_end_to_end(tiny_engine):
     assert outcome.prompt_tokens > 0
     assert 0 < outcome.response_tokens <= 8
     assert len(outcome.generated_tokens) == outcome.response_tokens
+
+
+def test_quantized_engine_decodes():
+    """DSOCR_QUANT/registry `quantize=` wiring: a Q8 paddle engine
+    decodes end-to-end through the packed projections."""
+    engine = PaddleOcrEngine(
+        CFG, dtype=jnp.float32, max_seq_len=256, quantize="q8_0"
+    )
+    assert isinstance(engine.params["decoder"]["layers"]["qkv_proj"], dict)
+    engine.prep_overrides = {"min_pixels": 1, "max_pixels": 28 * 28}
+    out = engine.decode(
+        FakeTokenizer(),
+        "<image>\nOCR:",
+        [np.zeros((28, 28, 3), np.uint8)],
+        VisionSettings(base_size=28, image_size=28, crop_mode=False),
+        DecodeParameters(max_new_tokens=3, no_repeat_ngram_size=None),
+    )
+    assert out.response_tokens > 0
 
 
 def test_engine_decode_deterministic(tiny_engine):
