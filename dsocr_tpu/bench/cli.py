@@ -190,7 +190,7 @@ def main(argv=None) -> int:
     p.add_argument("--max-new-tokens", type=int, default=64)
     p.add_argument(
         "--quants", default=None,
-        help="comma list of '', q8_0, q4_k, q6_k (deepseek only)",
+        help="comma list of '', q8_0, q4_k, q6_k (all families but glm)",
     )
     p.add_argument(
         "--modes", default=None,

@@ -116,8 +116,8 @@ def run_perf_matrix(
     for model in models:
         for dtype in dtypes:
             for quant in quants:
-                if quant and not model.startswith("deepseek"):
-                    continue  # packed quant serving is deepseek-only today
+                if quant and model == "glm-ocr":
+                    continue  # no GLM DSQ adapter (matches the reference)
                 engine = load_engine(
                     kind_of[model], dtype=dtype, quantize=quant or None
                 )
