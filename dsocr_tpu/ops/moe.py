@@ -311,15 +311,88 @@ def _kq_gather(x, q, idx):
     return fn(x, q, idx)
 
 
+def _kq_n_experts(q) -> int:
+    arrays = q.arrays if isinstance(q, LayeredKQuant) else q
+    key = "packed" if "packed" in arrays else "ql_a"
+    return arrays[key].shape[1 if isinstance(q, LayeredKQuant) else 0]
+
+
+def _kq_dense(x, q):
+    """Dense all-expert sweep with shared x [N, H] → [E, N, M]."""
+    from .pallas.kquant_matmul import (
+        q4k_dense_experts_layered_auto,
+        q6k_dense_experts_layered_auto,
+    )
+
+    fn = (
+        q4k_dense_experts_layered_auto
+        if quant_method(q) == "q4_k"
+        else q6k_dense_experts_layered_auto
+    )
+    return fn(x, q.arrays, q.layer)
+
+
+def _kq_dense_perx(x, q):
+    """Dense all-expert sweep with per-expert x [E, N, K] → [E, N, M]."""
+    from .pallas.kquant_matmul import (
+        q4k_dense_experts_perx_layered_auto,
+        q6k_dense_experts_perx_layered_auto,
+    )
+
+    fn = (
+        q4k_dense_experts_perx_layered_auto
+        if quant_method(q) == "q4_k"
+        else q6k_dense_experts_perx_layered_auto
+    )
+    return fn(x, q.arrays, q.layer)
+
+
+def moe_apply_kq_dense(tokens, topk_weights, topk_indices, gate_q, up_q, down_q):
+    """Dense ALL-expert k-quant decode (the q8 dense tier at Q4_K's 0.75 /
+    Q6_K's ~1.06 bytes-per-weight): stream every expert once instead of
+    re-gathering shared experts when N*top_k > n_experts."""
+    gates = _kq_dense(tokens, gate_q)  # [E, N, I]
+    ups = _kq_dense(tokens, up_q)
+    inter = (silu(gates) * ups).astype(tokens.dtype)
+    outs = _kq_dense_perx(inter, down_q)  # [E, N, hidden]
+    sel = jnp.take_along_axis(
+        outs.transpose(1, 0, 2), topk_indices[..., None], axis=1
+    )  # [N, K, hidden]
+    combined = jnp.sum(sel * topk_weights[..., None], axis=1)
+    return combined.astype(tokens.dtype)
+
+
+def moe_apply_kq_dense_fused(tokens, topk_weights, topk_indices, gateup_q, down_q):
+    """Fused gate+up counterpart of moe_apply_kq_dense."""
+    gus = _kq_dense(tokens, gateup_q)  # [E, N, 2I]
+    gates, ups = _split_gateup(gus)
+    inter = (silu(gates) * ups).astype(tokens.dtype)
+    outs = _kq_dense_perx(inter, down_q)
+    sel = jnp.take_along_axis(
+        outs.transpose(1, 0, 2), topk_indices[..., None], axis=1
+    )
+    combined = jnp.sum(sel * topk_weights[..., None], axis=1)
+    return combined.astype(tokens.dtype)
+
+
 def moe_apply_quant(tokens, topk_weights, topk_indices, gate_q, up_q, down_q):
     """Decode MoE straight from packed weights, any method: q8_0 uses the
     int8 gather kernels, q4_k/q6_k the plane-decoded ones (~0.56/0.81
-    B/weight of HBM traffic for the selected experts)."""
+    B/weight of HBM traffic for the selected experts). Above N*top_k >
+    n_experts every variant switches to a dense all-expert sweep."""
     if quant_method(gate_q) == "q8_0":
         return moe_apply_q8(
             tokens, topk_weights, topk_indices, gate_q, up_q, down_q
         )
     n, k = topk_indices.shape
+    if (
+        isinstance(gate_q, LayeredKQuant)
+        and isinstance(down_q, LayeredKQuant)
+        and n * k > _kq_n_experts(gate_q)
+    ):
+        return moe_apply_kq_dense(
+            tokens, topk_weights, topk_indices, gate_q, up_q, down_q
+        )
     hidden = tokens.shape[1]
     flat_idx = topk_indices.reshape(n * k)
     flat_x = jnp.repeat(tokens, k, axis=0)
@@ -340,6 +413,14 @@ def moe_apply_quant_fused(tokens, topk_weights, topk_indices, gateup_q, down_q):
             tokens, topk_weights, topk_indices, gateup_q, down_q
         )
     n, k = topk_indices.shape
+    if (
+        isinstance(gateup_q, LayeredKQuant)
+        and isinstance(down_q, LayeredKQuant)
+        and n * k > _kq_n_experts(gateup_q)
+    ):
+        return moe_apply_kq_dense_fused(
+            tokens, topk_weights, topk_indices, gateup_q, down_q
+        )
     hidden = tokens.shape[1]
     flat_idx = topk_indices.reshape(n * k)
     flat_x = jnp.repeat(tokens, k, axis=0)

@@ -779,6 +779,235 @@ def q6k_gather_matmul_layered_auto(x, w, idx, layer):
 
 
 # ---------------------------------------------------------------------------
+# Dense ALL-expert k-quant matmuls (high-occupancy decode)
+#
+# Same strategy as dequant_matmul's q8 dense sweep: once N*top_k exceeds
+# n_experts, the gather kernels re-stream shared experts, so reading
+# EVERY expert exactly once moves fewer bytes — and Q4_K does it at 0.75
+# bytes/weight (Q6_K ~1.06) vs Q8_0's ~1.13. Output is [E, N, M] for the
+# caller's take_along_axis combine.
+# ---------------------------------------------------------------------------
+
+
+def _q4k_dense_kernel(
+    li_ref, xl_ref, xh_ref, p_ref, sl_ref, sh_ref, bl_ref, bh_ref, out_ref
+):
+    del li_ref
+    w_lo, w_hi = _q4k_w_planes_inmajor(
+        p_ref[0, 0], sl_ref[0, 0], sh_ref[0, 0], bl_ref[0, 0], bh_ref[0, 0]
+    )
+    out_ref[0] = _dot_in(xl_ref[...], w_lo) + _dot_in(xh_ref[...], w_hi)
+
+
+def _q4k_dense_perx_kernel(
+    li_ref, xl_ref, xh_ref, p_ref, sl_ref, sh_ref, bl_ref, bh_ref, out_ref
+):
+    del li_ref
+    w_lo, w_hi = _q4k_w_planes_inmajor(
+        p_ref[0, 0], sl_ref[0, 0], sh_ref[0, 0], bl_ref[0, 0], bh_ref[0, 0]
+    )
+    out_ref[0] = _dot_in(xl_ref[0], w_lo) + _dot_in(xh_ref[0], w_hi)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret", "tile"))
+def q4k_dense_experts_layered(
+    x: jnp.ndarray,  # [N, H] — shared across experts (gate/up input)
+    w: Dict[str, jnp.ndarray],  # stacked in-major: packed [L, E, H/2, M], ...
+    layer: jnp.ndarray,  # scalar int32
+    interpret: bool = False,
+    tile: int = 0,
+) -> jnp.ndarray:
+    """out[e] = x @ dequant(W[layer, e]) → [E, N, M] f32."""
+    n, h = x.shape
+    L, e, h2, m = w["packed"].shape
+    nbh = w["s_lo"].shape[2]
+    tile = tile or _gather_tile(m)
+    x_lo, x_hi = x[:, :h2], x[:, h2:]
+    xspec = pl.BlockSpec((n, h2), lambda ei, ji, li: (0, 0))
+    wspec = lambda rows: pl.BlockSpec(
+        (1, 1, rows, tile), lambda ei, ji, li: (li[0], ei, 0, ji)
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(e, m // tile),
+        in_specs=[xspec, xspec, wspec(h2), wspec(nbh), wspec(nbh), wspec(nbh), wspec(nbh)],
+        out_specs=pl.BlockSpec((1, n, tile), lambda ei, ji, li: (ei, 0, ji)),
+    )
+    return pl.pallas_call(
+        _q4k_dense_kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((e, n, m), jnp.float32),
+        interpret=interpret,
+    )(
+        jnp.asarray(layer, jnp.int32).reshape(1),
+        x_lo, x_hi, w["packed"], w["s_lo"], w["s_hi"], w["b_lo"], w["b_hi"],
+    )
+
+
+def q4k_dense_experts_layered_auto(x, w, layer):
+    return q4k_dense_experts_layered(
+        x, w, layer, interpret=jax.default_backend() != "tpu"
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("interpret", "tile"))
+def q4k_dense_experts_perx_layered(
+    x: jnp.ndarray,  # [E, N, K] — per-expert input (down projection)
+    w: Dict[str, jnp.ndarray],  # stacked in-major: packed [L, E, K/2, M], ...
+    layer: jnp.ndarray,
+    interpret: bool = False,
+    tile: int = 0,
+) -> jnp.ndarray:
+    """out[e] = x[e] @ dequant(W[layer, e]) → [E, N, M] f32."""
+    e, n, k = x.shape
+    L, _, k2, m = w["packed"].shape
+    nbh = w["s_lo"].shape[2]
+    tile = tile or _gather_tile(m)
+    x_lo, x_hi = x[:, :, :k2], x[:, :, k2:]
+    xspec = pl.BlockSpec((1, n, k2), lambda ei, ji, li: (ei, 0, 0))
+    wspec = lambda rows: pl.BlockSpec(
+        (1, 1, rows, tile), lambda ei, ji, li: (li[0], ei, 0, ji)
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(e, m // tile),
+        in_specs=[xspec, xspec, wspec(k2), wspec(nbh), wspec(nbh), wspec(nbh), wspec(nbh)],
+        out_specs=pl.BlockSpec((1, n, tile), lambda ei, ji, li: (ei, 0, ji)),
+    )
+    return pl.pallas_call(
+        _q4k_dense_perx_kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((e, n, m), jnp.float32),
+        interpret=interpret,
+    )(
+        jnp.asarray(layer, jnp.int32).reshape(1),
+        x_lo, x_hi, w["packed"], w["s_lo"], w["s_hi"], w["b_lo"], w["b_hi"],
+    )
+
+
+def q4k_dense_experts_perx_layered_auto(x, w, layer):
+    return q4k_dense_experts_perx_layered(
+        x, w, layer, interpret=jax.default_backend() != "tpu"
+    )
+
+
+def _q6k_dense_kernel(
+    li_ref, x0_ref, x1_ref, x2_ref, x3_ref,
+    qa_ref, qb_ref, qh_ref, s0_ref, s1_ref, s2_ref, s3_ref, out_ref,
+):
+    del li_ref
+    ws = _q6k_w_planes_inmajor(
+        qa_ref[0, 0], qb_ref[0, 0], qh_ref[0, 0],
+        s0_ref[0, 0], s1_ref[0, 0], s2_ref[0, 0], s3_ref[0, 0],
+    )
+    acc = None
+    for x_ref, w_p in zip((x0_ref, x1_ref, x2_ref, x3_ref), ws):
+        part = _dot_in(x_ref[...], w_p)
+        acc = part if acc is None else acc + part
+    out_ref[0] = acc
+
+
+def _q6k_dense_perx_kernel(
+    li_ref, x0_ref, x1_ref, x2_ref, x3_ref,
+    qa_ref, qb_ref, qh_ref, s0_ref, s1_ref, s2_ref, s3_ref, out_ref,
+):
+    del li_ref
+    ws = _q6k_w_planes_inmajor(
+        qa_ref[0, 0], qb_ref[0, 0], qh_ref[0, 0],
+        s0_ref[0, 0], s1_ref[0, 0], s2_ref[0, 0], s3_ref[0, 0],
+    )
+    acc = None
+    for x_ref, w_p in zip((x0_ref, x1_ref, x2_ref, x3_ref), ws):
+        part = _dot_in(x_ref[0], w_p)
+        acc = part if acc is None else acc + part
+    out_ref[0] = acc
+
+
+@functools.partial(jax.jit, static_argnames=("interpret", "tile"))
+def q6k_dense_experts_layered(
+    x: jnp.ndarray,  # [N, H]
+    w: Dict[str, jnp.ndarray],  # stacked in-major: ql_a [L, E, H/4, M], ...
+    layer: jnp.ndarray,
+    interpret: bool = False,
+    tile: int = 0,
+) -> jnp.ndarray:
+    """out[e] = x @ dequant(W[layer, e]) → [E, N, M] f32."""
+    n, h = x.shape
+    L, e, hq, m = w["ql_a"].shape
+    nbq = w["s0"].shape[2]
+    tile = tile or _gather_tile(m)
+    xs = [x[:, i * hq : (i + 1) * hq] for i in range(4)]
+    xspec = pl.BlockSpec((n, hq), lambda ei, ji, li: (0, 0))
+    wspec = lambda rows: pl.BlockSpec(
+        (1, 1, rows, tile), lambda ei, ji, li: (li[0], ei, 0, ji)
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(e, m // tile),
+        in_specs=[xspec] * 4 + [wspec(hq)] * 3 + [wspec(nbq)] * 4,
+        out_specs=pl.BlockSpec((1, n, tile), lambda ei, ji, li: (ei, 0, ji)),
+    )
+    return pl.pallas_call(
+        _q6k_dense_kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((e, n, m), jnp.float32),
+        interpret=interpret,
+    )(
+        jnp.asarray(layer, jnp.int32).reshape(1),
+        *xs, w["ql_a"], w["ql_b"], w["qh"],
+        w["s0"], w["s1"], w["s2"], w["s3"],
+    )
+
+
+def q6k_dense_experts_layered_auto(x, w, layer):
+    return q6k_dense_experts_layered(
+        x, w, layer, interpret=jax.default_backend() != "tpu"
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("interpret", "tile"))
+def q6k_dense_experts_perx_layered(
+    x: jnp.ndarray,  # [E, N, K]
+    w: Dict[str, jnp.ndarray],  # stacked in-major: ql_a [L, E, K/4, M], ...
+    layer: jnp.ndarray,
+    interpret: bool = False,
+    tile: int = 0,
+) -> jnp.ndarray:
+    """out[e] = x[e] @ dequant(W[layer, e]) → [E, N, M] f32."""
+    e, n, k = x.shape
+    L, _, kq, m = w["ql_a"].shape
+    nbq = w["s0"].shape[2]
+    tile = tile or _gather_tile(m)
+    xs = [x[:, :, i * kq : (i + 1) * kq] for i in range(4)]
+    xspec = pl.BlockSpec((1, n, kq), lambda ei, ji, li: (ei, 0, 0))
+    wspec = lambda rows: pl.BlockSpec(
+        (1, 1, rows, tile), lambda ei, ji, li: (li[0], ei, 0, ji)
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(e, m // tile),
+        in_specs=[xspec] * 4 + [wspec(kq)] * 3 + [wspec(nbq)] * 4,
+        out_specs=pl.BlockSpec((1, n, tile), lambda ei, ji, li: (ei, 0, ji)),
+    )
+    return pl.pallas_call(
+        _q6k_dense_perx_kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((e, n, m), jnp.float32),
+        interpret=interpret,
+    )(
+        jnp.asarray(layer, jnp.int32).reshape(1),
+        *xs, w["ql_a"], w["ql_b"], w["qh"],
+        w["s0"], w["s1"], w["s2"], w["s3"],
+    )
+
+
+def q6k_dense_experts_perx_layered_auto(x, w, layer):
+    return q6k_dense_experts_perx_layered(
+        x, w, layer, interpret=jax.default_backend() != "tpu"
+    )
+
+
+# ---------------------------------------------------------------------------
 # XLA-level dequant of plane-packed stacks (prefill path: dequantize once
 # per layer, then dense/ragged grouped matmuls)
 # ---------------------------------------------------------------------------

@@ -23,6 +23,7 @@ import os
 from typing import Any, Callable, List, Optional, Tuple, Union
 
 from ..core import DecodeOutcome, DecodeParameters, VisionSettings
+from ..core.benchmark import Timer
 from ..core.text import normalize_text
 from ..runtime.generate import clamp_new_tokens
 
@@ -251,17 +252,18 @@ class ContinuousScheduler:
 
     def _join_ready(self, row: int, job: _SlotJob, pre: dict) -> bool:
         """Blocking (device): insert a prefilled packet into slot `row`."""
-        self._state, finished, first = self._runner.join(
-            self._state,
-            row,
-            pre["row_k"],
-            pre["row_v"],
-            pre["prompt_ids"],
-            pre["logits"],
-            job.params,
-            job.max_new,
-            pos0=pre["pos0"],
-        )
+        with Timer("slot.join"):
+            self._state, finished, first = self._runner.join(
+                self._state,
+                row,
+                pre["row_k"],
+                pre["row_v"],
+                pre["prompt_ids"],
+                pre["logits"],
+                job.params,
+                job.max_new,
+                pos0=pre["pos0"],
+            )
         return finished
 
     def _finalize(self, job: _SlotJob, tokens: List[int]) -> None:
@@ -445,15 +447,21 @@ class ContinuousScheduler:
                     if any(j.stream_cb is not None for j in active_jobs)
                     else self.chunk_steps
                 )
+                chunk_t = Timer("slot.decode_chunk")
                 self._state = await loop.run_in_executor(
                     None,
                     functools.partial(
                         self._runner.run_chunk, self.engine.params, self._state, chunk
                     ),
                 )
+                chunk_t.finish()
+                # harvest blocks on the chunk's device_get — its wall time
+                # is (device chunk time - dispatch overlap) + transfer
+                harvest_t = Timer("slot.harvest")
                 harvest = await loop.run_in_executor(
                     None, self._runner.harvest, self._state
                 )
+                harvest_t.finish(rows=len(active_jobs))
                 for row, job in enumerate(self._rows):
                     if job is None:
                         continue
@@ -467,9 +475,10 @@ class ContinuousScheduler:
                     if not harvest.active[row]:
                         self._finalize(job, tokens)
                         self._rows[row] = None
-                        self._state = await loop.run_in_executor(
-                            None, self._runner.release, self._state, row
-                        )
+                        with Timer("slot.release"):
+                            self._state = await loop.run_in_executor(
+                                None, self._runner.release, self._state, row
+                            )
         finally:
             self._worker_task = None
 

@@ -305,3 +305,121 @@ def test_kquant_engine_decode_consistency(method):
     out_f = eng_f.decode(FakeTokenizer(), "<image>q", [image], settings, params)
     out_q = eng_q.decode(FakeTokenizer(), "<image>q", [image], settings, params)
     assert len(out_q.generated_tokens) == len(out_f.generated_tokens)
+
+
+# -- dense ALL-expert kernels (high-occupancy decode) ----------------------------
+
+
+@pytest.mark.parametrize("method", ["q4_k", "q6_k"])
+def test_kq_dense_experts_layered_matches_reference(method):
+    """out[e] = x @ dequant(W[layer, e]) — every expert streamed once."""
+    from dsocr_tpu.ops.pallas.kquant_matmul import (
+        pack_q4_k_inmajor,
+        pack_q6_k_inmajor,
+        q4k_dense_experts_layered_auto,
+        q6k_dense_experts_layered_auto,
+    )
+
+    qfn, dfn, pfn, kfn = {
+        "q4_k": (quantize_q4_k, dequantize_q4_k, pack_q4_k_inmajor,
+                 q4k_dense_experts_layered_auto),
+        "q6_k": (quantize_q6_k, dequantize_q6_k, pack_q6_k_inmajor,
+                 q6k_dense_experts_layered_auto),
+    }[method]
+    rng = np.random.default_rng(21)
+    L, E, o, i, N = 2, 3, 128, 256, 5
+    packs, deqs = [], []
+    for l in range(L):
+        p, d = _inmajor_setup(qfn, dfn, pfn, E, o, i, rng)
+        packs.append(p)
+        deqs.append(d)
+    stacked = {k: jnp.stack([np.asarray(p[k]) for p in packs]) for k in packs[0]}
+    x = rng.normal(size=(N, i)).astype(np.float32)
+    for l in range(L):
+        out = np.asarray(kfn(jnp.asarray(x), stacked, jnp.int32(l)))
+        expected = np.stack([x @ deqs[l][e].T for e in range(E)])
+        np.testing.assert_allclose(out, expected, rtol=5e-2, atol=0.2)
+
+
+@pytest.mark.parametrize("method", ["q4_k", "q6_k"])
+def test_kq_dense_experts_perx_layered_matches_reference(method):
+    """Per-expert-input sweep (down proj): out[e] = x[e] @ dequant(W[l,e])."""
+    from dsocr_tpu.ops.pallas.kquant_matmul import (
+        pack_q4_k_inmajor,
+        pack_q6_k_inmajor,
+        q4k_dense_experts_perx_layered_auto,
+        q6k_dense_experts_perx_layered_auto,
+    )
+
+    qfn, dfn, pfn, kfn = {
+        "q4_k": (quantize_q4_k, dequantize_q4_k, pack_q4_k_inmajor,
+                 q4k_dense_experts_perx_layered_auto),
+        "q6_k": (quantize_q6_k, dequantize_q6_k, pack_q6_k_inmajor,
+                 q6k_dense_experts_perx_layered_auto),
+    }[method]
+    rng = np.random.default_rng(22)
+    L, E, o, i, N = 2, 3, 128, 256, 4
+    packs, deqs = [], []
+    for l in range(L):
+        p, d = _inmajor_setup(qfn, dfn, pfn, E, o, i, rng)
+        packs.append(p)
+        deqs.append(d)
+    stacked = {k: jnp.stack([np.asarray(p[k]) for p in packs]) for k in packs[0]}
+    x = rng.normal(size=(E, N, i)).astype(np.float32)
+    out = np.asarray(kfn(jnp.asarray(x), stacked, jnp.int32(1)))
+    expected = np.stack([x[e] @ deqs[1][e].T for e in range(E)])
+    np.testing.assert_allclose(out, expected, rtol=5e-2, atol=0.2)
+
+
+@pytest.mark.parametrize("method", ["q4_k", "q6_k"])
+def test_moe_kq_dense_matches_gather(method):
+    """At N*K > E the fused k-quant MoE dispatch switches to the dense
+    all-expert sweep; it must agree with the explicit gather math."""
+    from dsocr_tpu.ops.moe import (
+        LayeredKQuant,
+        _kq_gather,
+        _split_gateup,
+        moe_apply_quant_fused,
+        silu,
+    )
+    from dsocr_tpu.ops.pallas.kquant_matmul import (
+        pack_q4_k_inmajor,
+        pack_q6_k_inmajor,
+    )
+
+    qfn, dfn, pfn = {
+        "q4_k": (quantize_q4_k, dequantize_q4_k, pack_q4_k_inmajor),
+        "q6_k": (quantize_q6_k, dequantize_q6_k, pack_q6_k_inmajor),
+    }[method]
+    rng = np.random.default_rng(23)
+    L, E, H, I, N, K = 2, 3, 256, 256, 4, 2  # N*K=8 > E=3 → dense dispatch
+    gu_packs, dn_packs = [], []
+    for l in range(L):
+        gp, _ = _inmajor_setup(qfn, dfn, pfn, E, 2 * I, H, rng)
+        dp, _ = _inmajor_setup(qfn, dfn, pfn, E, H, I, rng)
+        gu_packs.append(gp)
+        dn_packs.append(dp)
+    gu_arrays = {
+        k: jnp.stack([np.asarray(p[k]) for p in gu_packs]) for k in gu_packs[0]
+    }
+    dn_arrays = {
+        k: jnp.stack([np.asarray(p[k]) for p in dn_packs]) for k in dn_packs[0]
+    }
+    x = jnp.asarray(rng.normal(size=(N, H)).astype(np.float32))
+    tw = jnp.asarray(rng.random((N, K)).astype(np.float32))
+    ti = jnp.asarray(rng.integers(0, E, (N, K)).astype(np.int32))
+
+    for layer in (0, 1):
+        gu_q = LayeredKQuant(gu_arrays, jnp.int32(layer), method)
+        dn_q = LayeredKQuant(dn_arrays, jnp.int32(layer), method)
+        dense = np.asarray(moe_apply_quant_fused(x, tw, ti, gu_q, dn_q))
+        flat_idx = ti.reshape(-1)
+        flat_x = jnp.repeat(x, K, axis=0)
+        gus = _kq_gather(flat_x, gu_q, flat_idx)
+        gates, ups = _split_gateup(gus)
+        inter = (silu(gates) * ups).astype(x.dtype)
+        outs = _kq_gather(inter, dn_q, flat_idx)
+        expected = np.asarray(
+            jnp.sum(outs.reshape(N, K, H) * tw[..., None], axis=1)
+        )
+        np.testing.assert_allclose(dense, expected, rtol=1e-4, atol=1e-4)
