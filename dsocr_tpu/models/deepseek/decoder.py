@@ -280,7 +280,7 @@ def deepseek_forward(
 
     zero = jnp.int32(0)
 
-    def attn_block(x, k_all, v_all, layer, li):
+    def attn_block(x, k_all, v_all, ks_all, vs_all, layer, li):
         normed = rms_norm(x, layer["input_layernorm"], cfg.rms_norm_eps)
         if "qkv_proj" in layer:
             qkv = _proj(normed, layer["qkv_proj"])
@@ -296,6 +296,30 @@ def deepseek_forward(
         k = _partial_rope(k, cos, sin, rope_dim, cfg.use_mla)
         # In-place updates on the scan carry (XLA aliases the buffers;
         # the old slice/concat layout copied the whole cache every step).
+        if ks_all is not None:
+            # int8 KV (slot decode only): store codes + per-token scales,
+            # attend straight from the codes (attention_kv_int8)
+            from ...ops.attention import attention_kv_int8, quantize_kv_int8
+
+            rows = jnp.arange(B)
+            k_q, k_s = quantize_kv_int8(k)  # [B, H, 1, D] i8, [B, H, 1]
+            v_q, v_s = quantize_kv_int8(v)
+            k_all = k_all.at[li, rows, :, row_lengths, :].set(k_q[:, :, 0, :])
+            v_all = v_all.at[li, rows, :, row_lengths, :].set(v_q[:, :, 0, :])
+            ks_all = ks_all.at[li, rows, :, row_lengths].set(k_s[:, :, 0])
+            vs_all = vs_all.at[li, rows, :, row_lengths].set(v_s[:, :, 0])
+            attn = attention_kv_int8(
+                q,
+                jax.lax.dynamic_index_in_dim(k_all, li, 0, keepdims=False),
+                jax.lax.dynamic_index_in_dim(ks_all, li, 0, keepdims=False),
+                jax.lax.dynamic_index_in_dim(v_all, li, 0, keepdims=False),
+                jax.lax.dynamic_index_in_dim(vs_all, li, 0, keepdims=False),
+                mask,
+                scale,
+            )
+            attn = _proj(attn, layer["o_proj"])
+            x = (x.astype(jnp.float32) + attn.astype(jnp.float32)).astype(x.dtype)
+            return x, k_all, v_all, ks_all, vs_all
         if page_tables is not None:
             # paged write: the new token's KV goes to its row's page
             # page_tables[r][len // page] at offset len % page
@@ -353,7 +377,7 @@ def deepseek_forward(
             )
         attn = _proj(attn, layer["o_proj"])
         x = (x.astype(jnp.float32) + attn.astype(jnp.float32)).astype(x.dtype)
-        return x, k_all, v_all
+        return x, k_all, v_all, ks_all, vs_all
 
     from ...ops.linear import split_quantized as _split_quantized
     from ...ops.linear import with_quantized as _with_quantized
@@ -364,10 +388,12 @@ def deepseek_forward(
     moe_q, moe_xs = _split_quantized(params["moe_layers"]) if num_moe else ({}, {})
 
     def dense_body(carry, xs):
-        x, k_all, v_all = carry
+        x, k_all, v_all, ks_all, vs_all = carry
         layer_xs, li = xs
         layer = _with_quantized(layer_xs, dense_q, li)
-        x, k_all, v_all = attn_block(x, k_all, v_all, layer, li)
+        x, k_all, v_all, ks_all, vs_all = attn_block(
+            x, k_all, v_all, ks_all, vs_all, layer, li
+        )
         normed = rms_norm(x, layer["post_attention_layernorm"], cfg.rms_norm_eps)
         if "gateup_proj" in layer:
             gu = _proj(normed, layer["gateup_proj"]).astype(jnp.float32)
@@ -377,13 +403,15 @@ def deepseek_forward(
             up = _proj(normed, layer["up_proj"]).astype(jnp.float32)
         mlp = _proj((jax.nn.silu(gate) * up).astype(x.dtype), layer["down_proj"])
         x = (x.astype(jnp.float32) + mlp.astype(jnp.float32)).astype(x.dtype)
-        return (x, k_all, v_all), None
+        return (x, k_all, v_all, ks_all, vs_all), None
 
     def moe_body(carry, xs):
-        x, k_all, v_all = carry
+        x, k_all, v_all, ks_all, vs_all = carry
         layer_xs, li = xs
         layer = _with_quantized(layer_xs, moe_q, li - num_dense)
-        x, k_all, v_all = attn_block(x, k_all, v_all, layer, li)
+        x, k_all, v_all, ks_all, vs_all = attn_block(
+            x, k_all, v_all, ks_all, vs_all, layer, li
+        )
         normed = rms_norm(x, layer["post_attention_layernorm"], cfg.rms_norm_eps)
         tokens = normed.reshape(B * S, H)
         weights, indices = moe_router(
@@ -456,17 +484,21 @@ def deepseek_forward(
             )
             out = out + shared.reshape(B * S, H).astype(jnp.float32)
         x = (x.astype(jnp.float32) + out.reshape(B, S, H)).astype(x.dtype)
-        return (x, k_all, v_all), None
+        return (x, k_all, v_all, ks_all, vs_all), None
 
-    carry = (embeds, cache.k, cache.v)
+    if cache.k_scale is not None and (S != 1 or row_lengths is None):
+        raise ValueError("int8 KV cache supports single-token slot steps only")
+    carry = (embeds, cache.k, cache.v, cache.k_scale, cache.v_scale)
     if num_dense:
         idx = jnp.arange(num_dense, dtype=jnp.int32)
         carry, _ = jax.lax.scan(dense_body, carry, (dense_xs, idx))
     if num_moe:
         idx = jnp.arange(num_dense, num_dense + num_moe, dtype=jnp.int32)
         carry, _ = jax.lax.scan(moe_body, carry, (moe_xs, idx))
-    x, new_k, new_v = carry
-    cache = KVCache(k=new_k, v=new_v, length=cache.length)
+    x, new_k, new_v, new_ks, new_vs = carry
+    cache = KVCache(
+        k=new_k, v=new_v, length=cache.length, k_scale=new_ks, v_scale=new_vs
+    )
 
     x = rms_norm(x, params["norm"], cfg.rms_norm_eps)
     head = params.get("lm_head")

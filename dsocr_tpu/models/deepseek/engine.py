@@ -64,6 +64,7 @@ class DeepseekOcrEngine:
         mesh=None,
         quantize: Optional[str] = None,
         ep: bool = False,
+        kv_quant: Optional[str] = None,
     ):
         self.cfg = cfg
         self.dtype_ = dtype
@@ -72,6 +73,13 @@ class DeepseekOcrEngine:
 
             quantize = os.environ.get("DSOCR_QUANT") or None
         self.quantize_ = quantize
+        if kv_quant is None:
+            import os
+
+            kv_quant = os.environ.get("DSOCR_KV_QUANT") or None
+        if kv_quant not in (None, "int8"):
+            raise ValueError(f"unsupported kv_quant {kv_quant!r}")
+        self.kv_quant = kv_quant
         self.max_seq_len = max_seq_len
         self.mesh = mesh
         # Pallas prefill attention (no [B,H,S,S_max] f32 scores in HBM);
@@ -745,20 +753,38 @@ class DeepseekOcrEngine:
             :, None, :
         ].astype(self.dtype_)
         positions = pos[:, None].astype(jnp.int32)
-        kv = KVCache(k=cache.k, v=cache.v, length=jnp.int32(0))
+        kv = KVCache(
+            k=cache.k, v=cache.v, length=jnp.int32(0),
+            k_scale=cache.k_scale, v_scale=cache.v_scale,
+        )
         logits, kv = deepseek_forward(
             model_params["decoder"], self.cfg.language, embeds, positions, kv,
             self._rope, row_lengths=cache.lengths, mesh=self.mesh,
         )
-        return logits, SlotCache(kv.k, kv.v, cache.lengths)
+        return logits, SlotCache(
+            kv.k, kv.v, cache.lengths, kv.k_scale, kv.v_scale
+        )
 
     def new_slot_cache(self, n_slots: int, max_len: int):
         """Allocate the shared B-slot KV buffers. Under a mesh the KV
         heads shard over mp (slots over dp) so the serving decode step
-        runs tensor-parallel — matching decode_batch's cache layout."""
+        runs tensor-parallel — matching decode_batch's cache layout.
+        With kv_quant='int8' (DSOCR_KV_QUANT env) the buffers hold int8
+        codes + per-token scales: half the decode-step KV streaming."""
         from ...runtime.slots import SlotCache
 
-        base = new_cache(self.cfg.language, n_slots, max_len, self.dtype_)
+        kv_dtype = jnp.int8 if self.kv_quant == "int8" else self.dtype_
+        base = new_cache(self.cfg.language, n_slots, max_len, kv_dtype)
+        k_scale = v_scale = None
+        if self.kv_quant == "int8":
+            if self.mesh is not None:
+                raise NotImplementedError("int8 KV cache under a mesh")
+            lang = self.cfg.language
+            k_scale = jnp.zeros(
+                (lang.num_hidden_layers, n_slots, lang.resolved_kv_heads, max_len),
+                jnp.float32,
+            )
+            v_scale = jnp.zeros_like(k_scale)
         lengths = jnp.zeros((n_slots,), jnp.int32)
         if self.mesh is not None:
             from ...parallel import cache_sharding, replicated
@@ -774,7 +800,10 @@ class DeepseekOcrEngine:
                 k=jax.device_put(base.k, cs), v=jax.device_put(base.v, cs)
             )
             lengths = jax.device_put(lengths, replicated(self.mesh))
-        return SlotCache(k=base.k, v=base.v, lengths=lengths)
+        return SlotCache(
+            k=base.k, v=base.v, lengths=lengths,
+            k_scale=k_scale, v_scale=v_scale,
+        )
 
     def make_slot_runner(self, ngram_max: int = 24):
         from ...runtime.slots import SlotRunner

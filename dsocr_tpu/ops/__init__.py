@@ -13,7 +13,13 @@ Design rules (SURVEY.md §7.3 item 1 + TPU practice):
 from .norms import rms_norm, layer_norm
 from .rope import build_rope_tables, apply_rope, rotate_half, mla_interleave_regroup
 from .activations import silu, gelu, gelu_tanh, quick_gelu, ACT2FN
-from .attention import repeat_kv, causal_mask, attention
+from .attention import (
+    repeat_kv,
+    causal_mask,
+    attention,
+    attention_kv_int8,
+    quantize_kv_int8,
+)
 from .moe import MoeConfig, moe_router, moe_apply, moe_apply_gather, swiglu_mlp
 
 __all__ = [
@@ -31,6 +37,8 @@ __all__ = [
     "repeat_kv",
     "causal_mask",
     "attention",
+    "attention_kv_int8",
+    "quantize_kv_int8",
     "MoeConfig",
     "moe_router",
     "moe_apply",

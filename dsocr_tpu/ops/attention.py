@@ -67,3 +67,58 @@ def attention(
     )
     b, h, sq, dv = out.shape
     return out.transpose(0, 2, 1, 3).reshape(b, sq, h * dv).astype(dtype)
+
+
+# -- int8-quantized KV cache (decode-time HBM bandwidth) -------------------------
+#
+# The slot decode step streams the whole static KV buffer every token;
+# storing K/V as int8 codes with one f32 scale per (head, token) halves
+# that traffic vs bf16. The dequant never materializes: per-token scales
+# commute out of both dots — (q @ (c·s)ᵀ) == (q @ cᵀ)·s and
+# (p @ (c·s)) == (p·s) @ c — so the kernel reads int8 from HBM and
+# applies scales to the [B, H, 1, S]-shaped score/weight vectors.
+# (No reference analogue: candle caches are model-dtype, cache.rs:15.)
+
+
+def quantize_kv_int8(x: jnp.ndarray):
+    """[..., S, D] → (codes int8, scale f32 [..., S]): symmetric per-token
+    per-head max-abs scaling (int8 values are exact in bf16, so the
+    score-side dequant loses nothing vs dequantize-then-dot)."""
+    amax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1)
+    scale = amax / 127.0
+    safe = jnp.where(scale > 0, scale, 1.0)
+    codes = jnp.round(x.astype(jnp.float32) / safe[..., None])
+    codes = jnp.clip(codes, -127, 127).astype(jnp.int8)
+    return codes, scale
+
+
+def attention_kv_int8(
+    q: jnp.ndarray,  # [B, H, Sq, D]
+    k_codes: jnp.ndarray,  # [B, H, Skv, D] int8
+    k_scale: jnp.ndarray,  # [B, H, Skv] f32
+    v_codes: jnp.ndarray,  # [B, H, Skv, Dv] int8
+    v_scale: jnp.ndarray,  # [B, H, Skv] f32
+    mask: Optional[jnp.ndarray] = None,
+    scale: Optional[float] = None,
+) -> jnp.ndarray:
+    """attention() over an int8-quantized KV cache. Same contract;
+    requires H_kv == H (the deepseek decoder is full MHA)."""
+    dtype = q.dtype
+    assert k_codes.shape[1] == q.shape[1], "int8 KV path has no GQA repeat"
+    if scale is None:
+        scale = 1.0 / (q.shape[-1] ** 0.5)
+    scores = jnp.einsum(
+        "bhqd,bhkd->bhqk", q, k_codes.astype(q.dtype),
+        preferred_element_type=jnp.float32,
+    ) * (k_scale[:, :, None, :] * jnp.float32(scale))
+    if mask is not None:
+        scores = jnp.where(mask, scores, jnp.float32(-1e30))
+    weights = jax.nn.softmax(scores.astype(jnp.float32), axis=-1)
+    out = jnp.einsum(
+        "bhqk,bhkd->bhqd",
+        weights * v_scale[:, :, None, :],
+        v_codes.astype(jnp.float32),
+        preferred_element_type=jnp.float32,
+    )
+    b, h, sq, dv = out.shape
+    return out.transpose(0, 2, 1, 3).reshape(b, sq, h * dv).astype(dtype)

@@ -14,16 +14,20 @@ cleanly onto the MXU.
 
 from __future__ import annotations
 
-from typing import NamedTuple, Tuple
+from typing import NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
 
 
 class KVCache(NamedTuple):
-    k: jnp.ndarray  # [L, B, H_kv, S_max, Dk]
+    k: jnp.ndarray  # [L, B, H_kv, S_max, Dk] (model dtype, or int8 codes)
     v: jnp.ndarray  # [L, B, H_kv, S_max, Dv]
     length: jnp.ndarray  # scalar int32: number of valid positions
+    # int8-quantized cache (slot decode): per-(layer,row,head,token) f32
+    # scales; see ops.attention.attention_kv_int8
+    k_scale: Optional[jnp.ndarray] = None  # [L, B, H_kv, S_max]
+    v_scale: Optional[jnp.ndarray] = None
 
     @property
     def max_len(self) -> int:
@@ -72,7 +76,7 @@ def write_kv(
     v = jax.lax.dynamic_update_slice(
         cache.v, v_new[None].astype(cache.v.dtype), (layer, zero, zero, start, zero)
     )
-    return KVCache(k=k, v=v, length=cache.length)
+    return cache._replace(k=k, v=v)
 
 
 def layer_kv(cache: KVCache, layer: int) -> Tuple[jnp.ndarray, jnp.ndarray]:

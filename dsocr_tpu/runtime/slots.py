@@ -41,11 +41,17 @@ from ..core.sampling import (
 
 
 class SlotCache(NamedTuple):
-    """KV buffers with PER-ROW logical lengths (vs KVCache's shared scalar)."""
+    """KV buffers with PER-ROW logical lengths (vs KVCache's shared scalar).
 
-    k: jnp.ndarray  # [L, B, H_kv, S_max, Dk]
+    With k_scale/v_scale set, k/v hold int8 codes and the scales hold one
+    f32 per (layer, row, head, token) — decode streams half the bytes
+    (ops.attention.attention_kv_int8 applies scales score-side)."""
+
+    k: jnp.ndarray  # [L, B, H_kv, S_max, Dk] (model dtype, or int8 codes)
     v: jnp.ndarray  # [L, B, H_kv, S_max, Dv]
     lengths: jnp.ndarray  # [B] int32
+    k_scale: Optional[jnp.ndarray] = None  # [L, B, H_kv, S_max] f32
+    v_scale: Optional[jnp.ndarray] = None
 
     @property
     def max_len(self) -> int:
@@ -222,13 +228,30 @@ class SlotRunner:
         samp: SlotSamplingParams,  # [1]-shaped rows to insert
     ) -> SlotState:
         zero = jnp.int32(0)
+        cache = state.cache
+        if cache.k_scale is not None:
+            # int8 KV cache: quantize the prefilled row on device
+            from ..ops.attention import quantize_kv_int8
+
+            row_k, row_ks = quantize_kv_int8(row_k)
+            row_v, row_vs = quantize_kv_int8(row_v)
+            k_scale = jax.lax.dynamic_update_slice(
+                cache.k_scale, row_ks, (zero, row, zero, zero)
+            )
+            v_scale = jax.lax.dynamic_update_slice(
+                cache.v_scale, row_vs, (zero, row, zero, zero)
+            )
+        else:
+            k_scale, v_scale = None, None
         k = jax.lax.dynamic_update_slice(
-            state.cache.k, row_k.astype(state.cache.k.dtype), (zero, row, zero, zero, zero)
+            cache.k, row_k.astype(cache.k.dtype), (zero, row, zero, zero, zero)
         )
         v = jax.lax.dynamic_update_slice(
-            state.cache.v, row_v.astype(state.cache.v.dtype), (zero, row, zero, zero, zero)
+            cache.v, row_v.astype(cache.v.dtype), (zero, row, zero, zero, zero)
         )
-        cache = SlotCache(k, v, state.cache.lengths.at[row].set(prompt_len))
+        cache = SlotCache(
+            k, v, cache.lengths.at[row].set(prompt_len), k_scale, v_scale
+        )
         sampling = SlotSamplingParams(
             temperature=state.sampling.temperature.at[row].set(samp.temperature[0]),
             top_p=state.sampling.top_p.at[row].set(samp.top_p[0]),
