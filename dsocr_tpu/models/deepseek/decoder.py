@@ -298,24 +298,12 @@ def deepseek_forward(
         # the old slice/concat layout copied the whole cache every step).
         if ks_all is not None:
             # int8 KV (slot decode only): store codes + per-token scales,
-            # attend straight from the codes (attention_kv_int8)
-            from ...ops.attention import attention_kv_int8, quantize_kv_int8
+            # attend straight from the codes (ops.attention helper)
+            from ...ops.attention import slot_kv_write_attend
 
-            rows = jnp.arange(B)
-            k_q, k_s = quantize_kv_int8(k)  # [B, H, 1, D] i8, [B, H, 1]
-            v_q, v_s = quantize_kv_int8(v)
-            k_all = k_all.at[li, rows, :, row_lengths, :].set(k_q[:, :, 0, :])
-            v_all = v_all.at[li, rows, :, row_lengths, :].set(v_q[:, :, 0, :])
-            ks_all = ks_all.at[li, rows, :, row_lengths].set(k_s[:, :, 0])
-            vs_all = vs_all.at[li, rows, :, row_lengths].set(v_s[:, :, 0])
-            attn = attention_kv_int8(
-                q,
-                jax.lax.dynamic_index_in_dim(k_all, li, 0, keepdims=False),
-                jax.lax.dynamic_index_in_dim(ks_all, li, 0, keepdims=False),
-                jax.lax.dynamic_index_in_dim(v_all, li, 0, keepdims=False),
-                jax.lax.dynamic_index_in_dim(vs_all, li, 0, keepdims=False),
-                mask,
-                scale,
+            attn, k_all, v_all, ks_all, vs_all = slot_kv_write_attend(
+                q, k, v, k_all, v_all, ks_all, vs_all, li, row_lengths,
+                mask, scale,
             )
             attn = _proj(attn, layer["o_proj"])
             x = (x.astype(jnp.float32) + attn.astype(jnp.float32)).astype(x.dtype)

@@ -73,13 +73,9 @@ class DeepseekOcrEngine:
 
             quantize = os.environ.get("DSOCR_QUANT") or None
         self.quantize_ = quantize
-        if kv_quant is None:
-            import os
+        from ...runtime.slots import resolve_kv_quant
 
-            kv_quant = os.environ.get("DSOCR_KV_QUANT") or None
-        if kv_quant not in (None, "int8"):
-            raise ValueError(f"unsupported kv_quant {kv_quant!r}")
-        self.kv_quant = kv_quant
+        self.kv_quant = resolve_kv_quant(kv_quant)
         self.max_seq_len = max_seq_len
         self.mesh = mesh
         # Pallas prefill attention (no [B,H,S,S_max] f32 scores in HBM);
@@ -771,7 +767,7 @@ class DeepseekOcrEngine:
         runs tensor-parallel — matching decode_batch's cache layout.
         With kv_quant='int8' (DSOCR_KV_QUANT env) the buffers hold int8
         codes + per-token scales: half the decode-step KV streaming."""
-        from ...runtime.slots import SlotCache
+        from ...runtime.slots import SlotCache, alloc_slot_scales
 
         kv_dtype = jnp.int8 if self.kv_quant == "int8" else self.dtype_
         base = new_cache(self.cfg.language, n_slots, max_len, kv_dtype)
@@ -780,11 +776,9 @@ class DeepseekOcrEngine:
             if self.mesh is not None:
                 raise NotImplementedError("int8 KV cache under a mesh")
             lang = self.cfg.language
-            k_scale = jnp.zeros(
-                (lang.num_hidden_layers, n_slots, lang.resolved_kv_heads, max_len),
-                jnp.float32,
+            k_scale, v_scale = alloc_slot_scales(
+                lang.num_hidden_layers, n_slots, lang.resolved_kv_heads, max_len
             )
-            v_scale = jnp.zeros_like(k_scale)
         lengths = jnp.zeros((n_slots,), jnp.int32)
         if self.mesh is not None:
             from ...parallel import cache_sharding, replicated
@@ -849,6 +843,12 @@ class DeepseekOcrEngine:
         rows only hold prompt+budget pages; the allocator rejects joins
         that would not fit)."""
         import os
+
+        if self.kv_quant is not None:
+            raise NotImplementedError(
+                "kv_quant is not supported with the paged slot runner — "
+                "use the contiguous slot cache (unset DSOCR_PAGED_KV)"
+            )
 
         from ...runtime.paged import (
             PageAllocator,

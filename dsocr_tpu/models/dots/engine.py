@@ -36,6 +36,7 @@ class DotsOcrEngine:
         max_seq_len: int = 16384,
         seed: int = 0,
         quantize: Optional[str] = None,
+        kv_quant: Optional[str] = None,
     ):
         self.cfg = cfg
         self.dtype_ = dtype
@@ -44,6 +45,9 @@ class DotsOcrEngine:
         if quantize is None:
             quantize = _os.environ.get("DSOCR_QUANT") or None
         self.quantize_ = quantize
+        from ...runtime.slots import resolve_kv_quant
+
+        self.kv_quant = resolve_kv_quant(kv_quant)
         self.max_seq_len = max_seq_len
         self._flash_prefill = _os.environ.get("DSOCR_FLASH_PREFILL", "1") != "0"
         if params is None:
@@ -200,18 +204,33 @@ class DotsOcrEngine:
             :, None, :
         ].astype(self.dtype_)
         positions = pos[:, None].astype(jnp.int32)
-        kv = KVCache(k=cache.k, v=cache.v, length=jnp.int32(0))
+        kv = KVCache(
+            k=cache.k, v=cache.v, length=jnp.int32(0),
+            k_scale=cache.k_scale, v_scale=cache.v_scale,
+        )
         logits, kv = qwen2_forward(
             model_params["decoder"], self.cfg.text, embeds, positions, kv,
             self._rope, row_lengths=cache.lengths,
         )
-        return logits, SlotCache(kv.k, kv.v, cache.lengths)
+        return logits, SlotCache(
+            kv.k, kv.v, cache.lengths, kv.k_scale, kv.v_scale
+        )
 
     def new_slot_cache(self, n_slots: int, max_len: int):
-        from ...runtime.slots import SlotCache
+        from ...runtime.slots import SlotCache, alloc_slot_scales
 
-        base = new_cache(self.cfg.text, n_slots, max_len, self.dtype_)
-        return SlotCache(k=base.k, v=base.v, lengths=jnp.zeros((n_slots,), jnp.int32))
+        kv_dtype = jnp.int8 if self.kv_quant == "int8" else self.dtype_
+        base = new_cache(self.cfg.text, n_slots, max_len, kv_dtype)
+        k_scale = v_scale = None
+        if self.kv_quant == "int8":
+            k_scale, v_scale = alloc_slot_scales(
+                self.cfg.text.num_hidden_layers, n_slots,
+                self.cfg.text.num_key_value_heads, max_len,
+            )
+        return SlotCache(
+            k=base.k, v=base.v, lengths=jnp.zeros((n_slots,), jnp.int32),
+            k_scale=k_scale, v_scale=v_scale,
+        )
 
     def make_slot_runner(self, ngram_max: int = 24):
         from ...runtime.slots import SlotRunner

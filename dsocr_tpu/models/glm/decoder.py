@@ -18,6 +18,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ...ops import attention, causal_mask, rms_norm, rotate_half
+from ...ops.attention import slot_kv_write_attend
 from ...ops.pallas.prefill_attention import flash_prefill_attention_auto
 from ...runtime.kv_cache import KVCache, init_kv_cache
 from .config import GlmTextConfig
@@ -148,7 +149,7 @@ def glm_forward(
     zero = jnp.int32(0)
 
     def body(carry, xs):
-        x, k_all, v_all = carry
+        x, k_all, v_all, ks_all, vs_all = carry
         layer, li = xs
         normed = rms_norm(x, layer["input_layernorm"], cfg.rms_norm_eps)
         q = _proj(normed, layer["q_proj"], layer.get("q_bias")).reshape(
@@ -163,13 +164,11 @@ def glm_forward(
         q = _apply_partial_rope(q, cos, sin, rope_dim)
         k = _apply_partial_rope(k, cos, sin, rope_dim)
         if row_lengths is not None:
-            # per-row write positions → scatter (one [B,H,D] slab per layer)
-            rows = jnp.arange(B)
-            k_all = k_all.at[li, rows, :, row_lengths, :].set(
-                k[:, :, 0, :].astype(k_all.dtype)
-            )
-            v_all = v_all.at[li, rows, :, row_lengths, :].set(
-                v[:, :, 0, :].astype(v_all.dtype)
+            # per-row write positions → scatter + attend (int8 codes +
+            # scales when the cache is quantized; shared across families)
+            attn, k_all, v_all, ks_all, vs_all = slot_kv_write_attend(
+                q, k, v, k_all, v_all, ks_all, vs_all, li, row_lengths,
+                mask, scale,
             )
         else:
             k_all = jax.lax.dynamic_update_slice(
@@ -178,19 +177,19 @@ def glm_forward(
             v_all = jax.lax.dynamic_update_slice(
                 v_all, v[None].astype(v_all.dtype), (li, zero, zero, start, zero)
             )
-        if flash_prefill and S > 1:
-            # prefill-from-empty-cache invariant (see
-            # ops/pallas/prefill_attention.py): only the prompt's own
-            # K/V matter — no [B,H,S,S_max] f32 scores in HBM.
-            attn = flash_prefill_attention_auto(
-                q, k.astype(q.dtype), v.astype(q.dtype), pad_start, scale=scale
-            )
-        else:
-            k_layer = jax.lax.dynamic_index_in_dim(k_all, li, 0, keepdims=False)
-            v_layer = jax.lax.dynamic_index_in_dim(v_all, li, 0, keepdims=False)
-            attn = attention(
-                q, k_layer.astype(q.dtype), v_layer.astype(q.dtype), mask, scale
-            )
+            if flash_prefill and S > 1:
+                # prefill-from-empty-cache invariant (see
+                # ops/pallas/prefill_attention.py): only the prompt's own
+                # K/V matter — no [B,H,S,S_max] f32 scores in HBM.
+                attn = flash_prefill_attention_auto(
+                    q, k.astype(q.dtype), v.astype(q.dtype), pad_start, scale=scale
+                )
+            else:
+                k_layer = jax.lax.dynamic_index_in_dim(k_all, li, 0, keepdims=False)
+                v_layer = jax.lax.dynamic_index_in_dim(v_all, li, 0, keepdims=False)
+                attn = attention(
+                    q, k_layer.astype(q.dtype), v_layer.astype(q.dtype), mask, scale
+                )
         attn = _proj(attn, layer["o_proj"])
         attn = rms_norm(attn, layer["post_self_attn_layernorm"], cfg.rms_norm_eps)
         x = (x.astype(jnp.float32) + attn.astype(jnp.float32)).astype(x.dtype)
@@ -201,11 +200,16 @@ def glm_forward(
         mlp = _proj((jax.nn.silu(gate) * up).astype(x.dtype), layer["down_proj"])
         mlp = rms_norm(mlp, layer["post_mlp_layernorm"], cfg.rms_norm_eps)
         x = (x.astype(jnp.float32) + mlp.astype(jnp.float32)).astype(x.dtype)
-        return (x, k_all, v_all), None
+        return (x, k_all, v_all, ks_all, vs_all), None
 
+    if cache.k_scale is not None and row_lengths is None:
+        raise ValueError("int8 KV cache supports slot decode steps only")
     idx = jnp.arange(cfg.num_hidden_layers, dtype=jnp.int32)
-    (x, new_k, new_v), _ = jax.lax.scan(body, (embeds, cache.k, cache.v), (lp, idx))
-    cache = KVCache(k=new_k, v=new_v, length=cache.length)
+    carry = (embeds, cache.k, cache.v, cache.k_scale, cache.v_scale)
+    (x, new_k, new_v, new_ks, new_vs), _ = jax.lax.scan(body, carry, (lp, idx))
+    cache = KVCache(
+        k=new_k, v=new_v, length=cache.length, k_scale=new_ks, v_scale=new_vs
+    )
 
     x = rms_norm(x, params["norm"], cfg.rms_norm_eps)
     head = params.get("lm_head")

@@ -94,31 +94,88 @@ def quantize_kv_int8(x: jnp.ndarray):
 
 def attention_kv_int8(
     q: jnp.ndarray,  # [B, H, Sq, D]
-    k_codes: jnp.ndarray,  # [B, H, Skv, D] int8
-    k_scale: jnp.ndarray,  # [B, H, Skv] f32
-    v_codes: jnp.ndarray,  # [B, H, Skv, Dv] int8
-    v_scale: jnp.ndarray,  # [B, H, Skv] f32
-    mask: Optional[jnp.ndarray] = None,
+    k_codes: jnp.ndarray,  # [B, H_kv, Skv, D] int8
+    k_scale: jnp.ndarray,  # [B, H_kv, Skv] f32
+    v_codes: jnp.ndarray,  # [B, H_kv, Skv, Dv] int8
+    v_scale: jnp.ndarray,  # [B, H_kv, Skv] f32
+    mask: Optional[jnp.ndarray] = None,  # [B, 1, Sq|1, Skv] (head-broadcast)
     scale: Optional[float] = None,
 ) -> jnp.ndarray:
-    """attention() over an int8-quantized KV cache. Same contract;
-    requires H_kv == H (the deepseek decoder is full MHA)."""
+    """attention() over an int8-quantized KV cache. GQA runs as grouped
+    einsums over the codes — the head repeat never materializes (the
+    whole point is reading fewer KV bytes). The mask must be
+    head-broadcastable (all decoders build [B, 1, 1, S_max] slot masks)."""
     dtype = q.dtype
-    assert k_codes.shape[1] == q.shape[1], "int8 KV path has no GQA repeat"
+    B, NH, Sq, D = q.shape
+    NKV, Skv = k_codes.shape[1], k_codes.shape[2]
+    assert NH % NKV == 0
+    G = NH // NKV  # q heads k*G..(k+1)*G share kv head k (repeat_kv order)
     if scale is None:
-        scale = 1.0 / (q.shape[-1] ** 0.5)
+        scale = 1.0 / (D**0.5)
+    qg = q.reshape(B, NKV, G, Sq, D)
     scores = jnp.einsum(
-        "bhqd,bhkd->bhqk", q, k_codes.astype(q.dtype),
+        "bkgqd,bksd->bkgqs", qg, k_codes.astype(q.dtype),
         preferred_element_type=jnp.float32,
-    ) * (k_scale[:, :, None, :] * jnp.float32(scale))
+    ) * (k_scale[:, :, None, None, :] * jnp.float32(scale))
     if mask is not None:
-        scores = jnp.where(mask, scores, jnp.float32(-1e30))
+        assert mask.ndim == 4 and mask.shape[1] == 1, "mask must be head-broadcastable"
+        scores = jnp.where(mask[:, :, None], scores, jnp.float32(-1e30))
     weights = jax.nn.softmax(scores.astype(jnp.float32), axis=-1)
     out = jnp.einsum(
-        "bhqk,bhkd->bhqd",
-        weights * v_scale[:, :, None, :],
+        "bkgqs,bksd->bkgqd",
+        weights * v_scale[:, :, None, None, :],
         v_codes.astype(jnp.float32),
         preferred_element_type=jnp.float32,
     )
-    b, h, sq, dv = out.shape
-    return out.transpose(0, 2, 1, 3).reshape(b, sq, h * dv).astype(dtype)
+    dv = out.shape[-1]
+    out = out.reshape(B, NH, Sq, dv)
+    return out.transpose(0, 2, 1, 3).reshape(B, Sq, NH * dv).astype(dtype)
+
+
+def slot_kv_write_attend(
+    q: jnp.ndarray,  # [B, NH, 1, D]
+    k: jnp.ndarray,  # [B, H_kv, 1, D] new token K (pre-quant dtype)
+    v: jnp.ndarray,  # [B, H_kv, 1, Dv]
+    k_all: jnp.ndarray,  # [L, B, H_kv, S_max, D] carry (dtype or int8 codes)
+    v_all: jnp.ndarray,
+    ks_all: Optional[jnp.ndarray],  # [L, B, H_kv, S_max] f32 scales or None
+    vs_all: Optional[jnp.ndarray],
+    li: jnp.ndarray,  # scalar int32 layer index (scan)
+    row_lengths: jnp.ndarray,  # [B] int32 per-row write positions
+    mask: Optional[jnp.ndarray],
+    scale: Optional[float],
+):
+    """Slot-mode (single-token) KV write + attend, shared by every
+    family's scanned decoder: writes row r's new K/V at row_lengths[r]
+    of layer li, then attends over that layer's cache. With ks_all/vs_all
+    present the carries hold int8 codes + per-token scales (half the
+    decode-step KV streaming); otherwise model dtype.
+    Returns (attn [B, 1, NH*Dv], k_all, v_all, ks_all, vs_all)."""
+    rows = jnp.arange(k.shape[0])
+    if ks_all is not None:
+        k_q, k_s = quantize_kv_int8(k)
+        v_q, v_s = quantize_kv_int8(v)
+        k_all = k_all.at[li, rows, :, row_lengths, :].set(k_q[:, :, 0, :])
+        v_all = v_all.at[li, rows, :, row_lengths, :].set(v_q[:, :, 0, :])
+        ks_all = ks_all.at[li, rows, :, row_lengths].set(k_s[:, :, 0])
+        vs_all = vs_all.at[li, rows, :, row_lengths].set(v_s[:, :, 0])
+        attn = attention_kv_int8(
+            q,
+            jax.lax.dynamic_index_in_dim(k_all, li, 0, keepdims=False),
+            jax.lax.dynamic_index_in_dim(ks_all, li, 0, keepdims=False),
+            jax.lax.dynamic_index_in_dim(v_all, li, 0, keepdims=False),
+            jax.lax.dynamic_index_in_dim(vs_all, li, 0, keepdims=False),
+            mask,
+            scale,
+        )
+        return attn, k_all, v_all, ks_all, vs_all
+    k_all = k_all.at[li, rows, :, row_lengths, :].set(
+        k[:, :, 0, :].astype(k_all.dtype)
+    )
+    v_all = v_all.at[li, rows, :, row_lengths, :].set(
+        v[:, :, 0, :].astype(v_all.dtype)
+    )
+    k_layer = jax.lax.dynamic_index_in_dim(k_all, li, 0, keepdims=False)
+    v_layer = jax.lax.dynamic_index_in_dim(v_all, li, 0, keepdims=False)
+    attn = attention(q, k_layer.astype(q.dtype), v_layer.astype(q.dtype), mask, scale)
+    return attn, k_all, v_all, ks_all, vs_all

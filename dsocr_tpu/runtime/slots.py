@@ -62,6 +62,24 @@ class SlotCache(NamedTuple):
         return self.k.shape[1]
 
 
+def resolve_kv_quant(kv_quant: Optional[str]) -> Optional[str]:
+    """Validate an engine's kv_quant setting (env fallback DSOCR_KV_QUANT).
+    None → model-dtype cache; 'int8' → codes + per-token scales."""
+    import os
+
+    if kv_quant is None:
+        kv_quant = os.environ.get("DSOCR_KV_QUANT") or None
+    if kv_quant not in (None, "int8"):
+        raise ValueError(f"unsupported kv_quant {kv_quant!r}")
+    return kv_quant
+
+
+def alloc_slot_scales(num_layers: int, n_slots: int, num_kv_heads: int, max_len: int):
+    """(k_scale, v_scale) zero-init buffers for an int8 slot cache."""
+    k_scale = jnp.zeros((num_layers, n_slots, num_kv_heads, max_len), jnp.float32)
+    return k_scale, jnp.zeros_like(k_scale)
+
+
 class SlotState(NamedTuple):
     cache: SlotCache
     context: jnp.ndarray  # [B, C] int32 — prompt + generated per row
