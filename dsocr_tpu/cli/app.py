@@ -133,6 +133,10 @@ def run_inference(args) -> int:
         print("error: tokenizer path unresolved", file=sys.stderr)
         return 1
 
+    from ..core.runtime_device import apply_device_selection
+
+    apply_device_selection(settings.device)
+
     load_timer = Timer("model.load")
     engine = load_engine(
         entry.kind,
@@ -142,6 +146,7 @@ def run_inference(args) -> int:
         dtype=settings.precision,
         max_seq_len=args.max_seq_len,
         mesh=args.mesh,
+        kv_quant=getattr(args, "kv_quant", None),
     )
     load_timer.finish(model=model_id)
     tokenizer = load_tokenizer(tokenizer_path)

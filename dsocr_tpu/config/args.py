@@ -24,6 +24,12 @@ def add_common_model_args(parser: argparse.ArgumentParser) -> None:
         help="device mesh spec for sharded execution, e.g. dp=1,mp=4 "
              "(append ,ep for expert parallelism over mp — deepseek only)",
     )
+    group.add_argument(
+        "--kv-quant", default=None, choices=("int8",),
+        help="quantize the serving KV cache (slot runtime): int8 codes + "
+             "per-token scales halve decode-step KV streaming "
+             "(DSOCR_KV_QUANT env is the fallback)",
+    )
 
 
 def add_common_inference_args(parser: argparse.ArgumentParser) -> None:

@@ -86,6 +86,7 @@ def load_engine(
     mesh: Optional[Any] = None,
     quantize: Optional[str] = None,
     ep: bool = False,
+    kv_quant: Optional[str] = None,
 ) -> OcrEngine:
     jdtype = resolve_dtype(dtype)
     if isinstance(mesh, str):
@@ -114,6 +115,7 @@ def load_engine(
             mesh=mesh,
             quantize=quantize,
             ep=ep,
+            kv_quant=kv_quant,
         )
     if kind is not ModelKind.DEEPSEEK and mesh is not None:
         raise NotImplementedError(
@@ -133,7 +135,7 @@ def load_engine(
             )
         return PaddleOcrEngine(
             cfg, params=params, dtype=jdtype, max_seq_len=max_seq_len,
-            quantize=quantize,
+            quantize=quantize, kv_quant=kv_quant,
         )
     if kind is ModelKind.DOTS_OCR:
         from .dots import DotsConfig, DotsOcrEngine
@@ -148,7 +150,7 @@ def load_engine(
             )
         return DotsOcrEngine(
             cfg, params=params, dtype=jdtype, max_seq_len=max_seq_len,
-            quantize=quantize,
+            quantize=quantize, kv_quant=kv_quant,
         )
     if kind is ModelKind.GLM_OCR:
         from .glm import GlmConfig, GlmOcrEngine
@@ -160,5 +162,8 @@ def load_engine(
             params = load_glm_params(
                 weights_path, cfg, dtype=jdtype, snapshot_path=snapshot_path
             )
-        return GlmOcrEngine(cfg, params=params, dtype=jdtype, max_seq_len=max_seq_len)
+        return GlmOcrEngine(
+            cfg, params=params, dtype=jdtype, max_seq_len=max_seq_len,
+            kv_quant=kv_quant,
+        )
     raise ValueError(f"unsupported model kind {kind}")

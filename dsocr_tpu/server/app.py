@@ -17,6 +17,7 @@ def main(argv=None) -> int:
     parser = argparse.ArgumentParser(prog="dsocr-server")
     add_common_model_args(parser)
     add_server_bind_args(parser)
+    parser.add_argument("--device", default=None, help="tpu | cpu")
     parser.add_argument("--max-seq-len", type=int, default=8192)
     args = parser.parse_args(argv)
 
@@ -33,7 +34,13 @@ def main(argv=None) -> int:
     host = args.host or config.server.host
     port = args.port or config.server.port
 
-    state = AppState(config, mesh=args.mesh)
+    from ..core.runtime_device import apply_device_selection
+
+    apply_device_selection(args.device or config.inference.device)
+
+    state = AppState(
+        config, mesh=args.mesh, kv_quant=getattr(args, "kv_quant", None)
+    )
     app = build_app(state)
     web.run_app(app, host=host, port=port)
     return 0

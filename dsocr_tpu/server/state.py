@@ -38,12 +38,14 @@ class AppState:
         max_seq_len: int = 8192,
         engine_factory=None,
         mesh=None,
+        kv_quant=None,
     ):
         self.config = config
         self.vfs = vfs or VirtualFileSystem()
         self.allow_download = allow_download
         self.max_seq_len = max_seq_len
         self.mesh = mesh
+        self.kv_quant = kv_quant
         self._engine_factory = engine_factory or self._default_factory
         self._loaded: Optional[LoadedModel] = None
         self._lock = asyncio.Lock()  # model swap + inference serialization
@@ -78,6 +80,7 @@ class AppState:
             dtype=settings.precision,
             max_seq_len=self.max_seq_len,
             mesh=self.mesh,
+            kv_quant=self.kv_quant,
         )
         tokenizer = load_tokenizer(paths.tokenizer)
         return LoadedModel(

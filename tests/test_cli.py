@@ -183,3 +183,35 @@ def test_cli_weights_snapshot_subcommand(model_home, monkeypatch, capsys):
     assert rc == 0
     assert "dsq export" in cap.out
     assert "q4k" in cap.out
+
+
+def test_cli_device_flag_cpu(model_home, sample_image, monkeypatch, capsys):
+    """--device cpu must steer JAX platform resolution (here already cpu)."""
+    rc, cap = _run(
+        [
+            "--model", "paddleocr-vl",
+            "--prompt", "<image> OCR.",
+            "--image", str(sample_image),
+            "--base-size", "28",
+            "--image-size", "56",
+            "--max-new-tokens", "2",
+            "--device", "cpu",
+            "--quiet",
+        ],
+        monkeypatch,
+        model_home,
+        capsys,
+    )
+    assert rc == 0
+
+
+def test_apply_device_selection_validates():
+    from dsocr_tpu.core.runtime_device import apply_device_selection
+
+    apply_device_selection(None)   # no-op
+    apply_device_selection("tpu")  # default platform, no-op
+    apply_device_selection("cpu")  # matches the test harness platform
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        apply_device_selection("metal")
