@@ -60,6 +60,12 @@ def add_server_bind_args(parser: argparse.ArgumentParser) -> None:
     group = parser.add_argument_group("server")
     group.add_argument("--host", default=None)
     group.add_argument("--port", type=int, default=None)
+    group.add_argument(
+        "--prefix-cache", type=int, default=None, metavar="N",
+        help="cache the last N prefill packets (vision + prompt KV) and "
+             "reuse them for byte-identical (prompt, images) requests; "
+             "entries pin HBM (DSOCR_PREFIX_CACHE env is the fallback)",
+    )
 
 
 def inference_override_from_args(args: argparse.Namespace) -> InferenceOverride:

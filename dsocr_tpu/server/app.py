@@ -39,7 +39,8 @@ def main(argv=None) -> int:
     apply_device_selection(args.device or config.inference.device)
 
     state = AppState(
-        config, mesh=args.mesh, kv_quant=getattr(args, "kv_quant", None)
+        config, mesh=args.mesh, kv_quant=getattr(args, "kv_quant", None),
+        prefix_cache=getattr(args, "prefix_cache", None),
     )
     app = build_app(state)
     web.run_app(app, host=host, port=port)

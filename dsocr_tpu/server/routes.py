@@ -145,6 +145,14 @@ async def metrics(request: web.Request) -> web.Response:
         lines.append(f"dsocr_slot_occupancy_mean {sum(occ) / len(occ):.3f}")
         lines.append("# TYPE dsocr_decode_chunks_total counter")
         lines.append(f"dsocr_decode_chunks_total {len(occ)}")
+    pcache = getattr(sched, "prefix_cache", None)
+    if pcache is not None:
+        lines.append("# TYPE dsocr_prefix_cache_hits_total counter")
+        lines.append(f"dsocr_prefix_cache_hits_total {pcache.hits}")
+        lines.append("# TYPE dsocr_prefix_cache_misses_total counter")
+        lines.append(f"dsocr_prefix_cache_misses_total {pcache.misses}")
+        lines.append("# TYPE dsocr_prefix_cache_entries gauge")
+        lines.append(f"dsocr_prefix_cache_entries {len(pcache)}")
     return web.Response(
         text="\n".join(lines) + "\n", content_type="text/plain"
     )

@@ -26,6 +26,7 @@ from ..core import DecodeOutcome, DecodeParameters, VisionSettings
 from ..core.benchmark import Timer
 from ..core.text import normalize_text
 from ..runtime.generate import clamp_new_tokens
+from .prefix_cache import PrefixCache, request_key
 
 logger = logging.getLogger("dsocr.scheduler")
 
@@ -83,6 +84,7 @@ class ContinuousScheduler:
         chunk_steps: int = 32,
         stream_chunk_steps: int = 16,
         prefill_batch: Optional[int] = None,
+        prefix_cache: Optional[int] = None,
     ):
         self.engine = engine
         self.tokenizer = tokenizer
@@ -117,6 +119,11 @@ class ContinuousScheduler:
         self._rows: List[Optional[_SlotJob]] = [None] * self.n_slots
         self._deferred: List[Tuple] = []  # pool-exhausted packets awaiting pages
         self.batch_sizes: List[int] = []  # occupancy per chunk (observability)
+        # prefill-packet reuse for identical (prompt, images, vision)
+        # requests; OFF by default — entries pin HBM (see prefix_cache.py)
+        if prefix_cache is None:
+            prefix_cache = int(os.environ.get("DSOCR_PREFIX_CACHE", "0"))
+        self.prefix_cache = PrefixCache(prefix_cache) if prefix_cache > 0 else None
 
     # -- public API ----------------------------------------------------------
 
@@ -299,12 +306,27 @@ class ContinuousScheduler:
         batched = getattr(self.engine, "prefill_for_slots", None)
         packets: List[Union[dict, Exception, None]] = [None] * len(jobs)
         todo = []
+        keys: List[Optional[str]] = [None] * len(jobs)
         for i, job in enumerate(jobs):
             try:
                 self._validate_job(job)
-                todo.append(i)
             except Exception as err:
                 packets[i] = err
+                continue
+            if self.prefix_cache is not None:
+                keys[i] = request_key(job.prompt, job.images, job.vision)
+                hit = self.prefix_cache.get(keys[i])
+                if hit is not None:
+                    with Timer("slot.prefix_hit"):
+                        packets[i] = self._finish_prepare(job, hit)
+                    continue
+                # identical request already being prefilled in this wave:
+                # let the first occurrence fill the cache, alias the rest
+                first = next((j for j in todo if keys[j] == keys[i]), None)
+                if first is not None:
+                    keys[i] = ("alias", first)
+                    continue
+            todo.append(i)
         if batched is not None and len(todo) > 1:
             try:
                 pres = batched(
@@ -316,7 +338,6 @@ class ContinuousScheduler:
                 )
                 for i, pre in zip(todo, pres):
                     packets[i] = self._finish_prepare(jobs[i], pre)
-                return packets
             except Exception:
                 # fall through to the per-job path for clean per-request
                 # errors — but never silently: this doubles vision work
@@ -334,6 +355,18 @@ class ContinuousScheduler:
                 packets[i] = self._prepare_job(jobs[i])
             except Exception as err:
                 packets[i] = err
+        if self.prefix_cache is not None:
+            for i in todo:
+                if isinstance(packets[i], dict) and keys[i] is not None:
+                    self.prefix_cache.put(keys[i], packets[i])
+            for i, key in enumerate(keys):
+                if not isinstance(key, tuple):  # only wave-local aliases
+                    continue
+                src = packets[key[1]]
+                if isinstance(src, dict):
+                    packets[i] = self._finish_prepare(jobs[i], src)
+                else:
+                    packets[i] = src or RuntimeError("prefill failed")
         return packets
 
     def _finish_prepare(self, job: _SlotJob, pre: dict) -> dict:

@@ -39,6 +39,7 @@ class AppState:
         engine_factory=None,
         mesh=None,
         kv_quant=None,
+        prefix_cache=None,
     ):
         self.config = config
         self.vfs = vfs or VirtualFileSystem()
@@ -46,6 +47,7 @@ class AppState:
         self.max_seq_len = max_seq_len
         self.mesh = mesh
         self.kv_quant = kv_quant
+        self.prefix_cache = prefix_cache
         self._engine_factory = engine_factory or self._default_factory
         self._loaded: Optional[LoadedModel] = None
         self._lock = asyncio.Lock()  # model swap + inference serialization
@@ -103,7 +105,8 @@ class AppState:
                     # continuous batching: mid-flight joins, per-row
                     # params, streaming participation
                     self._scheduler = ContinuousScheduler(
-                        engine, self._loaded.tokenizer
+                        engine, self._loaded.tokenizer,
+                        prefix_cache=self.prefix_cache,
                     )
                 else:
                     self._scheduler = BatchScheduler(

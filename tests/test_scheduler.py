@@ -365,3 +365,126 @@ def test_continuous_recovers_from_donated_state(slot_engine):
             leaf.delete()
     second = asyncio.run(one())
     assert second.generated_tokens == first.generated_tokens
+
+
+# -- prefix (prefill-packet) cache ---------------------------------------------
+
+
+class CountingEngine:
+    """Delegating wrapper that counts prefill work (per-request rows)."""
+
+    def __init__(self, engine):
+        self._engine = engine
+        self.rows_prefilled = 0
+
+    def __getattr__(self, name):
+        return getattr(self._engine, name)
+
+    def prefill_for_slot(self, tokenizer, prompt, images, vision):
+        self.rows_prefilled += 1
+        return self._engine.prefill_for_slot(tokenizer, prompt, images, vision)
+
+    def prefill_for_slots(self, tokenizer, requests):
+        self.rows_prefilled += len(requests)
+        return self._engine.prefill_for_slots(tokenizer, requests)
+
+
+def test_prefix_cache_reuses_identical_requests(slot_engine):
+    """Byte-identical (prompt, images, vision) requests prefill ONCE:
+    wave-local duplicates alias the first packet, later waves and later
+    event loops hit the LRU — and every output matches the solo run."""
+    tok = SlotTokenizer()
+    params = DecodeParameters(max_new_tokens=6, no_repeat_ngram_size=None)
+    img = _img(60)
+    solo = slot_engine.decode(tok, "<image>same", [img], VS, params)
+    engine = CountingEngine(slot_engine)
+    sched = ContinuousScheduler(engine, tok, n_slots=2, max_len=256,
+                                chunk_steps=3, prefix_cache=4)
+
+    async def burst(n):
+        return await asyncio.gather(
+            *(sched.submit("<image>same", [img], VS, params) for _ in range(n))
+        )
+
+    outs = asyncio.run(burst(4))
+    assert all(o.generated_tokens == solo.generated_tokens for o in outs)
+    assert engine.rows_prefilled == 1
+    assert sched.prefix_cache.hits + sched.prefix_cache.misses >= 1
+
+    # a fresh event loop reuses the cached packet too (device arrays are
+    # loop-independent)
+    outs2 = asyncio.run(burst(2))
+    assert all(o.generated_tokens == solo.generated_tokens for o in outs2)
+    assert engine.rows_prefilled == 1
+    assert sched.prefix_cache.hits >= 2
+
+
+def test_prefix_cache_distinct_requests_miss(slot_engine):
+    """Different image bytes (or prompt) must not collide."""
+    tok = SlotTokenizer()
+    params = DecodeParameters(max_new_tokens=5, no_repeat_ngram_size=None)
+    img_a, img_b = _img(61), _img(62)
+    solo_a = slot_engine.decode(tok, "<image>x", [img_a], VS, params)
+    solo_b = slot_engine.decode(tok, "<image>x", [img_b], VS, params)
+    engine = CountingEngine(slot_engine)
+    sched = ContinuousScheduler(engine, tok, n_slots=2, max_len=256,
+                                chunk_steps=3, prefix_cache=4)
+
+    async def go():
+        return await asyncio.gather(
+            sched.submit("<image>x", [img_a], VS, params),
+            sched.submit("<image>x", [img_b], VS, params),
+        )
+
+    ra, rb = asyncio.run(go())
+    assert ra.generated_tokens == solo_a.generated_tokens
+    assert rb.generated_tokens == solo_b.generated_tokens
+    assert engine.rows_prefilled == 2
+
+
+def test_prefix_cache_per_request_params(slot_engine):
+    """A cached packet is parameter-independent: the same packet serves
+    requests with different max_new/sampling (applied at join time)."""
+    tok = SlotTokenizer()
+    img = _img(63)
+    p_short = DecodeParameters(max_new_tokens=3, no_repeat_ngram_size=None)
+    p_long = DecodeParameters(max_new_tokens=9, no_repeat_ngram_size=None)
+    solo_short = slot_engine.decode(tok, "<image>p", [img], VS, p_short)
+    solo_long = slot_engine.decode(tok, "<image>p", [img], VS, p_long)
+    engine = CountingEngine(slot_engine)
+    sched = ContinuousScheduler(engine, tok, n_slots=2, max_len=256,
+                                chunk_steps=3, prefix_cache=2)
+
+    async def go():
+        return await asyncio.gather(
+            sched.submit("<image>p", [img], VS, p_short),
+            sched.submit("<image>p", [img], VS, p_long),
+        )
+
+    rs, rl = asyncio.run(go())
+    assert rs.generated_tokens == solo_short.generated_tokens
+    assert rl.generated_tokens == solo_long.generated_tokens
+    assert engine.rows_prefilled == 1
+
+
+def test_prefix_cache_lru_and_keys():
+    from dsocr_tpu.server.prefix_cache import PrefixCache, request_key
+
+    img = _img(64)
+    k1 = request_key("a", [img], VS)
+    assert k1 == request_key("a", [img.copy()], VS)
+    assert k1 != request_key("b", [img], VS)
+    assert k1 != request_key("a", [_img(65)], VS)
+    assert k1 != request_key("a", [img], VisionSettings(32, 32, False))
+    assert k1 != request_key("a", [img, img], VS)
+
+    cache = PrefixCache(2)
+    cache.put("k1", {"v": 1})
+    cache.put("k2", {"v": 2})
+    assert cache.get("k1") == {"v": 1}  # refreshes k1
+    cache.put("k3", {"v": 3})  # evicts k2 (LRU)
+    assert cache.get("k2") is None
+    assert cache.get("k1") == {"v": 1}
+    assert cache.get("k3") == {"v": 3}
+    assert len(cache) == 2
+    assert cache.hits == 3 and cache.misses == 1
