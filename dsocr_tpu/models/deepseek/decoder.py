@@ -303,7 +303,7 @@ def deepseek_forward(
 
             attn, k_all, v_all, ks_all, vs_all = slot_kv_write_attend(
                 q, k, v, k_all, v_all, ks_all, vs_all, li, row_lengths,
-                mask, scale,
+                mask, scale, mesh=mesh,
             )
             attn = _proj(attn, layer["o_proj"])
             x = (x.astype(jnp.float32) + attn.astype(jnp.float32)).astype(x.dtype)
@@ -322,14 +322,18 @@ def deepseek_forward(
                 v[:, :, 0, :].astype(v_all.dtype)
             )
         elif row_lengths is not None:
-            # per-row write positions → scatter (one [B,H,D] slab per layer)
-            rows = jnp.arange(B)
-            k_all = k_all.at[li, rows, :, row_lengths, :].set(
-                k[:, :, 0, :].astype(k_all.dtype)
+            # per-row write positions → scatter + attend (same shared
+            # helper as the int8 branch; on TPU it runs the Pallas slot
+            # kernel, which reads only [0, lengths[r]] of each row)
+            from ...ops.attention import slot_kv_write_attend
+
+            attn, k_all, v_all, _, _ = slot_kv_write_attend(
+                q, k, v, k_all, v_all, None, None, li, row_lengths,
+                mask, scale, mesh=mesh,
             )
-            v_all = v_all.at[li, rows, :, row_lengths, :].set(
-                v[:, :, 0, :].astype(v_all.dtype)
-            )
+            attn = _proj(attn, layer["o_proj"])
+            x = (x.astype(jnp.float32) + attn.astype(jnp.float32)).astype(x.dtype)
+            return x, k_all, v_all, ks_all, vs_all
         else:
             k_all = jax.lax.dynamic_update_slice(
                 k_all, k[None].astype(k_all.dtype), (li, zero, zero, start, zero)

@@ -144,6 +144,7 @@ def slot_kv_write_attend(
     row_lengths: jnp.ndarray,  # [B] int32 per-row write positions
     mask: Optional[jnp.ndarray],
     scale: Optional[float],
+    mesh=None,  # sharded slot decode falls back to the einsum path
 ):
     """Slot-mode (single-token) KV write + attend, shared by every
     family's scanned decoder: writes row r's new K/V at row_lengths[r]
@@ -151,6 +152,20 @@ def slot_kv_write_attend(
     present the carries hold int8 codes + per-token scales (half the
     decode-step KV streaming); otherwise model dtype.
     Returns (attn [B, 1, NH*Dv], k_all, v_all, ks_all, vs_all)."""
+    import os
+
+    if scale is None:
+        scale = 1.0 / (q.shape[-1] ** 0.5)
+    # The Pallas slot kernel walks only [0, lengths[r]] of each row and
+    # dequantizes int8 codes in VMEM (ops/pallas/slot_attention.py); the
+    # XLA einsum path streams the full S_max row. The slot mask is
+    # exactly `kv_pos <= row_lengths`, which the kernel derives from
+    # row_lengths itself. DSOCR_SLOT_ATTN_KERNEL: "0" forces the einsum
+    # path, "1" forces the kernel (interpreted off-TPU); default = TPU only.
+    flag = os.environ.get("DSOCR_SLOT_ATTN_KERNEL", "")
+    use_kernel = (
+        flag == "1" or (flag != "0" and jax.default_backend() == "tpu")
+    ) and mesh is None  # GSPMD slot decode would need a shard_map wrapper
     rows = jnp.arange(k.shape[0])
     if ks_all is not None:
         k_q, k_s = quantize_kv_int8(k)
@@ -159,6 +174,14 @@ def slot_kv_write_attend(
         v_all = v_all.at[li, rows, :, row_lengths, :].set(v_q[:, :, 0, :])
         ks_all = ks_all.at[li, rows, :, row_lengths].set(k_s[:, :, 0])
         vs_all = vs_all.at[li, rows, :, row_lengths].set(v_s[:, :, 0])
+        if use_kernel:
+            from .pallas.slot_attention import slot_decode_attention
+
+            attn = slot_decode_attention(
+                q, k_all, v_all, ks_all, vs_all, li, row_lengths,
+                scale=scale, interpret=jax.default_backend() != "tpu",
+            )
+            return attn, k_all, v_all, ks_all, vs_all
         attn = attention_kv_int8(
             q,
             jax.lax.dynamic_index_in_dim(k_all, li, 0, keepdims=False),
@@ -175,6 +198,14 @@ def slot_kv_write_attend(
     v_all = v_all.at[li, rows, :, row_lengths, :].set(
         v[:, :, 0, :].astype(v_all.dtype)
     )
+    if use_kernel:
+        from .pallas.slot_attention import slot_decode_attention
+
+        attn = slot_decode_attention(
+            q, k_all, v_all, None, None, li, row_lengths,
+            scale=scale, interpret=jax.default_backend() != "tpu",
+        )
+        return attn, k_all, v_all, ks_all, vs_all
     k_layer = jax.lax.dynamic_index_in_dim(k_all, li, 0, keepdims=False)
     v_layer = jax.lax.dynamic_index_in_dim(v_all, li, 0, keepdims=False)
     attn = attention(q, k_layer.astype(q.dtype), v_layer.astype(q.dtype), mask, scale)
