@@ -296,9 +296,9 @@ def deepseek_forward(
         k = _partial_rope(k, cos, sin, rope_dim, cfg.use_mla)
         # In-place updates on the scan carry (XLA aliases the buffers;
         # the old slice/concat layout copied the whole cache every step).
-        if ks_all is not None:
-            # int8 KV (slot decode only): store codes + per-token scales,
-            # attend straight from the codes (ops.attention helper)
+        if ks_all is not None and page_tables is None:
+            # int8 KV (contiguous slot decode): store codes + per-token
+            # scales, attend straight from the codes (ops.attention helper)
             from ...ops.attention import slot_kv_write_attend
 
             attn, k_all, v_all, ks_all, vs_all = slot_kv_write_attend(
@@ -315,12 +315,23 @@ def deepseek_forward(
             rows = jnp.arange(B)
             pids = page_tables[rows, row_lengths // page]
             offs = row_lengths % page
-            k_all = k_all.at[li, pids, :, offs, :].set(
-                k[:, :, 0, :].astype(k_all.dtype)
-            )
-            v_all = v_all.at[li, pids, :, offs, :].set(
-                v[:, :, 0, :].astype(v_all.dtype)
-            )
+            if ks_all is not None:
+                # int8 paged pool: quantize the new token on device
+                from ...ops.attention import quantize_kv_int8
+
+                k_q, k_s = quantize_kv_int8(k)
+                v_q, v_s = quantize_kv_int8(v)
+                k_all = k_all.at[li, pids, :, offs, :].set(k_q[:, :, 0, :])
+                v_all = v_all.at[li, pids, :, offs, :].set(v_q[:, :, 0, :])
+                ks_all = ks_all.at[li, pids, :, offs].set(k_s[:, :, 0])
+                vs_all = vs_all.at[li, pids, :, offs].set(v_s[:, :, 0])
+            else:
+                k_all = k_all.at[li, pids, :, offs, :].set(
+                    k[:, :, 0, :].astype(k_all.dtype)
+                )
+                v_all = v_all.at[li, pids, :, offs, :].set(
+                    v[:, :, 0, :].astype(v_all.dtype)
+                )
         elif row_lengths is not None:
             # per-row write positions → scatter + attend (same shared
             # helper as the int8 branch; on TPU it runs the Pallas slot
@@ -349,6 +360,7 @@ def deepseek_forward(
             ctx = paged_decode_attention_auto(
                 q[:, :, 0, :].astype(jnp.float32),
                 k_all, v_all, page_tables, row_lengths, li, scale=scale,
+                ks_pool=ks_all, vs_pool=vs_all,
             )
             attn = ctx[:, None, :].astype(q.dtype)  # [B, 1, H*Dv]
         elif flash_prefill and S > 1:

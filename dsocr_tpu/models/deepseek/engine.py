@@ -822,13 +822,18 @@ class DeepseekOcrEngine:
             :, None, :
         ].astype(self.dtype_)
         positions = pos[:, None].astype(jnp.int32)
-        kv = KVCache(k=cache.k, v=cache.v, length=jnp.int32(0))
+        kv = KVCache(
+            k=cache.k, v=cache.v, length=jnp.int32(0),
+            k_scale=cache.k_scale, v_scale=cache.v_scale,
+        )
         logits, kv = deepseek_forward(
             model_params["decoder"], self.cfg.language, embeds, positions, kv,
             self._rope, row_lengths=cache.lengths, page_tables=cache.tables,
             mesh=self.mesh,
         )
-        return logits, PagedSlotCache(kv.k, kv.v, cache.tables, cache.lengths)
+        return logits, PagedSlotCache(
+            kv.k, kv.v, cache.tables, cache.lengths, kv.k_scale, kv.v_scale
+        )
 
     def make_paged_slot_runner(
         self,
@@ -843,12 +848,6 @@ class DeepseekOcrEngine:
         rows only hold prompt+budget pages; the allocator rejects joins
         that would not fit)."""
         import os
-
-        if self.kv_quant is not None:
-            raise NotImplementedError(
-                "kv_quant is not supported with the paged slot runner — "
-                "use the contiguous slot cache (unset DSOCR_PAGED_KV)"
-            )
 
         from ...runtime.paged import (
             PageAllocator,
@@ -865,7 +864,7 @@ class DeepseekOcrEngine:
         cache = new_page_pool(
             cfg.num_hidden_layers, n_pages, cfg.resolved_kv_heads,
             cfg.head_dim, cfg.resolved_v_head_dim, page_size, n_slots,
-            p_max, self.dtype_,
+            p_max, self.dtype_, kv_quant=self.kv_quant,
         )
         eos = cfg.eos_token_id
         runner = PagedSlotRunner(

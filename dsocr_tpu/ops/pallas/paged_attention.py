@@ -27,6 +27,7 @@ position lengths[r], and the query attends [0, lengths[r]] inclusive.
 from __future__ import annotations
 
 import functools
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -39,8 +40,10 @@ def _kernel(
     tables_ref,  # [B, P_max] int32 (scalar prefetch)
     lengths_ref,  # [B] int32 (scalar prefetch)
     q_ref,  # [1, 1, D]
-    k_ref,  # [1, 1, 1, page, D]
+    k_ref,  # [1, 1, 1, page, D] model dtype or int8 codes
     v_ref,  # [1, 1, 1, page, Dv]
+    ks_ref,  # [1, 1, 1, page] f32 per-token scales or None
+    vs_ref,  # [1, 1, 1, page] f32 or None
     o_ref,  # [1, 1, Dv]
     m_ref,  # scratch [1, 1]
     l_ref,  # scratch [1, 1]
@@ -70,6 +73,9 @@ def _kernel(
             (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         ) * jnp.float32(scale)  # [1, page]
+        if ks_ref is not None:
+            # int8 codes: per-token K scales fold into the scores
+            scores = scores * ks_ref[0, 0, 0][None, :]
         pos = jax.lax.broadcasted_iota(jnp.int32, (1, page), 1) + j * page
         scores = jnp.where(pos < n_pos, scores, jnp.float32(-1e30))
 
@@ -78,6 +84,8 @@ def _kernel(
         alpha = jnp.exp(m_prev - m_new)
         p = jnp.exp(scores - m_new)  # [1, page]
         l_ref[0, 0] = l_ref[0, 0] * alpha + jnp.sum(p)
+        if vs_ref is not None:
+            p = p * vs_ref[0, 0, 0][None, :]
         acc_ref[...] = acc_ref[...] * alpha + jax.lax.dot_general(
             p, v.astype(jnp.float32), (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
@@ -89,18 +97,26 @@ def _kernel(
         o_ref[0] = acc_ref[...] / l_ref[0, 0]
 
 
+def _no_scale_kernel(layer_ref, tables_ref, lengths_ref, q_ref, k_ref, v_ref,
+                     o_ref, m_ref, l_ref, acc_ref, *, page, scale):
+    _kernel(layer_ref, tables_ref, lengths_ref, q_ref, k_ref, v_ref, None,
+            None, o_ref, m_ref, l_ref, acc_ref, page=page, scale=scale)
+
+
 @functools.partial(
     jax.jit, static_argnames=("scale", "interpret")
 )
 def paged_decode_attention(
     q: jnp.ndarray,  # [B, H, D] — one query token per row
-    k_pool: jnp.ndarray,  # [L, P, H_kv, page, D]
+    k_pool: jnp.ndarray,  # [L, P, H_kv, page, D] model dtype or int8 codes
     v_pool: jnp.ndarray,  # [L, P, H_kv, page, Dv]
     page_tables: jnp.ndarray,  # [B, P_max] int32 pool page ids
     lengths: jnp.ndarray,  # [B] int32 — new token already written at lengths[b]
     layer: jnp.ndarray,  # scalar int32
     *,
     scale: float,
+    ks_pool: Optional[jnp.ndarray] = None,  # [L, P, H_kv, page] f32 scales
+    vs_pool: Optional[jnp.ndarray] = None,
     interpret: bool = False,
 ) -> jnp.ndarray:
     """Returns [B, H*Dv] f32."""
@@ -109,35 +125,36 @@ def paged_decode_attention(
     assert H % H_kv == 0
     group = H // H_kv
     P_max = page_tables.shape[1]
+    quant = ks_pool is not None
+
+    def _pool_idx(b, h, j, lr, tr, nr):
+        # clamp past-the-end ordinals to the row's last used page:
+        # consecutive identical blocks skip the DMA
+        return (lr[0], tr[b, jnp.minimum(j, nr[b] // page)], h // group, 0, 0)
+
+    in_specs = [
+        pl.BlockSpec((1, 1, D), lambda b, h, j, lr, tr, nr: (b, h, 0)),
+        pl.BlockSpec((1, 1, 1, page, D), _pool_idx),
+        pl.BlockSpec((1, 1, 1, page, Dv), _pool_idx),
+    ]
+    operands = [q, k_pool, v_pool]
+    if quant:
+        scale_spec = pl.BlockSpec(
+            (1, 1, 1, page),
+            lambda b, h, j, lr, tr, nr: (
+                lr[0], tr[b, jnp.minimum(j, nr[b] // page)], h // group, 0
+            ),
+        )
+        in_specs += [scale_spec, scale_spec]
+        operands += [ks_pool, vs_pool]
+        kernel = functools.partial(_kernel, page=page, scale=scale)
+    else:
+        kernel = functools.partial(_no_scale_kernel, page=page, scale=scale)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,  # layer, tables, lengths
         grid=(B, H, P_max),
-        in_specs=[
-            pl.BlockSpec((1, 1, D), lambda b, h, j, lr, tr, nr: (b, h, 0)),
-            pl.BlockSpec(
-                (1, 1, 1, page, D),
-                # clamp past-the-end ordinals to the row's last used page:
-                # consecutive identical blocks skip the DMA
-                lambda b, h, j, lr, tr, nr: (
-                    lr[0],
-                    tr[b, jnp.minimum(j, nr[b] // page)],
-                    h // group,
-                    0,
-                    0,
-                ),
-            ),
-            pl.BlockSpec(
-                (1, 1, 1, page, Dv),
-                lambda b, h, j, lr, tr, nr: (
-                    lr[0],
-                    tr[b, jnp.minimum(j, nr[b] // page)],
-                    h // group,
-                    0,
-                    0,
-                ),
-            ),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((1, 1, Dv), lambda b, h, j, lr, tr, nr: (b, h, 0)),
         scratch_shapes=[
             pltpu.VMEM((1, 1), jnp.float32),
@@ -146,7 +163,7 @@ def paged_decode_attention(
         ],
     )
     out = pl.pallas_call(
-        functools.partial(_kernel, page=page, scale=scale),
+        kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((B, H, Dv), jnp.float32),
         interpret=interpret,
@@ -155,32 +172,40 @@ def paged_decode_attention(
         page_tables.astype(jnp.int32),
         lengths.astype(jnp.int32),
         q,
-    # pools passed whole; layer selection happens in the index maps
-        k_pool,
-        v_pool,
+        # pools passed whole; layer selection happens in the index maps
+        *operands[1:],
     )
     return out.reshape(B, H * Dv)
 
 
-def paged_decode_attention_auto(q, k_pool, v_pool, page_tables, lengths, layer, *, scale):
+def paged_decode_attention_auto(
+    q, k_pool, v_pool, page_tables, lengths, layer, *, scale,
+    ks_pool=None, vs_pool=None,
+):
     """Pallas on TPU, interpreter elsewhere (CPU tests)."""
     return paged_decode_attention(
         q, k_pool, v_pool, page_tables, lengths, layer, scale=scale,
+        ks_pool=ks_pool, vs_pool=vs_pool,
         interpret=jax.default_backend() != "tpu",
     )
 
 
 def paged_decode_attention_reference(
-    q, k_pool, v_pool, page_tables, lengths, layer, *, scale
+    q, k_pool, v_pool, page_tables, lengths, layer, *, scale,
+    ks_pool=None, vs_pool=None,
 ):
     """Pure-jnp oracle for tests: gather the row's pages contiguously and
-    run masked softmax attention."""
+    run masked softmax attention (dequantizing int8 codes if scales
+    are given)."""
     B, H, D = q.shape
     L, P, H_kv, page, Dv = v_pool.shape
     P_max = page_tables.shape[1]
     group = H // H_kv
-    k_l = k_pool[layer]  # [P, H_kv, page, D]
-    v_l = v_pool[layer]
+    k_l = k_pool[layer].astype(jnp.float32)  # [P, H_kv, page, D]
+    v_l = v_pool[layer].astype(jnp.float32)
+    if ks_pool is not None:
+        k_l = k_l * ks_pool[layer][..., None]
+        v_l = v_l * vs_pool[layer][..., None]
     # [B, P_max, H_kv, page, D] -> [B, H_kv, P_max*page, D]
     k_rows = k_l[page_tables].transpose(0, 2, 1, 3, 4).reshape(
         B, H_kv, P_max * page, D
@@ -192,11 +217,11 @@ def paged_decode_attention_reference(
         k_rows = jnp.repeat(k_rows, group, axis=1)
         v_rows = jnp.repeat(v_rows, group, axis=1)
     scores = jnp.einsum(
-        "bhd,bhkd->bhk", q.astype(jnp.float32), k_rows.astype(jnp.float32)
+        "bhd,bhkd->bhk", q.astype(jnp.float32), k_rows
     ) * scale
     pos = jnp.arange(P_max * page)
     mask = pos[None, None, :] <= lengths[:, None, None]
     scores = jnp.where(mask, scores, -1e30)
     w = jax.nn.softmax(scores, axis=-1)
-    out = jnp.einsum("bhk,bhkd->bhd", w, v_rows.astype(jnp.float32))
+    out = jnp.einsum("bhk,bhkd->bhd", w, v_rows)
     return out.reshape(B, H * Dv)

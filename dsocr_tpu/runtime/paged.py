@@ -21,7 +21,7 @@ north star names a paged cache (BASELINE.json).
 
 from __future__ import annotations
 
-from typing import Dict, List, NamedTuple, Tuple
+from typing import Dict, List, NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -33,10 +33,13 @@ from .slots import SlotRunner, SlotState
 class PagedSlotCache(NamedTuple):
     """Page pool + per-slot page tables and logical lengths."""
 
-    k: jnp.ndarray  # [L, P, H_kv, page, Dk] pool
+    k: jnp.ndarray  # [L, P, H_kv, page, Dk] pool (model dtype or int8 codes)
     v: jnp.ndarray  # [L, P, H_kv, page, Dv]
     tables: jnp.ndarray  # [B, P_max] int32 pool page ids per slot
     lengths: jnp.ndarray  # [B] int32 logical tokens per slot
+    # int8-quantized pool: per-(layer,page,head,offset) f32 scales
+    k_scale: Optional[jnp.ndarray] = None  # [L, P, H_kv, page]
+    v_scale: Optional[jnp.ndarray] = None
 
     @property
     def page_size(self) -> int:
@@ -106,12 +109,29 @@ def new_page_pool(
     n_slots: int,
     table_capacity: int,
     dtype,
+    kv_quant: Optional[str] = None,
 ) -> PagedSlotCache:
+    quant = kv_quant == "int8"
+    pool_dtype = jnp.int8 if quant else dtype
+
+    def scales():
+        # separate buffers: the join jit donates the whole state, and two
+        # leaves aliasing one array would be a double donation
+        if not quant:
+            return None
+        return jnp.zeros((n_layers, n_pages, n_kv_heads, page_size), jnp.float32)
+
     return PagedSlotCache(
-        k=jnp.zeros((n_layers, n_pages, n_kv_heads, page_size, head_dim), dtype),
-        v=jnp.zeros((n_layers, n_pages, n_kv_heads, page_size, v_head_dim), dtype),
+        k=jnp.zeros(
+            (n_layers, n_pages, n_kv_heads, page_size, head_dim), pool_dtype
+        ),
+        v=jnp.zeros(
+            (n_layers, n_pages, n_kv_heads, page_size, v_head_dim), pool_dtype
+        ),
         tables=jnp.zeros((n_slots, table_capacity), jnp.int32),
         lengths=jnp.zeros((n_slots,), jnp.int32),
+        k_scale=scales(),
+        v_scale=scales(),
     )
 
 
@@ -146,6 +166,14 @@ class PagedSlotRunner(SlotRunner):
         s_pad = row_k.shape[3]
         n_prompt_pages = s_pad // page
         k_pool, v_pool = cache.k, cache.v
+        ks_pool, vs_pool = cache.k_scale, cache.v_scale
+        row_ks = row_vs = None
+        if ks_pool is not None:
+            # int8 pool: quantize the prefilled row on device
+            from ..ops.attention import quantize_kv_int8
+
+            row_k, row_ks = quantize_kv_int8(row_k)
+            row_v, row_vs = quantize_kv_int8(row_v)
         zero = jnp.int32(0)
         for j in range(n_prompt_pages):  # static per s_pad bucket
             blk_k = jax.lax.slice_in_dim(row_k, j * page, (j + 1) * page, axis=3)
@@ -158,11 +186,26 @@ class PagedSlotRunner(SlotRunner):
                 v_pool, blk_v.astype(v_pool.dtype),
                 (zero, pages_row[j], zero, zero, zero),
             )
+            if ks_pool is not None:
+                blk_ks = jax.lax.slice_in_dim(
+                    row_ks, j * page, (j + 1) * page, axis=3
+                )
+                blk_vs = jax.lax.slice_in_dim(
+                    row_vs, j * page, (j + 1) * page, axis=3
+                )
+                ks_pool = jax.lax.dynamic_update_slice(
+                    ks_pool, blk_ks, (zero, pages_row[j], zero, zero)
+                )
+                vs_pool = jax.lax.dynamic_update_slice(
+                    vs_pool, blk_vs, (zero, pages_row[j], zero, zero)
+                )
         cache = PagedSlotCache(
             k=k_pool,
             v=v_pool,
             tables=state.cache.tables.at[row].set(pages_row),
             lengths=state.cache.lengths.at[row].set(prompt_len),
+            k_scale=ks_pool,
+            v_scale=vs_pool,
         )
         # non-cache state fields updated exactly like the base join
         sampling = type(state.sampling)(

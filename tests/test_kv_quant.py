@@ -266,9 +266,11 @@ def test_glm_slot_step_int8_kv_logit_parity():
     assert got.argmax() == ref.argmax()
 
 
-def test_paged_runner_rejects_kv_quant():
+def test_paged_runner_allocates_int8_pool():
     eng = _tiny_engine("int8")
-    import pytest
+    runner, cache = eng.make_paged_slot_runner(2, 256)
+    import jax.numpy as jnp
 
-    with pytest.raises(NotImplementedError, match="paged"):
-        eng.make_paged_slot_runner(2, 256)
+    assert cache.k.dtype == jnp.int8 and cache.v.dtype == jnp.int8
+    assert cache.k_scale is not None and cache.v_scale is not None
+    assert cache.k_scale.shape == cache.k.shape[:-1]  # per-token planes

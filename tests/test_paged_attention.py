@@ -70,3 +70,27 @@ def test_paged_ignores_unused_page_contents():
     )
     np.testing.assert_allclose(np.asarray(got), np.asarray(base),
                                rtol=2e-6, atol=2e-6)
+
+
+def test_paged_int8_matches_reference():
+    """int8 pool: per-token scales fold into scores/weights in-kernel."""
+    rng = np.random.default_rng(5)
+    B, H, H_kv, D, L, P, page, P_max = 3, 4, 2, 16, 2, 16, 8, 4
+    q = jnp.asarray(rng.normal(size=(B, H, D)).astype(np.float32))
+    k_pool = jnp.asarray(rng.integers(-127, 128, size=(L, P, H_kv, page, D)), jnp.int8)
+    v_pool = jnp.asarray(rng.integers(-127, 128, size=(L, P, H_kv, page, D)), jnp.int8)
+    ks = jnp.asarray(rng.uniform(0.01, 0.1, size=(L, P, H_kv, page)), jnp.float32)
+    vs = jnp.asarray(rng.uniform(0.01, 0.1, size=(L, P, H_kv, page)), jnp.float32)
+    tables = jnp.asarray(rng.permutation(P)[: B * P_max].reshape(B, P_max).astype(np.int32))
+    lens = jnp.asarray([0, 13, 31], jnp.int32)
+    for layer in (0, 1):
+        got = paged_decode_attention_auto(
+            q, k_pool, v_pool, tables, lens, jnp.int32(layer), scale=0.25,
+            ks_pool=ks, vs_pool=vs,
+        )
+        want = paged_decode_attention_reference(
+            q, k_pool, v_pool, tables, lens, layer, scale=0.25,
+            ks_pool=ks, vs_pool=vs,
+        )
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=2e-5, atol=2e-5)

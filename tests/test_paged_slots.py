@@ -123,3 +123,17 @@ def test_paged_sampled_rows_match(engine):
     paged = _serve(engine, prompts, imgs, params, env={"DSOCR_PAGED_KV": "1"})
     for a, b in zip(base, paged):
         assert a.generated_tokens == b.generated_tokens
+
+
+def test_paged_int8_kv_serving_matches_contiguous_int8():
+    """kv_quant=int8 works with the paged pool (scales ride per-page
+    planes): tokens match the contiguous int8 slot runtime."""
+    eng = DeepseekOcrEngine(tiny_deepseek_config(), dtype=jnp.float32,
+                            max_seq_len=1024, kv_quant="int8")
+    prompts = ["<image>q8a", "<image>q8 longer bb", "<image>q8c"]
+    imgs = [_img(30 + i) for i in range(3)]
+    params = DecodeParameters(max_new_tokens=6, no_repeat_ngram_size=None)
+    base = _serve(eng, prompts, imgs, params)
+    paged = _serve(eng, prompts, imgs, params, env={"DSOCR_PAGED_KV": "1"})
+    for a, b in zip(base, paged):
+        assert a.generated_tokens == b.generated_tokens
