@@ -773,26 +773,29 @@ class DeepseekOcrEngine:
         base = new_cache(self.cfg.language, n_slots, max_len, kv_dtype)
         k_scale = v_scale = None
         if self.kv_quant == "int8":
-            if self.mesh is not None:
-                raise NotImplementedError("int8 KV cache under a mesh")
             lang = self.cfg.language
             k_scale, v_scale = alloc_slot_scales(
                 lang.num_hidden_layers, n_slots, lang.resolved_kv_heads, max_len
             )
         lengths = jnp.zeros((n_slots,), jnp.int32)
         if self.mesh is not None:
-            from ...parallel import cache_sharding, replicated
+            from ...parallel import cache_sharding, replicated, scale_sharding
 
             if self.quantize_:
                 # EP-quantized serving replicates attention compute —
                 # the KV cache replicates with it (experts are what EP
                 # shrinks); a head-sharded cache would reshard per step
                 cs = replicated(self.mesh)
+                ss = replicated(self.mesh)
             else:
                 cs = cache_sharding(self.mesh, self.cfg.language.resolved_kv_heads)
+                ss = scale_sharding(self.mesh, self.cfg.language.resolved_kv_heads)
             base = base._replace(
                 k=jax.device_put(base.k, cs), v=jax.device_put(base.v, cs)
             )
+            if k_scale is not None:
+                k_scale = jax.device_put(k_scale, ss)
+                v_scale = jax.device_put(v_scale, ss)
             lengths = jax.device_put(lengths, replicated(self.mesh))
         return SlotCache(
             k=base.k, v=base.v, lengths=lengths,

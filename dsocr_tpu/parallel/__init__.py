@@ -13,6 +13,7 @@ from .mesh import (
     batch_sharding,
     replicated,
     cache_sharding,
+    scale_sharding,
     row_cache_sharding,
 )
 
@@ -22,5 +23,6 @@ __all__ = [
     "batch_sharding",
     "replicated",
     "cache_sharding",
+    "scale_sharding",
     "row_cache_sharding",
 ]

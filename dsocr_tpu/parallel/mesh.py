@@ -50,6 +50,15 @@ def cache_sharding(mesh: Mesh, num_kv_heads: int) -> NamedSharding:
     return NamedSharding(mesh, P(None, "dp", None, None, None))
 
 
+def scale_sharding(mesh: Mesh, num_kv_heads: int) -> NamedSharding:
+    """int8 KV scale planes [L, B, H_kv, S]: same layout as the cache
+    they describe (heads over mp, batch over dp), minus the D dim."""
+    mp = mesh.shape["mp"]
+    if num_kv_heads % mp == 0:
+        return NamedSharding(mesh, P(None, "dp", "mp", None))
+    return NamedSharding(mesh, P(None, "dp", None, None))
+
+
 def row_cache_sharding(mesh: Mesh, num_kv_heads: int) -> NamedSharding:
     """Single-row KV block [L, 1, H_kv, s_pad, D] (slot prefill): heads
     over mp only — B=1 cannot shard over dp."""

@@ -412,3 +412,62 @@ def test_q8_ep_engine_decode_matches_single_device():
             qcfg, dtype=jnp.float32, max_seq_len=512, quantize="q8_0",
             mesh=mesh, ep=False,
         )
+
+
+def test_mesh_slot_serving_int8_kv_matches_plain():
+    """int8 KV slot serving under a TP mesh: scale planes shard with the
+    cache (heads over mp, slots over dp); tokens must match the
+    single-device int8 run."""
+    import asyncio
+
+    import jax.numpy as jnp
+
+    from dsocr_tpu.core import DecodeParameters, VisionSettings
+    from dsocr_tpu.models.deepseek import DeepseekOcrEngine
+    from dsocr_tpu.models.deepseek.config import tiny_deepseek_config
+    from dsocr_tpu.server.scheduler import ContinuousScheduler
+
+    class FakeTokenizer:
+        def encode(self, text):
+            return [ord(c) % 100 for c in text]
+
+        def decode(self, ids, skip_special_tokens=True):
+            return "".join(chr(97 + (i % 26)) for i in ids)
+
+        def token_to_id(self, token):
+            return 127 if token == "<image>" else None
+
+    cfg = tiny_deepseek_config()
+    rng = np.random.default_rng(11)
+    imgs = [rng.integers(0, 256, (50, 50, 3), dtype=np.uint8) for _ in range(3)]
+    settings = VisionSettings(64, 64, False)
+    params = DecodeParameters(max_new_tokens=6, no_repeat_ngram_size=None)
+    prompts = ["<image>k1", "<image>k2 longer", "<image>k3"]
+
+    def serve(engine):
+        async def go():
+            sched = ContinuousScheduler(
+                engine, FakeTokenizer(), n_slots=2, max_len=256, chunk_steps=2
+            )
+            return await asyncio.gather(
+                *(
+                    sched.submit(p, [im], settings, params)
+                    for p, im in zip(prompts, imgs)
+                )
+            )
+
+        return asyncio.run(go())
+
+    plain = DeepseekOcrEngine(
+        cfg, dtype=jnp.float32, max_seq_len=512, seed=3, kv_quant="int8"
+    )
+    out_plain = serve(plain)
+
+    mesh = make_mesh(8, dp=2)
+    sharded = DeepseekOcrEngine(
+        cfg, dtype=jnp.float32, max_seq_len=512, seed=3, mesh=mesh,
+        kv_quant="int8",
+    )
+    out_sharded = serve(sharded)
+    for a, b in zip(out_plain, out_sharded):
+        assert a.generated_tokens == b.generated_tokens
