@@ -852,6 +852,13 @@ class DeepseekOcrEngine:
         that would not fit)."""
         import os
 
+        if self.mesh is not None:
+            raise NotImplementedError(
+                "paged slot KV under a mesh — the paged Pallas kernel "
+                "would need a shard_map wrapper; use the contiguous slot "
+                "cache (unset DSOCR_PAGED_KV) for sharded serving"
+            )
+
         from ...runtime.paged import (
             PageAllocator,
             PagedSlotRunner,

@@ -137,3 +137,25 @@ def test_paged_int8_kv_serving_matches_contiguous_int8():
     paged = _serve(eng, prompts, imgs, params, env={"DSOCR_PAGED_KV": "1"})
     for a, b in zip(base, paged):
         assert a.generated_tokens == b.generated_tokens
+
+
+def test_paged_under_mesh_falls_back_to_contiguous():
+    """A mesh engine with DSOCR_PAGED_KV=1 serves via the contiguous
+    cache (paged kernel has no shard_map wrapper); direct paged-runner
+    construction raises cleanly."""
+    from dsocr_tpu.parallel import make_mesh
+
+    mesh = make_mesh(8, dp=2)
+    eng = DeepseekOcrEngine(tiny_deepseek_config(), dtype=jnp.float32,
+                            max_seq_len=512, seed=3, mesh=mesh)
+    with pytest.raises(NotImplementedError, match="paged"):
+        eng.make_paged_slot_runner(2, 256)
+    plain = DeepseekOcrEngine(tiny_deepseek_config(), dtype=jnp.float32,
+                              max_seq_len=512, seed=3)
+    prompts = ["<image>m1", "<image>m2"]
+    imgs = [_img(70), _img(71)]
+    params = DecodeParameters(max_new_tokens=5, no_repeat_ngram_size=None)
+    base = _serve(plain, prompts, imgs, params)
+    served = _serve(eng, prompts, imgs, params, env={"DSOCR_PAGED_KV": "1"})
+    for a, b in zip(base, served):
+        assert a.generated_tokens == b.generated_tokens
