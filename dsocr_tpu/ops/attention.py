@@ -175,11 +175,10 @@ def slot_kv_write_attend(
         ks_all = ks_all.at[li, rows, :, row_lengths].set(k_s[:, :, 0])
         vs_all = vs_all.at[li, rows, :, row_lengths].set(v_s[:, :, 0])
         if use_kernel:
-            from .pallas.slot_attention import slot_decode_attention
+            from .pallas.slot_attention import slot_decode_attention_auto
 
-            attn = slot_decode_attention(
-                q, k_all, v_all, ks_all, vs_all, li, row_lengths,
-                scale=scale, interpret=jax.default_backend() != "tpu",
+            attn = slot_decode_attention_auto(
+                q, k_all, v_all, ks_all, vs_all, li, row_lengths, scale=scale
             )
             return attn, k_all, v_all, ks_all, vs_all
         attn = attention_kv_int8(
@@ -199,11 +198,10 @@ def slot_kv_write_attend(
         v[:, :, 0, :].astype(v_all.dtype)
     )
     if use_kernel:
-        from .pallas.slot_attention import slot_decode_attention
+        from .pallas.slot_attention import slot_decode_attention_auto
 
-        attn = slot_decode_attention(
-            q, k_all, v_all, None, None, li, row_lengths,
-            scale=scale, interpret=jax.default_backend() != "tpu",
+        attn = slot_decode_attention_auto(
+            q, k_all, v_all, None, None, li, row_lengths, scale=scale
         )
         return attn, k_all, v_all, ks_all, vs_all
     k_layer = jax.lax.dynamic_index_in_dim(k_all, li, 0, keepdims=False)

@@ -313,20 +313,27 @@ class ContinuousScheduler:
         for i, job in enumerate(jobs):
             try:
                 self._validate_job(job)
+                if self.prefix_cache is not None:
+                    # inside the try: a bad image object (e.g. a truncated
+                    # lazily-decoded PIL file raising in np.asarray) must
+                    # fail ITS job, not strand the whole wave's futures
+                    keys[i] = request_key(job.prompt, job.images, job.vision)
             except Exception as err:
                 packets[i] = err
                 continue
-            if self.prefix_cache is not None:
-                keys[i] = request_key(job.prompt, job.images, job.vision)
+            if keys[i] is not None:
                 hit = self.prefix_cache.get(keys[i])
                 if hit is not None:
                     with Timer("slot.prefix_hit"):
                         packets[i] = self._finish_prepare(job, hit)
                     continue
                 # identical request already being prefilled in this wave:
-                # let the first occurrence fill the cache, alias the rest
+                # alias the rest to the first occurrence (a hit in effect —
+                # count it as one so /metrics hit-rates reflect saved work)
                 first = next((j for j in todo if keys[j] == keys[i]), None)
                 if first is not None:
+                    self.prefix_cache.misses -= 1
+                    self.prefix_cache.hits += 1
                     keys[i] = ("alias", first)
                     continue
             todo.append(i)

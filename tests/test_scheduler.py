@@ -488,3 +488,48 @@ def test_prefix_cache_lru_and_keys():
     assert cache.get("k3") == {"v": 3}
     assert len(cache) == 2
     assert cache.hits == 3 and cache.misses == 1
+
+
+def test_prefix_cache_bad_image_fails_only_its_job(slot_engine):
+    """An image that raises while being digested (truncated file etc.)
+    must fail its own request, not strand the whole wave's futures."""
+
+    class ExplodingImage:
+        def __array__(self, *a, **k):
+            raise OSError("truncated image")
+
+    tok = SlotTokenizer()
+    params = DecodeParameters(max_new_tokens=4, no_repeat_ngram_size=None)
+    good = _img(80)
+    sched = ContinuousScheduler(slot_engine, tok, n_slots=2, max_len=256,
+                                chunk_steps=3, prefix_cache=4)
+
+    async def go():
+        return await asyncio.gather(
+            sched.submit("<image>good", [good], VS, params),
+            sched.submit("<image>bad", [ExplodingImage()], VS, params),
+            return_exceptions=True,
+        )
+
+    ok, bad = asyncio.run(go())
+    assert not isinstance(ok, Exception) and ok.response_tokens == 4
+    assert isinstance(bad, Exception)
+
+
+def test_prefix_cache_alias_counts_as_hit(slot_engine):
+    """Wave-local duplicates are served by aliasing one prefill — the
+    /metrics counters must reflect that as hits, not misses."""
+    tok = SlotTokenizer()
+    params = DecodeParameters(max_new_tokens=4, no_repeat_ngram_size=None)
+    img = _img(81)
+    sched = ContinuousScheduler(CountingEngine(slot_engine), tok, n_slots=2,
+                                max_len=256, chunk_steps=3, prefix_cache=4)
+
+    async def go():
+        return await asyncio.gather(
+            *(sched.submit("<image>dup", [img], VS, params) for _ in range(4))
+        )
+
+    asyncio.run(go())
+    assert sched.prefix_cache.misses == 1
+    assert sched.prefix_cache.hits == 3
