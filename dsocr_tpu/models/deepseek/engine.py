@@ -291,6 +291,55 @@ class DeepseekOcrEngine:
         sam_out = sam_forward(self.params["sam"], self.cfg.sam, pixels)
         return ocr2_encode_view(self.params["ocr2"], self.ocr2_cfg, sam_out)
 
+    def _ocr2_embeddings_batched(self, vins):
+        """OCR2 (Qwen2 decoder-as-encoder): pool every view of the wave's
+        images into per-shape batched encoder calls — one SAM+encoder
+        pass per (resolution, power-of-2 batch bucket) instead of one per
+        image — then reassemble each image's [local..., global,
+        separator] token block (ref qwen2.rs encode:336-372)."""
+        if not hasattr(self, "_ocr2_jit"):
+            self._ocr2_jit = jax.jit(self._ocr2_view)
+        sep = self.params["ocr2"]["view_seperator"].astype(self.dtype_)[None, :]
+        entries = []  # (vin_idx, kind, [3, S, S] uint8)
+        for vi, vin in enumerate(vins):
+            if vin.patches is not None:
+                for tile in np.asarray(vin.patches):
+                    entries.append((vi, "local", tile))
+            g = np.asarray(vin.global_pixels)
+            entries.append((vi, "global", g[0] if g.ndim == 4 else g))
+        locals_per_vin: List[List[jnp.ndarray]] = [[] for _ in vins]
+        globals_per_vin: List[Optional[jnp.ndarray]] = [None] * len(vins)
+        groups: Dict[Tuple[int, ...], List[Tuple[int, str, np.ndarray]]] = {}
+        for e in entries:  # entry order preserves each image's tile order
+            groups.setdefault(e[2].shape, []).append(e)
+        for es in groups.values():
+            batch = np.stack([e[2] for e in es])
+            # power-of-2 batch buckets: exact wave sizes would compile a
+            # fresh encoder graph per distinct pooled count
+            target = 1 << max(0, batch.shape[0] - 1).bit_length()
+            if target != batch.shape[0]:
+                pad = target - batch.shape[0]
+                batch = np.concatenate([batch, batch[-1:].repeat(pad, 0)])
+            out = self._ocr2_jit(jnp.asarray(batch))[: len(es)]
+            for (vi, kind, _), row in zip(es, out):
+                if kind == "local":
+                    locals_per_vin[vi].append(row)
+                else:
+                    globals_per_vin[vi] = row
+        outs = []
+        for vi in range(len(vins)):
+            segments = []
+            if locals_per_vin[vi]:
+                local = jnp.stack(locals_per_vin[vi])
+                segments.append(
+                    local.reshape(-1, local.shape[-1]).astype(self.dtype_)
+                )
+            g = globals_per_vin[vi]
+            segments.append(g.reshape(-1, g.shape[-1]).astype(self.dtype_))
+            segments.append(sep)
+            outs.append(jnp.concatenate(segments, axis=0))
+        return outs
+
     def compute_image_embedding(self, vin: VisionInput) -> jnp.ndarray:
         """[n_tokens, n_embed] fused image tokens for one image."""
         params = self.params
@@ -391,7 +440,7 @@ class DeepseekOcrEngine:
         if not vins:
             return []
         if self.cfg.variant == "ocr2":
-            return [self.compute_image_embedding(v) for v in vins]
+            return self._ocr2_embeddings_batched(vins)
         params = self.params
         newline = params["projector"]["image_newline"]
         # SAM's global-attention blocks keep large activations at 1024px —

@@ -529,3 +529,76 @@ def test_fused_params_match_unfused():
     np.testing.assert_allclose(
         np.asarray(fused_logits), np.asarray(ref_logits), rtol=1e-5, atol=1e-5
     )
+
+
+def test_ocr2_batched_embeddings_match_single():
+    """OCR2 pooled towers (one encoder call per view shape across the
+    wave) must reproduce the per-image embeddings, crop and flat mixed."""
+    import dataclasses as dc
+
+    from dsocr_tpu.models.deepseek.ocr2 import tiny_qwen2_encoder_params
+
+    cfg = dc.replace(tiny_deepseek_config(), variant="ocr2", clip=None)
+    engine = DeepseekOcrEngine(
+        cfg, dtype=jnp.float32, max_seq_len=512,
+        ocr2_params=tiny_qwen2_encoder_params(),
+    )
+    rng = np.random.default_rng(13)
+    settings = VisionSettings(base_size=128, image_size=128, crop_mode=False)
+    vins = [
+        engine.prepare_vision_input(
+            rng.integers(0, 256, (h, w, 3), dtype=np.uint8), settings
+        )
+        for h, w in ((100, 100), (90, 120), (128, 70))
+    ]
+    # crop-mode image: its tiles pool into the same per-shape batch
+    vins.append(
+        engine.prepare_vision_input(
+            rng.integers(0, 256, (300, 500, 3), dtype=np.uint8),
+            VisionSettings(base_size=128, image_size=128, crop_mode=True),
+        )
+    )
+    assert vins[-1].patches is not None  # really exercises pooled locals
+    singles = [engine.compute_image_embedding(v) for v in vins]
+    batched = engine._compute_image_embeddings_batched(vins)
+    assert len(batched) == len(singles)
+    for got, want in zip(batched, singles):
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), rtol=2e-5, atol=2e-5
+        )
+
+
+def test_ocr2_slot_serving_matches_solo():
+    """OCR2 engine through the continuous scheduler (pooled prefill
+    wave) reproduces solo decode tokens."""
+    import asyncio
+    import dataclasses as dc
+
+    from dsocr_tpu.models.deepseek.ocr2 import tiny_qwen2_encoder_params
+    from dsocr_tpu.server.scheduler import ContinuousScheduler
+
+    cfg = dc.replace(tiny_deepseek_config(), variant="ocr2", clip=None)
+    engine = DeepseekOcrEngine(
+        cfg, dtype=jnp.float32, max_seq_len=512,
+        ocr2_params=tiny_qwen2_encoder_params(),
+    )
+    rng = np.random.default_rng(14)
+    imgs = [rng.integers(0, 256, (100, 100, 3), dtype=np.uint8) for _ in range(2)]
+    settings = VisionSettings(base_size=128, image_size=128, crop_mode=False)
+    params = DecodeParameters(max_new_tokens=4, no_repeat_ngram_size=None)
+    tok = FakeTokenizer()
+    solos = [
+        engine.decode(tok, f"<image>o{i}", [im], settings, params)
+        for i, im in enumerate(imgs)
+    ]
+
+    async def go():
+        sched = ContinuousScheduler(engine, tok, n_slots=2, max_len=256,
+                                    chunk_steps=2)
+        return await asyncio.gather(*(
+            sched.submit(f"<image>o{i}", [im], settings, params)
+            for i, im in enumerate(imgs)
+        ))
+
+    for got, solo in zip(asyncio.run(go()), solos):
+        assert got.generated_tokens == solo.generated_tokens
