@@ -219,7 +219,7 @@ class SlotRunner:
 
     def _run_chunk_impl(
         self, model_params: Any, state: SlotState, n_steps: int
-    ) -> SlotState:
+    ) -> Tuple[SlotState, jnp.ndarray]:
         def cond(carry):
             i, s = carry
             return (i < n_steps) & jnp.any(s.active)
@@ -229,7 +229,21 @@ class SlotRunner:
             return i + 1, self._body(model_params, s)
 
         _, out = jax.lax.while_loop(cond, body, (jnp.int32(0), state))
-        return out
+        # packed harvest snapshot [B, C+3]: a DISTINCT output buffer (the
+        # concat is real compute, so it cannot alias the donated state),
+        # which lets the scheduler dispatch the NEXT chunk before pulling
+        # this one's tokens — the harvest device_get then overlaps the
+        # next chunk's compute instead of stalling the tunnel round-trip
+        snap = jnp.concatenate(
+            [
+                out.context,
+                out.ctx_len[:, None],
+                out.prompt_len[:, None],
+                out.active.astype(jnp.int32)[:, None],
+            ],
+            axis=1,
+        )
+        return out, snap
 
     def _join_impl(
         self,
@@ -358,7 +372,27 @@ class SlotRunner:
         return state, finished, int(first)
 
     def run_chunk(self, model_params: Any, state: SlotState, n_steps: int) -> SlotState:
+        state, _ = self._chunk_jit(model_params, state, n_steps=n_steps)
+        return state
+
+    def run_chunk_snap(
+        self, model_params: Any, state: SlotState, n_steps: int
+    ) -> Tuple[SlotState, jnp.ndarray]:
+        """(state, packed snapshot) — the snapshot can be harvested with
+        harvest_from_snap AFTER dispatching the next chunk (it does not
+        alias the donated state buffers)."""
         return self._chunk_jit(model_params, state, n_steps=n_steps)
+
+    def harvest_from_snap(self, snap: jnp.ndarray) -> SlotHarvest:
+        """One fused device_get of a run_chunk_snap snapshot."""
+        arr = np.asarray(jax.device_get(snap))
+        C = arr.shape[1] - 3
+        return SlotHarvest(
+            context=arr[:, :C],
+            ctx_len=arr[:, C],
+            prompt_len=arr[:, C + 1],
+            active=arr[:, C + 2].astype(bool),
+        )
 
     def harvest(self, state: SlotState) -> SlotHarvest:
         context, ctx_len, prompt_len, active = jax.device_get(

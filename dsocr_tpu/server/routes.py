@@ -145,6 +145,10 @@ async def metrics(request: web.Request) -> web.Response:
         lines.append(f"dsocr_slot_occupancy_mean {sum(occ) / len(occ):.3f}")
         lines.append("# TYPE dsocr_decode_chunks_total counter")
         lines.append(f"dsocr_decode_chunks_total {len(occ)}")
+        spec = getattr(sched, "speculated_chunks", None)
+        if spec is not None:
+            lines.append("# TYPE dsocr_speculated_chunks_total counter")
+            lines.append(f"dsocr_speculated_chunks_total {spec}")
     pcache = getattr(sched, "prefix_cache", None)
     if pcache is not None:
         lines.append("# TYPE dsocr_prefix_cache_hits_total counter")

@@ -124,6 +124,12 @@ class ContinuousScheduler:
         if prefix_cache is None:
             prefix_cache = int(os.environ.get("DSOCR_PREFIX_CACHE", "0"))
         self.prefix_cache = PrefixCache(prefix_cache) if prefix_cache > 0 else None
+        # speculative chunk dispatch: issue chunk N+1 before harvesting
+        # chunk N so the harvest's host<->device round-trip overlaps the
+        # next chunk's compute (gated to cases where N+1 is guaranteed
+        # useful — see _worker). DSOCR_PIPELINE_CHUNKS=0 disables.
+        self._pipeline = os.environ.get("DSOCR_PIPELINE_CHUNKS", "1") != "0"
+        self.speculated_chunks = 0  # observability (see /metrics)
 
     # -- public API ----------------------------------------------------------
 
@@ -491,39 +497,72 @@ class ContinuousScheduler:
                     else self.chunk_steps
                 )
                 chunk_t = Timer("slot.decode_chunk")
-                self._state = await loop.run_in_executor(
+                self._state, snap = await loop.run_in_executor(
                     None,
                     functools.partial(
-                        self._runner.run_chunk, self.engine.params, self._state, chunk
+                        self._runner.run_chunk_snap,
+                        self.engine.params, self._state, chunk,
                     ),
                 )
                 chunk_t.finish()
-                # harvest blocks on the chunk's device_get — its wall time
-                # is (device chunk time - dispatch overlap) + transfer
-                harvest_t = Timer("slot.harvest")
-                harvest = await loop.run_in_executor(
-                    None, self._runner.harvest, self._state
-                )
-                harvest_t.finish(rows=len(active_jobs))
-                for row, job in enumerate(self._rows):
-                    if job is None:
-                        continue
-                    tokens = harvest.generated(row)
-                    if job.stream_cb is not None and len(tokens) > job.emitted:
-                        try:
-                            job.stream_cb(len(tokens), tokens)
-                        except Exception:
-                            pass
-                    job.emitted = len(tokens)
-                    if not harvest.active[row]:
-                        self._finalize(job, tokens)
-                        self._rows[row] = None
-                        with Timer("slot.release"):
-                            self._state = await loop.run_in_executor(
-                                None, self._runner.release, self._state, row
-                            )
+                # Speculative dispatch: when chunk N+1 is guaranteed to be
+                # useful — no packet waiting for a slot, nobody streaming
+                # (stale deltas), and no active row can exhaust its budget
+                # within two chunks — issue it BEFORE harvesting chunk N,
+                # so the harvest round-trip overlaps its compute. Rows
+                # that hit EOS mid-chunk idle masked for one chunk.
+                snaps = [snap]
+                if (
+                    self._pipeline
+                    and self._ready_q.empty()
+                    and not self._deferred
+                    and all(j.stream_cb is None for j in active_jobs)
+                    and all(
+                        j.emitted + 2 * chunk <= j.max_new for j in active_jobs
+                    )
+                ):
+                    self.batch_sizes.append(len(active_jobs))
+                    self.speculated_chunks += 1
+                    chunk_t = Timer("slot.decode_chunk")
+                    self._state, snap2 = await loop.run_in_executor(
+                        None,
+                        functools.partial(
+                            self._runner.run_chunk_snap,
+                            self.engine.params, self._state, chunk,
+                        ),
+                    )
+                    chunk_t.finish()
+                    snaps.append(snap2)
+                for sn in snaps:
+                    # harvest blocks on its chunk's device_get — wall time
+                    # is (device chunk time - overlap) + transfer
+                    harvest_t = Timer("slot.harvest")
+                    harvest = await loop.run_in_executor(
+                        None, self._runner.harvest_from_snap, sn
+                    )
+                    harvest_t.finish(rows=len(active_jobs))
+                    await self._process_harvest(loop, harvest)
         finally:
             self._worker_task = None
+
+    async def _process_harvest(self, loop, harvest) -> None:
+        for row, job in enumerate(self._rows):
+            if job is None:
+                continue
+            tokens = harvest.generated(row)
+            if job.stream_cb is not None and len(tokens) > job.emitted:
+                try:
+                    job.stream_cb(len(tokens), tokens)
+                except Exception:
+                    pass
+            job.emitted = len(tokens)
+            if not harvest.active[row]:
+                self._finalize(job, tokens)
+                self._rows[row] = None
+                with Timer("slot.release"):
+                    self._state = await loop.run_in_executor(
+                        None, self._runner.release, self._state, row
+                    )
 
 
 class BatchScheduler:

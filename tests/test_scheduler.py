@@ -533,3 +533,53 @@ def test_prefix_cache_alias_counts_as_hit(slot_engine):
     asyncio.run(go())
     assert sched.prefix_cache.misses == 1
     assert sched.prefix_cache.hits == 3
+
+
+def test_speculative_chunk_dispatch_matches_serial(slot_engine, monkeypatch):
+    """With long budgets and no streaming, the worker dispatches chunk
+    N+1 before harvesting chunk N; tokens must match the serial run."""
+    tok = SlotTokenizer()
+    params = DecodeParameters(max_new_tokens=16, no_repeat_ngram_size=None)
+    imgs = [_img(90), _img(91)]
+    prompts = ["<image>sp1", "<image>sp2"]
+
+    def run(flag):
+        monkeypatch.setenv("DSOCR_PIPELINE_CHUNKS", flag)
+        sched = ContinuousScheduler(slot_engine, tok, n_slots=2, max_len=256,
+                                    chunk_steps=4)
+
+        async def go():
+            return await asyncio.gather(*(
+                sched.submit(p, [im], VS, params)
+                for p, im in zip(prompts, imgs)
+            ))
+
+        return asyncio.run(go()), sched
+
+    serial, s0 = run("0")
+    piped, s1 = run("1")
+    assert s0.speculated_chunks == 0
+    assert s1.speculated_chunks > 0  # 16 tokens / chunk 4 leaves >=1 window
+    for a, b in zip(serial, piped):
+        assert a.generated_tokens == b.generated_tokens
+
+
+def test_speculation_skipped_for_streaming(slot_engine, monkeypatch):
+    """Streaming requests keep per-chunk harvests (no stale deltas)."""
+    monkeypatch.setenv("DSOCR_PIPELINE_CHUNKS", "1")
+    tok = SlotTokenizer()
+    params = DecodeParameters(max_new_tokens=12, no_repeat_ngram_size=None)
+    img = _img(92)
+    seen = []
+    sched = ContinuousScheduler(slot_engine, tok, n_slots=1, max_len=256,
+                                chunk_steps=4, stream_chunk_steps=4)
+
+    async def go():
+        return await sched.submit(
+            "<image>stream", [img], VS, params,
+            stream_cb=lambda n, toks: seen.append(n),
+        )
+
+    out = asyncio.run(go())
+    assert sched.speculated_chunks == 0
+    assert seen and seen[-1] == len(out.generated_tokens)
