@@ -280,6 +280,17 @@ def deepseek_forward(
 
     zero = jnp.int32(0)
 
+    from ...ops.linear import split_quantized as _split_quantized
+    from ...ops.linear import with_quantized as _with_quantized
+
+    dense_q, dense_xs = (
+        _split_quantized(params["dense_layers"]) if num_dense else ({}, {})
+    )
+    moe_q, moe_xs = _split_quantized(params["moe_layers"]) if num_moe else ({}, {})
+    # quantized (EP-style) layouts replicate the slot cache — the slot
+    # attention kernel's shard_map wrapper only fits head-sharded caches
+    slot_mesh = None if (dense_q or moe_q) else mesh
+
     def attn_block(x, k_all, v_all, ks_all, vs_all, layer, li):
         normed = rms_norm(x, layer["input_layernorm"], cfg.rms_norm_eps)
         if "qkv_proj" in layer:
@@ -303,7 +314,7 @@ def deepseek_forward(
 
             attn, k_all, v_all, ks_all, vs_all = slot_kv_write_attend(
                 q, k, v, k_all, v_all, ks_all, vs_all, li, row_lengths,
-                mask, scale, mesh=mesh,
+                mask, scale, mesh=slot_mesh,
             )
             attn = _proj(attn, layer["o_proj"])
             x = (x.astype(jnp.float32) + attn.astype(jnp.float32)).astype(x.dtype)
@@ -340,7 +351,7 @@ def deepseek_forward(
 
             attn, k_all, v_all, _, _ = slot_kv_write_attend(
                 q, k, v, k_all, v_all, None, None, li, row_lengths,
-                mask, scale, mesh=mesh,
+                mask, scale, mesh=slot_mesh,
             )
             attn = _proj(attn, layer["o_proj"])
             x = (x.astype(jnp.float32) + attn.astype(jnp.float32)).astype(x.dtype)
@@ -382,14 +393,6 @@ def deepseek_forward(
         attn = _proj(attn, layer["o_proj"])
         x = (x.astype(jnp.float32) + attn.astype(jnp.float32)).astype(x.dtype)
         return x, k_all, v_all, ks_all, vs_all
-
-    from ...ops.linear import split_quantized as _split_quantized
-    from ...ops.linear import with_quantized as _with_quantized
-
-    dense_q, dense_xs = (
-        _split_quantized(params["dense_layers"]) if num_dense else ({}, {})
-    )
-    moe_q, moe_xs = _split_quantized(params["moe_layers"]) if num_moe else ({}, {})
 
     def dense_body(carry, xs):
         x, k_all, v_all, ks_all, vs_all = carry

@@ -132,6 +132,26 @@ def attention_kv_int8(
     return out.transpose(0, 2, 1, 3).reshape(B, Sq, NH * dv).astype(dtype)
 
 
+def _slot_kernel_dispatch(q, k_all, v_all, ks_all, vs_all, li, row_lengths,
+                          scale, mesh):
+    """Route to the fused slot kernel: direct when single-device,
+    shard_map per-shard under a mesh. Returns None when the mesh axes
+    don't divide (caller falls back to the einsum path)."""
+    from .pallas.slot_attention import (
+        slot_decode_attention_auto,
+        slot_decode_attention_mesh,
+    )
+
+    if mesh is None:
+        return slot_decode_attention_auto(
+            q, k_all, v_all, ks_all, vs_all, li, row_lengths, scale=scale
+        )
+    return slot_decode_attention_mesh(
+        q, k_all, v_all, ks_all, vs_all, li, row_lengths, scale=scale,
+        mesh=mesh,
+    )
+
+
 def slot_kv_write_attend(
     q: jnp.ndarray,  # [B, NH, 1, D]
     k: jnp.ndarray,  # [B, H_kv, 1, D] new token K (pre-quant dtype)
@@ -160,12 +180,13 @@ def slot_kv_write_attend(
     # dequantizes int8 codes in VMEM (ops/pallas/slot_attention.py); the
     # XLA einsum path streams the full S_max row. The slot mask is
     # exactly `kv_pos <= row_lengths`, which the kernel derives from
-    # row_lengths itself. DSOCR_SLOT_ATTN_KERNEL: "0" forces the einsum
-    # path, "1" forces the kernel (interpreted off-TPU); default = TPU only.
+    # row_lengths itself. Under a mesh the kernel runs per-shard via
+    # shard_map (pass mesh=None for replicated cache layouts, e.g.
+    # EP-quantized serving). DSOCR_SLOT_ATTN_KERNEL: "0" forces the
+    # einsum path, "1" forces the kernel (interpreted off-TPU);
+    # default = TPU only.
     flag = os.environ.get("DSOCR_SLOT_ATTN_KERNEL", "")
-    use_kernel = (
-        flag == "1" or (flag != "0" and jax.default_backend() == "tpu")
-    ) and mesh is None  # GSPMD slot decode would need a shard_map wrapper
+    use_kernel = flag == "1" or (flag != "0" and jax.default_backend() == "tpu")
     rows = jnp.arange(k.shape[0])
     if ks_all is not None:
         k_q, k_s = quantize_kv_int8(k)
@@ -175,12 +196,11 @@ def slot_kv_write_attend(
         ks_all = ks_all.at[li, rows, :, row_lengths].set(k_s[:, :, 0])
         vs_all = vs_all.at[li, rows, :, row_lengths].set(v_s[:, :, 0])
         if use_kernel:
-            from .pallas.slot_attention import slot_decode_attention_auto
-
-            attn = slot_decode_attention_auto(
-                q, k_all, v_all, ks_all, vs_all, li, row_lengths, scale=scale
+            attn = _slot_kernel_dispatch(
+                q, k_all, v_all, ks_all, vs_all, li, row_lengths, scale, mesh
             )
-            return attn, k_all, v_all, ks_all, vs_all
+            if attn is not None:
+                return attn, k_all, v_all, ks_all, vs_all
         attn = attention_kv_int8(
             q,
             jax.lax.dynamic_index_in_dim(k_all, li, 0, keepdims=False),
@@ -198,12 +218,11 @@ def slot_kv_write_attend(
         v[:, :, 0, :].astype(v_all.dtype)
     )
     if use_kernel:
-        from .pallas.slot_attention import slot_decode_attention_auto
-
-        attn = slot_decode_attention_auto(
-            q, k_all, v_all, None, None, li, row_lengths, scale=scale
+        attn = _slot_kernel_dispatch(
+            q, k_all, v_all, None, None, li, row_lengths, scale, mesh
         )
-        return attn, k_all, v_all, ks_all, vs_all
+        if attn is not None:
+            return attn, k_all, v_all, ks_all, vs_all
     k_layer = jax.lax.dynamic_index_in_dim(k_all, li, 0, keepdims=False)
     v_layer = jax.lax.dynamic_index_in_dim(v_all, li, 0, keepdims=False)
     attn = attention(q, k_layer.astype(q.dtype), v_layer.astype(q.dtype), mask, scale)

@@ -200,3 +200,62 @@ def slot_decode_attention_auto(
         q, k_all, v_all, ks_all, vs_all, layer, lengths, scale=scale,
         interpret=jax.default_backend() != "tpu",
     )
+
+
+def slot_decode_attention_mesh(
+    q, k_all, v_all, ks_all, vs_all, layer, lengths, *, scale, mesh
+):
+    """shard_map wrapper for head-sharded slot caches (heads over mp,
+    slots over dp — parallel/mesh.py cache_sharding): Pallas calls have
+    no GSPMD partitioning rule, so without this every sharded slot
+    decode fell back to the full-row einsum path. Returns None when the
+    head/slot counts don't divide the mesh (caller falls back)."""
+    import functools
+
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    mp = mesh.shape.get("mp", 1)
+    dp = mesh.shape.get("dp", 1)
+    B, NH = q.shape[0], q.shape[1]
+    NKV = k_all.shape[2]
+    h_axis = "mp" if (mp > 1 and NH % mp == 0 and NKV % mp == 0) else None
+    b_axis = "dp" if (dp > 1 and B % dp == 0) else None
+    if h_axis is None and b_axis is None:
+        return None
+    interpret = jax.default_backend() != "tpu"
+    quant = ks_all is not None
+    kv_spec = P(None, b_axis, h_axis, None, None)
+    scale_spec = P(None, b_axis, h_axis, None)
+
+    def per_shard(q_, k_, v_, ks_, vs_, li_, lengths_):
+        return slot_decode_attention(
+            q_, k_, v_, ks_ if quant else None, vs_ if quant else None,
+            li_, lengths_, scale=scale, interpret=interpret,
+        )
+
+    fn = shard_map(
+        per_shard,
+        mesh=mesh,
+        in_specs=(
+            P(b_axis, h_axis, None, None),
+            kv_spec,
+            kv_spec,
+            scale_spec if quant else P(),
+            scale_spec if quant else P(),
+            P(),
+            P(b_axis),
+        ),
+        # [B, 1, NH*Dv]: the flattened head dim stays sharded over mp —
+        # the layout o_proj (input dim over mp) consumes
+        out_specs=P(b_axis, None, h_axis),
+        check_vma=False,  # pallas out_shape carries no vma
+    )
+    zero = jnp.zeros((), jnp.float32)
+    return fn(
+        q, k_all, v_all,
+        ks_all if quant else zero,
+        vs_all if quant else zero,
+        jnp.asarray(layer, jnp.int32),
+        lengths,
+    )

@@ -471,3 +471,59 @@ def test_mesh_slot_serving_int8_kv_matches_plain():
     out_sharded = serve(sharded)
     for a, b in zip(out_plain, out_sharded):
         assert a.generated_tokens == b.generated_tokens
+
+
+def test_mesh_slot_serving_kernel_matches_einsum(monkeypatch):
+    """The fused slot decode-attention kernel under a mesh (shard_map,
+    heads over mp / slots over dp) reproduces the einsum-path tokens,
+    float and int8 KV."""
+    import asyncio
+
+    import jax.numpy as jnp
+
+    from dsocr_tpu.core import DecodeParameters, VisionSettings
+    from dsocr_tpu.models.deepseek import DeepseekOcrEngine
+    from dsocr_tpu.models.deepseek.config import tiny_deepseek_config
+    from dsocr_tpu.server.scheduler import ContinuousScheduler
+
+    class FakeTokenizer:
+        def encode(self, text):
+            return [ord(c) % 100 for c in text]
+
+        def decode(self, ids, skip_special_tokens=True):
+            return "".join(chr(97 + (i % 26)) for i in ids)
+
+        def token_to_id(self, token):
+            return 127 if token == "<image>" else None
+
+    cfg = tiny_deepseek_config()
+    rng = np.random.default_rng(23)
+    imgs = [rng.integers(0, 256, (50, 50, 3), dtype=np.uint8) for _ in range(2)]
+    settings = VisionSettings(64, 64, False)
+    params = DecodeParameters(max_new_tokens=5, no_repeat_ngram_size=None)
+
+    def serve(flag, kvq):
+        monkeypatch.setenv("DSOCR_SLOT_ATTN_KERNEL", flag)
+        engine = DeepseekOcrEngine(
+            cfg, dtype=jnp.float32, max_seq_len=512, seed=3,
+            mesh=make_mesh(8, dp=2), kv_quant=kvq,
+        )
+
+        async def go():
+            sched = ContinuousScheduler(
+                engine, FakeTokenizer(), n_slots=2, max_len=256, chunk_steps=2
+            )
+            return await asyncio.gather(
+                *(
+                    sched.submit(f"<image>x{i}", [im], settings, params)
+                    for i, im in enumerate(imgs)
+                )
+            )
+
+        return asyncio.run(go())
+
+    for kvq in (None, "int8"):
+        einsum = serve("0", kvq)
+        kernel = serve("1", kvq)
+        for a, b in zip(einsum, kernel):
+            assert a.generated_tokens == b.generated_tokens
