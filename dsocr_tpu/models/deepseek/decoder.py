@@ -288,8 +288,9 @@ def deepseek_forward(
     )
     moe_q, moe_xs = _split_quantized(params["moe_layers"]) if num_moe else ({}, {})
     # quantized (EP-style) layouts replicate the slot cache — the slot
-    # attention kernel's shard_map wrapper only fits head-sharded caches
-    slot_mesh = None if (dense_q or moe_q) else mesh
+    # kernel's shard_map wrapper then runs replicated per shard instead
+    # of head-sharded (engine.new_slot_cache chooses the same split)
+    slot_cache_replicated = bool(dense_q or moe_q)
 
     def attn_block(x, k_all, v_all, ks_all, vs_all, layer, li):
         normed = rms_norm(x, layer["input_layernorm"], cfg.rms_norm_eps)
@@ -314,7 +315,8 @@ def deepseek_forward(
 
             attn, k_all, v_all, ks_all, vs_all = slot_kv_write_attend(
                 q, k, v, k_all, v_all, ks_all, vs_all, li, row_lengths,
-                mask, scale, mesh=slot_mesh,
+                mask, scale, mesh=mesh,
+                cache_replicated=slot_cache_replicated,
             )
             attn = _proj(attn, layer["o_proj"])
             x = (x.astype(jnp.float32) + attn.astype(jnp.float32)).astype(x.dtype)
@@ -351,7 +353,8 @@ def deepseek_forward(
 
             attn, k_all, v_all, _, _ = slot_kv_write_attend(
                 q, k, v, k_all, v_all, None, None, li, row_lengths,
-                mask, scale, mesh=slot_mesh,
+                mask, scale, mesh=mesh,
+                cache_replicated=slot_cache_replicated,
             )
             attn = _proj(attn, layer["o_proj"])
             x = (x.astype(jnp.float32) + attn.astype(jnp.float32)).astype(x.dtype)

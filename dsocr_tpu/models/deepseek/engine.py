@@ -312,16 +312,32 @@ class DeepseekOcrEngine:
         groups: Dict[Tuple[int, ...], List[Tuple[int, str, np.ndarray]]] = {}
         for e in entries:  # entry order preserves each image's tile order
             groups.setdefault(e[2].shape, []).append(e)
-        for es in groups.values():
-            batch = np.stack([e[2] for e in es])
-            # power-of-2 batch buckets: exact wave sizes would compile a
-            # fresh encoder graph per distinct pooled count
-            target = 1 << max(0, batch.shape[0] - 1).bit_length()
-            if target != batch.shape[0]:
+        for shape, es in groups.items():
+            # micro-batch cap (like the OCR1 tower path): SAM activations
+            # at big views must fit HBM beside the decoder weights, and
+            # the cap bounds the compile-bucket space
+            cap = 4 if shape[-1] >= 1024 else getattr(self, "vision_batch_tiles", 16)
+            chunks = []
+            for i in range(0, len(es), cap):
+                batch = np.stack([e[2] for e in es[i : i + cap]])
+                # power-of-2 batch buckets: exact wave sizes would compile
+                # a fresh encoder graph per distinct pooled count
+                target = min(
+                    cap, 1 << max(0, batch.shape[0] - 1).bit_length()
+                )
                 pad = target - batch.shape[0]
-                batch = np.concatenate([batch, batch[-1:].repeat(pad, 0)])
-            out = self._ocr2_jit(jnp.asarray(batch))[: len(es)]
-            for (vi, kind, _), row in zip(es, out):
+                if pad:
+                    batch = np.concatenate([batch, batch[-1:].repeat(pad, 0)])
+                # background-thread upload overlaps the previous chunk's
+                # encoder compute (same reasoning as the OCR1 path above)
+                chunks.append(
+                    (self._transfer_pool.submit(jax.device_put, batch), pad)
+                )
+            outs_flat = []
+            for fut, pad in chunks:
+                out = self._ocr2_jit(fut.result())
+                outs_flat.extend(out[: out.shape[0] - pad] if pad else out)
+            for (vi, kind, _), row in zip(es, outs_flat):
                 if kind == "local":
                     locals_per_vin[vi].append(row)
                 else:

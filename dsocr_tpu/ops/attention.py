@@ -133,10 +133,10 @@ def attention_kv_int8(
 
 
 def _slot_kernel_dispatch(q, k_all, v_all, ks_all, vs_all, li, row_lengths,
-                          scale, mesh):
+                          scale, mesh, cache_replicated=False):
     """Route to the fused slot kernel: direct when single-device,
-    shard_map per-shard under a mesh. Returns None when the mesh axes
-    don't divide (caller falls back to the einsum path)."""
+    shard_map per-shard under a mesh. Returns None when the mesh layout
+    can't be expressed (caller falls back to the einsum path)."""
     from .pallas.slot_attention import (
         slot_decode_attention_auto,
         slot_decode_attention_mesh,
@@ -148,7 +148,7 @@ def _slot_kernel_dispatch(q, k_all, v_all, ks_all, vs_all, li, row_lengths,
         )
     return slot_decode_attention_mesh(
         q, k_all, v_all, ks_all, vs_all, li, row_lengths, scale=scale,
-        mesh=mesh,
+        mesh=mesh, cache_replicated=cache_replicated,
     )
 
 
@@ -164,7 +164,8 @@ def slot_kv_write_attend(
     row_lengths: jnp.ndarray,  # [B] int32 per-row write positions
     mask: Optional[jnp.ndarray],
     scale: Optional[float],
-    mesh=None,  # sharded slot decode falls back to the einsum path
+    mesh=None,  # sharded slot decode runs the kernel via shard_map
+    cache_replicated: bool = False,  # mesh layout: replicated KV (EP-quant)
 ):
     """Slot-mode (single-token) KV write + attend, shared by every
     family's scanned decoder: writes row r's new K/V at row_lengths[r]
@@ -197,7 +198,8 @@ def slot_kv_write_attend(
         vs_all = vs_all.at[li, rows, :, row_lengths].set(v_s[:, :, 0])
         if use_kernel:
             attn = _slot_kernel_dispatch(
-                q, k_all, v_all, ks_all, vs_all, li, row_lengths, scale, mesh
+                q, k_all, v_all, ks_all, vs_all, li, row_lengths, scale,
+                mesh, cache_replicated,
             )
             if attn is not None:
                 return attn, k_all, v_all, ks_all, vs_all
@@ -219,7 +221,8 @@ def slot_kv_write_attend(
     )
     if use_kernel:
         attn = _slot_kernel_dispatch(
-            q, k_all, v_all, None, None, li, row_lengths, scale, mesh
+            q, k_all, v_all, None, None, li, row_lengths, scale,
+            mesh, cache_replicated,
         )
         if attn is not None:
             return attn, k_all, v_all, ks_all, vs_all

@@ -203,15 +203,20 @@ def slot_decode_attention_auto(
 
 
 def slot_decode_attention_mesh(
-    q, k_all, v_all, ks_all, vs_all, layer, lengths, *, scale, mesh
+    q, k_all, v_all, ks_all, vs_all, layer, lengths, *, scale, mesh,
+    cache_replicated: bool = False,
 ):
-    """shard_map wrapper for head-sharded slot caches (heads over mp,
-    slots over dp — parallel/mesh.py cache_sharding): Pallas calls have
+    """shard_map wrapper for slot caches under a mesh: Pallas calls have
     no GSPMD partitioning rule, so without this every sharded slot
-    decode fell back to the full-row einsum path. Returns None when the
-    head/slot counts don't divide the mesh (caller falls back)."""
-    import functools
+    decode fell back to the full-row einsum path.
 
+    Two layouts: head-sharded caches (heads over mp, slots over dp —
+    parallel/mesh.py cache_sharding) run the kernel per-shard;
+    cache_replicated layouts (EP-quantized serving replicates
+    attention/KV) run the full kernel redundantly on every shard — same
+    math as replicated einsums, still skipping the dead row tails.
+    Returns None when the layout can't be expressed without resharding
+    the cache (caller falls back to the einsum path)."""
     from jax import shard_map
     from jax.sharding import PartitionSpec as P
 
@@ -219,12 +224,20 @@ def slot_decode_attention_mesh(
     dp = mesh.shape.get("dp", 1)
     B, NH = q.shape[0], q.shape[1]
     NKV = k_all.shape[2]
-    h_axis = "mp" if (mp > 1 and NH % mp == 0 and NKV % mp == 0) else None
-    b_axis = "dp" if (dp > 1 and B % dp == 0) else None
-    if h_axis is None and b_axis is None:
-        return None
     interpret = jax.default_backend() != "tpu"
     quant = ks_all is not None
+    if cache_replicated:
+        h_axis = b_axis = None
+    else:
+        if dp > 1 and B % dp != 0:
+            # cache_sharding still shards B over dp in this case;
+            # demanding replication here would all-gather the KV stacks
+            # inside every decode step — not worth the kernel
+            return None
+        h_axis = "mp" if (mp > 1 and NH % mp == 0 and NKV % mp == 0) else None
+        b_axis = "dp" if (dp > 1 and B % dp == 0) else None
+        if h_axis is None and b_axis is None:
+            return None
     kv_spec = P(None, b_axis, h_axis, None, None)
     scale_spec = P(None, b_axis, h_axis, None)
 

@@ -372,6 +372,8 @@ class SlotRunner:
         return state, finished, int(first)
 
     def run_chunk(self, model_params: Any, state: SlotState, n_steps: int) -> SlotState:
+        # shares run_chunk_snap's compiled graph (remote compiles cost
+        # minutes here); the discarded [B, C+3] snapshot write is noise
         state, _ = self._chunk_jit(model_params, state, n_steps=n_steps)
         return state
 

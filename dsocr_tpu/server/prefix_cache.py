@@ -81,6 +81,14 @@ class PrefixCache:
             self.hits += 1
             return packet
 
+    def record_alias_hit(self) -> None:
+        """A wave-local duplicate was served by aliasing another job's
+        prefill: reclassify the earlier get() miss as a hit so /metrics
+        hit-rates reflect saved work."""
+        with self._lock:
+            self.misses -= 1
+            self.hits += 1
+
     def put(self, key: str, packet: dict) -> None:
         if self.capacity <= 0:
             return

@@ -338,8 +338,7 @@ class ContinuousScheduler:
                 # count it as one so /metrics hit-rates reflect saved work)
                 first = next((j for j in todo if keys[j] == keys[i]), None)
                 if first is not None:
-                    self.prefix_cache.misses -= 1
-                    self.prefix_cache.hits += 1
+                    self.prefix_cache.record_alias_hit()
                     keys[i] = ("alias", first)
                     continue
             todo.append(i)
@@ -516,6 +515,13 @@ class ContinuousScheduler:
                     self._pipeline
                     and self._ready_q.empty()
                     and not self._deferred
+                    # a packet finishing prefill mid-speculation would
+                    # wait TWO chunks for a free slot — only speculate
+                    # when slots are full or no prefill can complete
+                    and (
+                        not self._free_rows()
+                        or (self.queue.empty() and self._prefill_task is None)
+                    )
                     and all(j.stream_cb is None for j in active_jobs)
                     and all(
                         j.emitted + 2 * chunk <= j.max_new for j in active_jobs

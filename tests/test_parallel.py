@@ -527,3 +527,66 @@ def test_mesh_slot_serving_kernel_matches_einsum(monkeypatch):
         kernel = serve("1", kvq)
         for a, b in zip(einsum, kernel):
             assert a.generated_tokens == b.generated_tokens
+
+
+def test_ep_q8_mesh_slot_serving_with_kernel(monkeypatch):
+    """EP-quantized (replicated-cache) mesh serving with the slot kernel
+    forced on runs the replicated shard_map mode and matches the
+    single-device q8 tokens (review r3: this lowering path had no test)."""
+    import asyncio
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    from dsocr_tpu.core import DecodeParameters, VisionSettings
+    from dsocr_tpu.models.deepseek import DeepseekOcrEngine
+    from dsocr_tpu.models.deepseek.config import tiny_deepseek_config
+    from dsocr_tpu.server.scheduler import ContinuousScheduler
+
+    class FakeTokenizer:
+        def encode(self, text):
+            return [ord(c) % 100 for c in text]
+
+        def decode(self, ids, skip_special_tokens=True):
+            return "".join(chr(97 + (i % 26)) for i in ids)
+
+        def token_to_id(self, token):
+            return 127 if token == "<image>" else None
+
+    monkeypatch.setenv("DSOCR_SLOT_ATTN_KERNEL", "1")
+    base = tiny_deepseek_config()
+    qcfg = dataclasses.replace(
+        base,
+        language=dataclasses.replace(
+            base.language, moe_intermediate_size=32, intermediate_size=64
+        ),
+    )
+    imgs = [
+        np.random.default_rng(s).integers(0, 256, (50, 50, 3), dtype=np.uint8)
+        for s in (30, 31)
+    ]
+    vs = VisionSettings(64, 64, False)
+    params = DecodeParameters(max_new_tokens=5, no_repeat_ngram_size=None)
+
+    def serve(engine):
+        sched = ContinuousScheduler(
+            engine, FakeTokenizer(), n_slots=2, max_len=256, chunk_steps=2
+        )
+
+        async def go():
+            return await asyncio.gather(*(
+                sched.submit(f"<image>e{i}", [im], vs, params)
+                for i, im in enumerate(imgs)
+            ))
+
+        return asyncio.run(go())
+
+    solo = serve(DeepseekOcrEngine(
+        qcfg, dtype=jnp.float32, max_seq_len=512, seed=3, quantize="q8_0"
+    ))
+    ep = serve(DeepseekOcrEngine(
+        qcfg, dtype=jnp.float32, max_seq_len=512, seed=3, quantize="q8_0",
+        mesh=make_mesh(8, dp=2), ep=True,
+    ))
+    for a, b in zip(solo, ep):
+        assert a.generated_tokens == b.generated_tokens
