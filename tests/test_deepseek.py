@@ -602,3 +602,32 @@ def test_ocr2_slot_serving_matches_solo():
 
     for got, solo in zip(asyncio.run(go()), solos):
         assert got.generated_tokens == solo.generated_tokens
+
+
+def test_ocr2_batched_embeddings_chunked_cap():
+    """The OCR2 pooled path chunks big shape groups at the micro-batch
+    cap (with pow2 padding) and still reproduces per-image results."""
+    import dataclasses as dc
+
+    from dsocr_tpu.models.deepseek.ocr2 import tiny_qwen2_encoder_params
+
+    cfg = dc.replace(tiny_deepseek_config(), variant="ocr2", clip=None)
+    engine = DeepseekOcrEngine(
+        cfg, dtype=jnp.float32, max_seq_len=512,
+        ocr2_params=tiny_qwen2_encoder_params(),
+    )
+    engine.vision_batch_tiles = 2  # force chunking: 5 views -> 3 chunks
+    rng = np.random.default_rng(33)
+    settings = VisionSettings(base_size=128, image_size=128, crop_mode=False)
+    vins = [
+        engine.prepare_vision_input(
+            rng.integers(0, 256, (80 + 7 * i, 100, 3), dtype=np.uint8), settings
+        )
+        for i in range(5)
+    ]
+    singles = [engine.compute_image_embedding(v) for v in vins]
+    batched = engine._compute_image_embeddings_batched(vins)
+    for got, want in zip(batched, singles):
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), rtol=2e-5, atol=2e-5
+        )
