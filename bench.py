@@ -17,8 +17,10 @@ Extra fields report the single-request latency path.
 Env knobs: BENCH_REQUESTS (default 32), BENCH_SLOTS (16),
 BENCH_MAX_NEW_TOKENS (512), BENCH_REPS (2), BENCH_CHUNK (128),
 BENCH_PREFILL_BATCH (= slots), BENCH_QUANT (q8_0 | q4_k | q6_k | ''),
+BENCH_KV_QUANT (int8 | ''; default int8),
 BENCH_BATCH1 (1 → also measure single-request latency),
-BENCH_DEBUG (occupancy + stage breakdown on stderr).
+BENCH_DEBUG (occupancy + stage breakdown on stderr),
+BENCH_PROBE_TIMEOUT (seconds to wait out a wedged/down tunnel).
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
 """
@@ -51,37 +53,57 @@ class BenchTokenizer:
 
 def probe_tunnel(timeout_s: float = 1500.0) -> float:
     """1-op matmul probe: the axon tunnel can wedge (device listing works,
-    compute hangs). The timeout is deliberately LONG — exiting with the
-    probe op still in flight is itself a wedge trigger (killed client
-    mid-device-op), so waiting out a wedge beats failing fast and
-    re-wedging on every retry. Returns the probe round-trip seconds."""
+    compute hangs) or go fully DOWN (backend init raises UNAVAILABLE).
+    The timeout is deliberately LONG — exiting with the probe op still in
+    flight is itself a wedge trigger (killed client mid-device-op), so
+    waiting out a wedge beats failing fast and re-wedging on every retry;
+    init-time UNAVAILABLE errors retry within the same budget (observed
+    outages recover after tens of minutes). Returns the probe seconds."""
     import queue
     import threading
 
     import jax
     import jax.numpy as jnp
 
-    out: "queue.Queue" = queue.Queue()
-
-    def work():
-        try:
-            x = jnp.full((256, 256), 1.0, jnp.bfloat16)
-            out.put(float(np.asarray((x @ x))[0, 0]))
-        except Exception as err:  # pragma: no cover
-            out.put(err)
-
     t0 = time.perf_counter()
-    threading.Thread(target=work, daemon=True).start()
-    try:
-        result = out.get(timeout=timeout_s)
-    except queue.Empty:
-        raise RuntimeError(
-            f"TPU tunnel probe did not complete within {timeout_s:.0f}s — "
-            "the axon tunnel is likely wedged; retry later"
+    while True:
+        out: "queue.Queue" = queue.Queue()
+
+        def work():
+            try:
+                x = jnp.full((256, 256), 1.0, jnp.bfloat16)
+                out.put(float(np.asarray((x @ x))[0, 0]))
+            except Exception as err:  # pragma: no cover
+                out.put(err)
+
+        threading.Thread(target=work, daemon=True).start()
+        remaining = timeout_s - (time.perf_counter() - t0)
+        try:
+            result = out.get(timeout=max(1.0, remaining))
+        except queue.Empty:
+            raise RuntimeError(
+                f"TPU tunnel probe did not complete within {timeout_s:.0f}s — "
+                "the axon tunnel is likely wedged; retry later"
+            )
+        if not isinstance(result, Exception):
+            return time.perf_counter() - t0
+        if time.perf_counter() - t0 + 60 > timeout_s:
+            raise result
+        print(
+            f"[bench] tunnel probe failed ({type(result).__name__}); "
+            "retrying in 60s",
+            file=sys.stderr,
         )
-    if isinstance(result, Exception):
-        raise result
-    return time.perf_counter() - t0
+        time.sleep(60)
+        try:
+            # a failed backend init is cached for the process lifetime —
+            # drop it so the retry actually re-dials the tunnel
+            # (jax 0.9 keeps clear_backends under jax.extend.backend)
+            import jax.extend.backend
+
+            jax.extend.backend.clear_backends()
+        except Exception:  # pragma: no cover - best effort
+            pass
 
 
 def main():
@@ -95,6 +117,9 @@ def main():
         os.environ.get("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_comp_cache"),
     )
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    if os.environ.get("BENCH_TINY") == "1" and os.environ.get("BENCH_DEVICE") != "tpu":
+        # tiny smoke mode runs on CPU by default (no tunnel dependency)
+        jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
     from PIL import Image
 
@@ -111,27 +136,54 @@ def main():
     n_requests = int(os.environ.get("BENCH_REQUESTS", "32"))
     n_slots = int(os.environ.get("BENCH_SLOTS", "16"))
     reps = int(os.environ.get("BENCH_REPS", "2"))
+    # BENCH_TINY=1: tiny random config on whatever backend is available —
+    # exercises the FULL bench code path (engine init, scheduler, reps,
+    # retries, JSON) without a TPU; numbers are meaningless
+    tiny = os.environ.get("BENCH_TINY") == "1"
     # measured best serving config on v5e-1: packed-Q8 decode at 16 slots
-    # (1.30 pages/sec) beats bf16@8 (0.91) — q8's dense all-expert decode
-    # step streams 4x fewer weight bytes, and towers/prefill pipeline
-    # behind the longer 16-row chunks
+    # + int8 KV (1.35 pages/sec) beats q8+f KV (1.30) and bf16@8 (0.91) —
+    # q8's dense all-expert decode step streams 4x fewer weight bytes,
+    # int8 KV halves the per-step cache streaming, and towers/prefill
+    # pipeline behind the longer 16-row chunks
     quant = os.environ.get("BENCH_QUANT", "q8_0") or None
+    kv_quant = os.environ.get("BENCH_KV_QUANT", "int8") or None
 
-    engine = DeepseekOcrEngine(
-        DeepseekOcrConfig(), dtype=jnp.bfloat16, max_seq_len=4096,
-        quantize=quant,
+    t_init = time.perf_counter()
+    if tiny:
+        from dsocr_tpu.models.deepseek.config import tiny_deepseek_config
+
+        engine = DeepseekOcrEngine(
+            tiny_deepseek_config(), dtype=jnp.float32, max_seq_len=1024,
+            kv_quant=kv_quant,
+        )
+    else:
+        engine = DeepseekOcrEngine(
+            DeepseekOcrConfig(), dtype=jnp.bfloat16, max_seq_len=4096,
+            quantize=quant, kv_quant=kv_quant,
+        )
+    print(
+        f"[bench] engine ready ({time.perf_counter() - t_init:.0f}s)",
+        file=sys.stderr,
     )
     image_path = os.environ.get(
         "BENCH_IMAGE", "/root/reference/assets/sample_1.png"
     )
-    if os.path.exists(image_path):
+    if tiny:
+        image = np.random.default_rng(0).integers(
+            0, 256, size=(100, 100, 3), dtype=np.uint8
+        )
+    elif os.path.exists(image_path):
         image = np.asarray(Image.open(image_path).convert("RGB"))
     else:
         image = np.random.default_rng(0).integers(
             0, 256, size=(1756, 2852, 3), dtype=np.uint8
         )
 
-    settings = VisionSettings(base_size=1024, image_size=640, crop_mode=True)
+    settings = (
+        VisionSettings(base_size=64, image_size=64, crop_mode=False)
+        if tiny
+        else VisionSettings(base_size=1024, image_size=640, crop_mode=True)
+    )
     params = DecodeParameters(max_new_tokens=max_new)  # greedy, ngram=20 defaults
     tokenizer = BenchTokenizer()
 
@@ -173,7 +225,12 @@ def main():
     # warmup/compile (joins + chunk + prefill bucket); a FULL-size wave
     # warms every shape the timed reps will hit (a 2-request warmup left
     # the wave-8 prefill bucket compiling inside the first timed rep)
+    t_warm = time.perf_counter()
     asyncio.run(serve_n(n_requests))
+    print(
+        f"[bench] warmup done ({time.perf_counter() - t_warm:.0f}s)",
+        file=sys.stderr,
+    )
 
     profile_dir = os.environ.get("DSOCR_PROFILE_DIR")
     if profile_dir:
@@ -230,9 +287,12 @@ def main():
         "metric": "deepseek_ocr_serving_pages_per_sec",
         "value": round(pages_per_sec, 4),
         "unit": (
-            f"pages/sec (continuous batching, {n_requests} reqs x {n_slots} slots, "
-            f"1024px crop mode, {max_new} new tokens, "
-            f"{quant or 'bf16'}, 1 chip)"
+            "pages/sec (TINY SMOKE MODE — random tiny config, numbers "
+            "meaningless)"
+            if tiny
+            else f"pages/sec (continuous batching, {n_requests} reqs x "
+            f"{n_slots} slots, 1024px crop mode, {max_new} new tokens, "
+            f"{quant or 'bf16'}{f' + kv-{kv_quant}' if kv_quant else ''}, 1 chip)"
         ),
         "vs_baseline": round(pages_per_sec / BASELINE_PAGES_PER_SEC, 2),
         "decode_tok_per_sec": round(decode_tok_per_sec, 1),
