@@ -195,7 +195,11 @@ def main():
         tokenizer, "<image>\nFree OCR.", [probe], [emb], settings
     )
     s_pad = ((len(tokens) + 127) // 128) * 128
-    max_len = min(4096, ((s_pad + max_new + 128) // 128) * 128)
+    # 512-aligned capacity: the slot attention kernel's block width is
+    # the largest of (512, 256, 128) dividing S_max, and it DMA-skips
+    # past each row's length — so padding up buys 4x wider KV DMAs for
+    # free (dead tail blocks are never read)
+    max_len = min(4096, ((s_pad + max_new + 511) // 512) * 512)
     del emb, probe
 
     # Moderate chunks: one harvest (~50ms fused device_get over the
