@@ -1,0 +1,169 @@
+"""Isolated serving-stage attribution bench.
+
+The serving pipeline's stage timers (bench.py stage_ms) measure WALL
+time of threads sharing one device queue, so towers/prefill/decode
+inflate each other and can't be attributed. This tool measures each
+stage ALONE on the real chip:
+
+  (a) one pooled tower+prefill wave of N pages (prefill_for_slots),
+  (b) host-side preprocessing for N pages,
+  (c) pure decode chunks at occupancy N (join N rows, run chunks),
+  (d) the harvest device_get.
+
+Run: python -m dsocr_tpu.bench.attribution  (env knobs below).
+Timing rule for this machine: block_until_ready does not block over the
+axon tunnel — every measurement syncs with a small np.asarray pull.
+
+Env: ATTR_QUANT (q8_0|q4_k|q6_k|''), ATTR_KV_QUANT (int8|''),
+ATTR_SLOTS (16), ATTR_MAXLEN (2560), ATTR_CHUNK (128), ATTR_IMAGE.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+
+class _Tok:
+    def encode(self, text):
+        return [(ord(c) * 7 + 13) % 120000 for c in text]
+
+    def decode(self, ids, skip_special_tokens=True):
+        return " ".join(str(i) for i in ids)
+
+    def token_to_id(self, token):
+        return 128815 if token == "<image>" else None
+
+
+def main() -> int:
+    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_comp_cache")
+    import jax
+
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.environ.get("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_comp_cache"),
+    )
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    import jax.numpy as jnp
+    import numpy as np
+    from PIL import Image
+
+    from ..core import DecodeParameters, VisionSettings
+    from ..models.deepseek import DeepseekOcrEngine
+    from ..models.deepseek.config import DeepseekOcrConfig
+
+    quant = os.environ.get("ATTR_QUANT", "q8_0") or None
+    kvq = os.environ.get("ATTR_KV_QUANT", "int8") or None
+    n = int(os.environ.get("ATTR_SLOTS", "16"))
+    maxlen = int(os.environ.get("ATTR_MAXLEN", "2560"))
+    chunk = int(os.environ.get("ATTR_CHUNK", "128"))
+    tiny = os.environ.get("ATTR_TINY") == "1"  # CPU smoke of the tool itself
+
+    t0 = time.perf_counter()
+    if tiny:
+        from ..models.deepseek.config import tiny_deepseek_config
+
+        jax.config.update("jax_platforms", "cpu")
+        engine = DeepseekOcrEngine(
+            tiny_deepseek_config(), dtype=jnp.float32, max_seq_len=1024,
+            kv_quant=kvq,
+        )
+        maxlen, chunk = min(maxlen, 512), min(chunk, 8)
+    else:
+        engine = DeepseekOcrEngine(
+            DeepseekOcrConfig(), dtype=jnp.bfloat16, max_seq_len=4096,
+            quantize=quant, kv_quant=kvq,
+        )
+    print(f"engine init {time.perf_counter() - t0:.1f}s", flush=True)
+
+    image_path = os.environ.get(
+        "ATTR_IMAGE", "/root/reference/assets/sample_1.png"
+    )
+    if tiny:
+        image = np.random.default_rng(0).integers(
+            0, 256, size=(100, 100, 3), dtype=np.uint8
+        )
+    elif os.path.exists(image_path):
+        image = np.asarray(Image.open(image_path).convert("RGB"))
+    else:
+        image = np.random.default_rng(0).integers(
+            0, 256, size=(1756, 2852, 3), dtype=np.uint8
+        )
+    settings = (
+        VisionSettings(64, 64, False)
+        if tiny
+        else VisionSettings(base_size=1024, image_size=640, crop_mode=True)
+    )
+    params = DecodeParameters(max_new_tokens=512 if not tiny else 32)
+    tok = _Tok()
+    reqs = [("<image>\nFree OCR.", [image], settings)] * n
+
+    # (a) pooled tower + prefill wave, isolated (first call compiles)
+    t0 = time.perf_counter()
+    pres = engine.prefill_for_slots(tok, reqs)
+    _ = np.asarray(pres[-1]["logits"][:4])
+    warm = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    pres = engine.prefill_for_slots(tok, reqs)
+    for p in pres:
+        _ = np.asarray(p["row_k"][0, 0, 0, 0, :1])
+    _ = np.asarray(pres[-1]["logits"][:4])
+    wave_s = time.perf_counter() - t0
+    print(
+        f"tower+prefill wave of {n}: {wave_s:.2f}s "
+        f"(warm incl compile {warm:.1f}s) -> {wave_s / n * 1000:.0f} ms/page",
+        flush=True,
+    )
+
+    # (b) host-only preprocessing
+    t0 = time.perf_counter()
+    for _ in range(n):
+        engine.prepare_vision_input(image, settings)
+    print(
+        f"host prepare_vision_input x{n}: {time.perf_counter() - t0:.2f}s",
+        flush=True,
+    )
+
+    # (c) pure decode chunks at occupancy n
+    runner = engine.make_slot_runner()
+    cache = engine.new_slot_cache(n, maxlen)
+    state = runner.init_state(cache, context_len=maxlen)
+    plen = len(pres[0]["prompt_ids"])
+    budget = min(512 if not tiny else 32, maxlen - plen)
+    for r in range(n):
+        pre = pres[r]
+        state, _, _ = runner.join(
+            state, r, pre["row_k"], pre["row_v"], pre["prompt_ids"],
+            pre["logits"], params, budget, pos0=pre["pos0"],
+        )
+    _ = np.asarray(state.ctx_len)
+    print(f"joined {n} rows, prompt_len={plen}, budget={budget}", flush=True)
+
+    t0 = time.perf_counter()
+    state, snap = runner.run_chunk_snap(engine.params, state, chunk)
+    _ = np.asarray(snap[:, -1])
+    warm = time.perf_counter() - t0
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        state, snap = runner.run_chunk_snap(engine.params, state, chunk)
+        _ = np.asarray(snap[:, -1])
+        times.append(time.perf_counter() - t0)
+    best = min(times)
+    print(
+        f"decode chunk {chunk} steps @ {n} rows (maxlen {maxlen}): "
+        f"{best * 1000:.0f} ms -> {best / chunk * 1000:.2f} ms/step "
+        f"(warm {warm:.1f}s, all {[f'{t:.2f}' for t in times]})",
+        flush=True,
+    )
+
+    # (d) harvest transfer
+    t0 = time.perf_counter()
+    runner.harvest_from_snap(snap)
+    print(f"harvest: {(time.perf_counter() - t0) * 1000:.0f} ms", flush=True)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
