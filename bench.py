@@ -209,10 +209,14 @@ def main():
     # (occupancy 8.0; decode is HBM-bound on expert streaming)
     chunk = int(os.environ.get("BENCH_CHUNK", "128"))
     prefill_batch = int(os.environ.get("BENCH_PREFILL_BATCH", str(n_slots))) or None
-    scheduler = ContinuousScheduler(
-        engine, tokenizer, n_slots=n_slots, max_len=max_len, chunk_steps=chunk,
-        prefill_batch=prefill_batch,
-    )
+
+    def make_scheduler():
+        return ContinuousScheduler(
+            engine, tokenizer, n_slots=n_slots, max_len=max_len,
+            chunk_steps=chunk, prefill_batch=prefill_batch,
+        )
+
+    scheduler = make_scheduler()
 
     async def serve_n(n):
         t0 = time.perf_counter()
@@ -228,9 +232,36 @@ def main():
 
     # warmup/compile (joins + chunk + prefill bucket); a FULL-size wave
     # warms every shape the timed reps will hit (a 2-request warmup left
-    # the wave-8 prefill bucket compiling inside the first timed rep)
+    # the wave-8 prefill bucket compiling inside the first timed rep).
+    # Fallback ladder: a deterministic failure here (e.g. a Pallas
+    # lowering error the CPU interpret path cannot catch) retries once
+    # with the defaults (transient INVALID_ARGUMENT happens — CLAUDE.md),
+    # then disables the fused slot-attention kernel + speculative chunk
+    # dispatch and rebuilds the scheduler — a slower capture beats none.
     t_warm = time.perf_counter()
-    asyncio.run(serve_n(n_requests))
+    for attempt in range(3):
+        try:
+            asyncio.run(serve_n(n_requests))
+            break
+        except Exception as err:
+            if attempt >= 2:
+                raise
+            print(
+                f"[bench] warmup failed ({type(err).__name__}: {err}); "
+                + (
+                    "retrying with defaults"
+                    if attempt == 0
+                    else "falling back to einsum slot attention + "
+                    "synchronous chunk dispatch"
+                ),
+                file=sys.stderr,
+            )
+            if attempt == 1:
+                os.environ["DSOCR_SLOT_ATTN_KERNEL"] = "0"
+                os.environ["DSOCR_PIPELINE_CHUNKS"] = "0"
+                # a fresh scheduler builds a fresh SlotRunner (new jit
+                # identity), so the flag flips actually re-trace
+                scheduler = make_scheduler()
     print(
         f"[bench] warmup done ({time.perf_counter() - t_warm:.0f}s)",
         file=sys.stderr,
@@ -306,6 +337,10 @@ def main():
         "rep_times_s": [round(t, 2) for t in serve_times],
         "stage_ms": {k: round(v, 1) for k, v in sorted(best_stages.items())},
     }
+    if os.environ.get("DSOCR_SLOT_ATTN_KERNEL") == "0":
+        # the warmup fallback ladder (or the caller) disabled features —
+        # make the degraded capture attributable
+        result["degraded"] = "slot-attn-kernel+pipeline-chunks disabled"
 
     if os.environ.get("BENCH_BATCH1", "1") == "1":
         def run_single():
