@@ -20,7 +20,7 @@ BENCH_PREFILL_BATCH (= slots), BENCH_QUANT (q8_0 | q4_k | q6_k | ''),
 BENCH_KV_QUANT (int8 | ''; default int8),
 BENCH_BATCH1 (1 → also measure single-request latency),
 BENCH_DEBUG (occupancy + stage breakdown on stderr),
-BENCH_PROBE_TIMEOUT (seconds to wait out a wedged/down tunnel).
+BENCH_PROBE_TIMEOUT (seconds to wait out a wedged/down tunnel; default 3600).
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
 """
@@ -124,7 +124,9 @@ def main():
     from PIL import Image
 
     if jax.default_backend() not in ("cpu",):
-        probe_s = probe_tunnel(float(os.environ.get("BENCH_PROBE_TIMEOUT", "1500")))
+        # observed axon outages last tens of minutes to hours — spend up
+        # to an hour waiting before declaring the capture impossible
+        probe_s = probe_tunnel(float(os.environ.get("BENCH_PROBE_TIMEOUT", "3600")))
         print(f"[bench] tunnel probe ok ({probe_s:.1f}s)", file=sys.stderr)
 
     from dsocr_tpu.core import DecodeParameters, VisionSettings
