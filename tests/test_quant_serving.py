@@ -82,6 +82,22 @@ def test_q4k_packing_engaged(q4_engine):
     assert isinstance(plain, dict) and set(plain) != {"codes", "scales"}
 
 
+def test_q4k_paged_serving_matches_contiguous(q4_engine, monkeypatch):
+    """Quantized serving over the shared page pool must reproduce the
+    contiguous slot runtime (the high-slot TPU config combines paged KV
+    with packed quant weights for HBM headroom)."""
+    rng = np.random.default_rng(11)
+    imgs = [rng.integers(0, 256, (50, 50, 3), dtype=np.uint8) for _ in range(3)]
+    prompts = [f"<image>pg {i}" for i in range(3)]
+    params = DecodeParameters(max_new_tokens=4, no_repeat_ngram_size=None)
+
+    contiguous = _serve(q4_engine, prompts, imgs, params)
+    monkeypatch.setenv("DSOCR_PAGED_KV", "1")
+    paged = _serve(q4_engine, prompts, imgs, params)
+    for a, b in zip(contiguous, paged):
+        assert a.generated_tokens == b.generated_tokens
+
+
 def test_q4k_int8kv_serving(q4_engine):
     """3 pages through 2 slots: the bench's quantized serving shape at
     q4_k. Deterministic across reps (same scheduler config → identical
