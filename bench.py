@@ -40,18 +40,7 @@ import numpy as np
 BASELINE_PAGES_PER_SEC = 1.0 / 30.078  # reference decode.generate, README.md:155
 
 
-class BenchTokenizer:
-    def encode(self, text):
-        return [(ord(c) * 7 + 13) % 120000 for c in text]
-
-    def decode(self, ids, skip_special_tokens=True):
-        return " ".join(str(i) for i in ids)
-
-    def token_to_id(self, token):
-        return 128815 if token == "<image>" else None
-
-
-def probe_tunnel(timeout_s: float = 1500.0) -> float:
+def probe_tunnel(timeout_s: float = 3600.0) -> float:
     """1-op matmul probe: the axon tunnel can wedge (device listing works,
     compute hangs) or go fully DOWN (backend init raises UNAVAILABLE).
     The timeout is deliberately LONG — exiting with the probe op still in
@@ -121,14 +110,22 @@ def main():
         # tiny smoke mode runs on CPU by default (no tunnel dependency)
         jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
-    from PIL import Image
 
-    if jax.default_backend() not in ("cpu",):
+    try:
+        backend = jax.default_backend()
+    except Exception as err:
+        # backend init itself raises (observed: 25 min block then
+        # UNAVAILABLE when the tunnel is fully down) — let the probe's
+        # clear_backends/retry loop wait it out rather than dying here
+        print(f"[bench] backend init failed ({err}); probing", file=sys.stderr)
+        backend = None
+    if backend != "cpu":
         # observed axon outages last tens of minutes to hours — spend up
         # to an hour waiting before declaring the capture impossible
         probe_s = probe_tunnel(float(os.environ.get("BENCH_PROBE_TIMEOUT", "3600")))
         print(f"[bench] tunnel probe ok ({probe_s:.1f}s)", file=sys.stderr)
 
+    from dsocr_tpu.bench.workload import BenchTokenizer, load_page_image
     from dsocr_tpu.core import DecodeParameters, VisionSettings
     from dsocr_tpu.models.deepseek import DeepseekOcrEngine
     from dsocr_tpu.models.deepseek.config import DeepseekOcrConfig
@@ -139,8 +136,9 @@ def main():
     n_slots = int(os.environ.get("BENCH_SLOTS", "16"))
     reps = int(os.environ.get("BENCH_REPS", "2"))
     # BENCH_TINY=1: tiny random config on whatever backend is available —
-    # exercises the FULL bench code path (engine init, scheduler, reps,
-    # retries, JSON) without a TPU; numbers are meaningless
+    # exercises the FULL bench code path (engine init incl. quantized
+    # packing, scheduler, reps, retries, JSON) without a TPU; numbers
+    # are meaningless
     tiny = os.environ.get("BENCH_TINY") == "1"
     # measured best serving config on v5e-1: packed-Q8 decode at 16 slots
     # + int8 KV (1.35 pages/sec) beats q8+f KV (1.30) and bf16@8 (0.91) —
@@ -154,9 +152,12 @@ def main():
     if tiny:
         from dsocr_tpu.models.deepseek.config import tiny_deepseek_config
 
+        # quantize passes through so the smoke run covers the packing +
+        # dequant-kernel paths the real capture uses (dims that miss the
+        # block size fall back to float, which is fine for a smoke)
         engine = DeepseekOcrEngine(
             tiny_deepseek_config(), dtype=jnp.float32, max_seq_len=1024,
-            kv_quant=kv_quant,
+            quantize=quant, kv_quant=kv_quant,
         )
     else:
         engine = DeepseekOcrEngine(
@@ -167,19 +168,7 @@ def main():
         f"[bench] engine ready ({time.perf_counter() - t_init:.0f}s)",
         file=sys.stderr,
     )
-    image_path = os.environ.get(
-        "BENCH_IMAGE", "/root/reference/assets/sample_1.png"
-    )
-    if tiny:
-        image = np.random.default_rng(0).integers(
-            0, 256, size=(100, 100, 3), dtype=np.uint8
-        )
-    elif os.path.exists(image_path):
-        image = np.asarray(Image.open(image_path).convert("RGB"))
-    else:
-        image = np.random.default_rng(0).integers(
-            0, 256, size=(1756, 2852, 3), dtype=np.uint8
-        )
+    image = load_page_image("BENCH_IMAGE", tiny)
 
     settings = (
         VisionSettings(base_size=64, image_size=64, crop_mode=False)
@@ -201,7 +190,7 @@ def main():
     # the largest of (512, 256, 128) dividing S_max, and it DMA-skips
     # past each row's length — so padding up buys 4x wider KV DMAs for
     # free (dead tail blocks are never read)
-    max_len = min(4096, ((s_pad + max_new + 511) // 512) * 512)
+    max_len = min(engine.max_seq_len, ((s_pad + max_new + 511) // 512) * 512)
     del emb, probe
 
     # Moderate chunks: one harvest (~50ms fused device_get over the
@@ -339,10 +328,18 @@ def main():
         "rep_times_s": [round(t, 2) for t in serve_times],
         "stage_ms": {k: round(v, 1) for k, v in sorted(best_stages.items())},
     }
-    if os.environ.get("DSOCR_SLOT_ATTN_KERNEL") == "0":
-        # the warmup fallback ladder (or the caller) disabled features —
-        # make the degraded capture attributable
-        result["degraded"] = "slot-attn-kernel+pipeline-chunks disabled"
+    # the warmup fallback ladder (or the caller) disabled features —
+    # make the degraded capture attributable
+    off = [
+        name
+        for name, env in (
+            ("slot-attn-kernel", "DSOCR_SLOT_ATTN_KERNEL"),
+            ("pipeline-chunks", "DSOCR_PIPELINE_CHUNKS"),
+        )
+        if os.environ.get(env) == "0"
+    ]
+    if off:
+        result["degraded"] = " + ".join(off) + " disabled"
 
     if os.environ.get("BENCH_BATCH1", "1") == "1":
         def run_single():

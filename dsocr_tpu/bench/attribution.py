@@ -25,17 +25,6 @@ import sys
 import time
 
 
-class _Tok:
-    def encode(self, text):
-        return [(ord(c) * 7 + 13) % 120000 for c in text]
-
-    def decode(self, ids, skip_special_tokens=True):
-        return " ".join(str(i) for i in ids)
-
-    def token_to_id(self, token):
-        return 128815 if token == "<image>" else None
-
-
 def main() -> int:
     os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_comp_cache")
     import jax
@@ -47,11 +36,11 @@ def main() -> int:
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     import jax.numpy as jnp
     import numpy as np
-    from PIL import Image
 
     from ..core import DecodeParameters, VisionSettings
     from ..models.deepseek import DeepseekOcrEngine
     from ..models.deepseek.config import DeepseekOcrConfig
+    from .workload import BenchTokenizer, load_page_image
 
     quant = os.environ.get("ATTR_QUANT", "q8_0") or None
     kvq = os.environ.get("ATTR_KV_QUANT", "int8") or None
@@ -77,38 +66,29 @@ def main() -> int:
         )
     print(f"engine init {time.perf_counter() - t0:.1f}s", flush=True)
 
-    image_path = os.environ.get(
-        "ATTR_IMAGE", "/root/reference/assets/sample_1.png"
-    )
-    if tiny:
-        image = np.random.default_rng(0).integers(
-            0, 256, size=(100, 100, 3), dtype=np.uint8
-        )
-    elif os.path.exists(image_path):
-        image = np.asarray(Image.open(image_path).convert("RGB"))
-    else:
-        image = np.random.default_rng(0).integers(
-            0, 256, size=(1756, 2852, 3), dtype=np.uint8
-        )
+    image = load_page_image("ATTR_IMAGE", tiny)
     settings = (
         VisionSettings(64, 64, False)
         if tiny
         else VisionSettings(base_size=1024, image_size=640, crop_mode=True)
     )
     params = DecodeParameters(max_new_tokens=512 if not tiny else 32)
-    tok = _Tok()
+    tok = BenchTokenizer()
     reqs = [("<image>\nFree OCR.", [image], settings)] * n
 
-    # (a) pooled tower + prefill wave, isolated (first call compiles)
+    # (a) pooled tower + prefill wave, isolated (first call compiles).
+    # Sync rule: packet logits are host numpy already (the prefill path
+    # pulled them), so the true device sync is ONE element of the LAST
+    # row's KV — the device queue is in-order, so one pull covers the
+    # whole wave (per-row pulls would add n x 30-400ms of tunnel
+    # round-trips INSIDE the timed region).
     t0 = time.perf_counter()
     pres = engine.prefill_for_slots(tok, reqs)
-    _ = np.asarray(pres[-1]["logits"][:4])
+    _ = np.asarray(pres[-1]["row_k"][0, 0, 0, 0, :1])
     warm = time.perf_counter() - t0
     t0 = time.perf_counter()
     pres = engine.prefill_for_slots(tok, reqs)
-    for p in pres:
-        _ = np.asarray(p["row_k"][0, 0, 0, 0, :1])
-    _ = np.asarray(pres[-1]["logits"][:4])
+    _ = np.asarray(pres[-1]["row_k"][0, 0, 0, 0, :1])
     wave_s = time.perf_counter() - t0
     print(
         f"tower+prefill wave of {n}: {wave_s:.2f}s "
