@@ -1083,7 +1083,10 @@ class DeepseekOcrEngine:
             prompt_ids=tokens,
             row_k=cache.k,
             row_v=cache.v,
-            logits=np.asarray(logits[0], np.float32),
+            # stays on device: the scheduler's wave-level first-token
+            # selection consumes it there (slots.select_first_tokens);
+            # join's host fallback pulls it only if needed
+            logits=logits[0],
             pos0=prompt_len,
         )
 
@@ -1167,7 +1170,6 @@ class DeepseekOcrEngine:
             pos_idx, cache, true_lens, seq_len=s_pad,
             has_images=bool(embed_parts),
         )
-        logits_host = np.asarray(logits, np.float32)
         out = []
         for i in range(B_real):
             tokens = rows[i][0]
@@ -1176,7 +1178,9 @@ class DeepseekOcrEngine:
                     prompt_ids=tokens,
                     row_k=jax.lax.slice_in_dim(cache.k, i, i + 1, axis=1),
                     row_v=jax.lax.slice_in_dim(cache.v, i, i + 1, axis=1),
-                    logits=logits_host[i],
+                    # device slice — the wave's [B, V] f32 never crosses
+                    # the tunnel (select_first_tokens pulls [B] ints)
+                    logits=logits[i],
                     pos0=len(tokens),
                 )
             )

@@ -342,7 +342,6 @@ class DotsOcrEngine:
             pos_idx, cache, true_lens, seq_len=s_pad,
             has_images=bool(embed_parts),
         )
-        logits_host = np.asarray(logits, np.float32)
         out = []
         for i in range(B_real):
             tokens = rows[i][0]
@@ -351,7 +350,7 @@ class DotsOcrEngine:
                     prompt_ids=tokens,
                     row_k=jax.lax.slice_in_dim(cache.k, i, i + 1, axis=1),
                     row_v=jax.lax.slice_in_dim(cache.v, i, i + 1, axis=1),
-                    logits=logits_host[i],
+                    logits=logits[i],  # device — see slots.select_first_tokens
                     pos0=len(tokens),
                 )
             )
@@ -384,7 +383,7 @@ class DotsOcrEngine:
             prompt_ids=tokens,
             row_k=cache.k,
             row_v=cache.v,
-            logits=np.asarray(logits[0], np.float32),
+            logits=logits[0],  # device — see slots.select_first_tokens
             pos0=prompt_len,
         )
 
@@ -416,7 +415,7 @@ class DotsOcrEngine:
             prompt_ids=tokens,
             row_k=cache.k,
             row_v=cache.v,
-            logits=np.asarray(logits[0], np.float32),
+            logits=logits[0],  # device — see slots.select_first_tokens
             pos0=prompt_len,
         )
 

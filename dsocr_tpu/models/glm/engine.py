@@ -360,7 +360,6 @@ class GlmOcrEngine:
             img_embeds, row_idx, tok_idx, cache, true_lens, seq_len=s_pad,
             has_images=bool(embed_parts),
         )
-        logits_host = np.asarray(logits, np.float32)
         out = []
         for i in range(B_real):
             tokens = rows[i][0]
@@ -369,7 +368,7 @@ class GlmOcrEngine:
                     prompt_ids=tokens,
                     row_k=jax.lax.slice_in_dim(cache.k, i, i + 1, axis=1),
                     row_v=jax.lax.slice_in_dim(cache.v, i, i + 1, axis=1),
-                    logits=logits_host[i],
+                    logits=logits[i],  # device — see slots.select_first_tokens
                     pos0=next_bases[i],
                 )
             )
@@ -435,7 +434,7 @@ class GlmOcrEngine:
             prompt_ids=tokens,
             row_k=cache.k,
             row_v=cache.v,
-            logits=np.asarray(logits[0], np.float32),
+            logits=logits[0],  # device — see slots.select_first_tokens
             pos0=next_base,
         )
 

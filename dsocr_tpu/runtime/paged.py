@@ -234,7 +234,7 @@ class PagedSlotRunner(SlotRunner):
     # -- host API override -------------------------------------------------------
 
     def join(self, state, row, row_k, row_v, prompt_ids, prefill_logits,
-             params, max_new, pos0=None):
+             params, max_new, pos0=None, first=None):
         from ..core.sampling import SlotSamplingParams, select_token_id_host
 
         cache: PagedSlotCache = state.cache
@@ -255,8 +255,12 @@ class PagedSlotRunner(SlotRunner):
         padded_pages = np.zeros(P_max, np.int32)
         padded_pages[:need] = pages
 
-        rng = np.random.default_rng(params.seed or 0)
-        first = select_token_id_host(prefill_logits, params, list(prompt_ids), rng)
+        if first is None:
+            rng = np.random.default_rng(params.seed or 0)
+            first = select_token_id_host(
+                np.asarray(prefill_logits, np.float32), params,
+                list(prompt_ids), rng,
+            )
         finished = (first in self.eos_ids) or max_new <= 0
         prompt_row = np.zeros(C, np.int32)
         prompt_row[:n] = prompt_ids

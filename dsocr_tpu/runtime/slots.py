@@ -332,23 +332,30 @@ class SlotRunner:
         row_k: jnp.ndarray,
         row_v: jnp.ndarray,
         prompt_ids: Sequence[int],
-        prefill_logits: np.ndarray,  # [V] f32 on host
+        prefill_logits,  # [V] f32 (host or device) — unused when first given
         params,  # DecodeParameters-like (host)
         max_new: int,
         pos0: Optional[int] = None,
+        first: Optional[int] = None,
     ) -> Tuple[SlotState, bool, Optional[int]]:
         """Insert a prefilled request into slot `row`.
 
-        Selects the first token host-side with the host sampler spec
-        (one-time per request; matches Generator.start semantics).
-        Returns (state, finished_immediately, first_token_or_None).
-        """
+        The first token comes precomputed (`first`, the scheduler's
+        wave-level device selection — select_first_tokens) or is selected
+        here host-side with the host sampler spec (one-time per request;
+        matches Generator.start semantics — the two agree for greedy, and
+        sampled paths differ only in RNG stream, same as Generator's
+        device sampling). Returns (state, finished, first_token)."""
         C = state.context.shape[1]
         n = len(prompt_ids)
         if n > C:
             raise ValueError(f"prompt ({n} tokens) exceeds context buffer {C}")
-        rng = np.random.default_rng(params.seed or 0)
-        first = select_token_id_host(prefill_logits, params, list(prompt_ids), rng)
+        if first is None:
+            rng = np.random.default_rng(params.seed or 0)
+            first = select_token_id_host(
+                np.asarray(prefill_logits, np.float32), params,
+                list(prompt_ids), rng,
+            )
         first_is_eos = first in self.eos_ids
         # EOS on the prefill token → empty generation for every engine
         # (Generator.generate early-return, ref model/mod.rs:1963-1974).
@@ -370,6 +377,70 @@ class SlotRunner:
             samp,
         )
         return state, finished, int(first)
+
+    def select_first_tokens(
+        self,
+        packets: Sequence[dict],  # each with prompt_ids + logits ([V])
+        params_list: Sequence[Any],  # DecodeParameters-like, one per packet
+        pad_to: Optional[int] = None,
+    ) -> List[int]:
+        """Batched DEVICE-side first-token selection for a prefill wave.
+
+        The host path (join with first=None) pulls [V] f32 logits per row
+        — ~0.5MB x wave over the tunnel just to pick one token each. This
+        selects every row's first token in ONE jitted call + ONE [B] int
+        pull, with the same per-row machinery the decode step uses
+        (select_token_id_slots), so slot serving's first token matches
+        its subsequent tokens' selection semantics exactly.
+
+        pad_to bounds recompiles: B pads up to it (the scheduler passes
+        its prefill wave size), C pads to the prompt's 128 bucket (the
+        same buckets wave prefill already compiles per)."""
+        B_real = len(packets)
+        if B_real == 0:
+            return []
+        B = max(pad_to or 0, B_real)
+        n_max = max(len(p["prompt_ids"]) for p in packets)
+        C = max(128, ((n_max + 127) // 128) * 128)
+        ctx = np.zeros((B, C), np.int32)
+        lens = np.zeros((B,), np.int32)
+        for i, p in enumerate(packets):
+            ids = p["prompt_ids"]
+            ctx[i, : len(ids)] = ids
+            lens[i] = len(ids)
+
+        def col(get, default, dt):
+            vals = [
+                default if get(p) is None else get(p) for p in params_list
+            ] + [default] * (B - B_real)
+            return jnp.asarray(np.asarray(vals, dt))
+
+        samp = SlotSamplingParams(
+            temperature=col(lambda p: p.temperature, 0.0, np.float32),
+            top_p=col(lambda p: p.top_p, 1.0, np.float32),
+            top_k=col(lambda p: p.top_k, 0, np.int32),
+            repetition_penalty=col(
+                lambda p: p.repetition_penalty, 1.0, np.float32
+            ),
+            do_sample=col(lambda p: bool(p.do_sample), False, np.bool_),
+            ngram=col(lambda p: p.no_repeat_ngram_size, 0, np.int32),
+        )
+        rows = [
+            jnp.asarray(p["logits"], jnp.float32).reshape(-1) for p in packets
+        ]
+        rows += [rows[0]] * (B - B_real)
+        if not hasattr(self, "_first_jit"):
+            self._first_jit = jax.jit(
+                partial(select_token_id_slots, ngram_max=self.ngram_max)
+            )
+        seed = next(
+            (p.seed for p in params_list if getattr(p, "seed", None)), 0
+        )
+        out = self._first_jit(
+            jnp.stack(rows), jnp.asarray(ctx), jnp.asarray(lens), samp,
+            rng_key=jax.random.PRNGKey(seed),
+        )
+        return [int(t) for t in np.asarray(out)[:B_real]]
 
     def run_chunk(self, model_params: Any, state: SlotState, n_steps: int) -> SlotState:
         # shares run_chunk_snap's compiled graph (remote compiles cost

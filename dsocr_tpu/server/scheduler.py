@@ -61,6 +61,9 @@ class _SlotJob:
     max_new: int = 0
     truncated: bool = False
     emitted: int = 0
+    # wave-level device first-token selection (select_first_tokens);
+    # None → join selects host-side from the packet logits
+    first: Optional[int] = None
 
 
 class ContinuousScheduler:
@@ -279,6 +282,7 @@ class ContinuousScheduler:
                 job.params,
                 job.max_new,
                 pos0=pre["pos0"],
+                first=job.first,
             )
         return finished
 
@@ -382,6 +386,26 @@ class ContinuousScheduler:
                     packets[i] = self._finish_prepare(jobs[i], src)
                 else:
                     packets[i] = src or RuntimeError("prefill failed")
+        # Wave-level device first-token selection: one jitted call + one
+        # [B]-int pull replaces a [V]-f32 host pull per row at join (the
+        # firsts ride on the JOBS — packets may be shared via the prefix
+        # cache across jobs with different sampling params).
+        ok = [i for i, p in enumerate(packets) if isinstance(p, dict)]
+        if ok and self._runner is not None:
+            try:
+                firsts = self._runner.select_first_tokens(
+                    [packets[i] for i in ok],
+                    [jobs[i].params for i in ok],
+                    pad_to=self.prefill_batch,
+                )
+                for i, tok in zip(ok, firsts):
+                    jobs[i].first = tok
+            except Exception:
+                logger.warning(
+                    "wave first-token selection failed; join will select "
+                    "host-side",
+                    exc_info=True,
+                )
         return packets
 
     def _finish_prepare(self, job: _SlotJob, pre: dict) -> dict:
