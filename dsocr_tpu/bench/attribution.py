@@ -111,14 +111,28 @@ def main() -> int:
     state = runner.init_state(cache, context_len=maxlen)
     plen = len(pres[0]["prompt_ids"])
     budget = min(512 if not tiny else 32, maxlen - plen)
+    # (c0) wave first-token selection + per-row joins, timed — the
+    # scheduler serializes joins with decode chunks, so per-join dispatch
+    # latency (~20ms tunnel) x wave size is a real serving cost
+    t0 = time.perf_counter()
+    firsts = runner.select_first_tokens(pres, [params] * n, pad_to=n)
+    sel_s = time.perf_counter() - t0
+    t0 = time.perf_counter()
     for r in range(n):
         pre = pres[r]
         state, _, _ = runner.join(
             state, r, pre["row_k"], pre["row_v"], pre["prompt_ids"],
             pre["logits"], params, budget, pos0=pre["pos0"],
+            first=firsts[r],
         )
     _ = np.asarray(state.ctx_len)
-    print(f"joined {n} rows, prompt_len={plen}, budget={budget}", flush=True)
+    join_s = time.perf_counter() - t0
+    print(
+        f"joined {n} rows in {join_s:.2f}s ({join_s / n * 1000:.0f} ms/row; "
+        f"first-token wave select {sel_s * 1000:.0f} ms), "
+        f"prompt_len={plen}, budget={budget}",
+        flush=True,
+    )
 
     t0 = time.perf_counter()
     state, snap = runner.run_chunk_snap(engine.params, state, chunk)
