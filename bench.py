@@ -41,58 +41,10 @@ BASELINE_PAGES_PER_SEC = 1.0 / 30.078  # reference decode.generate, README.md:15
 
 
 def probe_tunnel(timeout_s: float = 3600.0) -> float:
-    """1-op matmul probe: the axon tunnel can wedge (device listing works,
-    compute hangs) or go fully DOWN (backend init raises UNAVAILABLE).
-    The timeout is deliberately LONG — exiting with the probe op still in
-    flight is itself a wedge trigger (killed client mid-device-op), so
-    waiting out a wedge beats failing fast and re-wedging on every retry;
-    init-time UNAVAILABLE errors retry within the same budget (observed
-    outages recover after tens of minutes). Returns the probe seconds."""
-    import queue
-    import threading
+    """1-op matmul probe; shared implementation in dsocr_tpu.bench.probe."""
+    from dsocr_tpu.bench.probe import probe_tunnel as _probe
 
-    import jax
-    import jax.numpy as jnp
-
-    t0 = time.perf_counter()
-    while True:
-        out: "queue.Queue" = queue.Queue()
-
-        def work():
-            try:
-                x = jnp.full((256, 256), 1.0, jnp.bfloat16)
-                out.put(float(np.asarray((x @ x))[0, 0]))
-            except Exception as err:  # pragma: no cover
-                out.put(err)
-
-        threading.Thread(target=work, daemon=True).start()
-        remaining = timeout_s - (time.perf_counter() - t0)
-        try:
-            result = out.get(timeout=max(1.0, remaining))
-        except queue.Empty:
-            raise RuntimeError(
-                f"TPU tunnel probe did not complete within {timeout_s:.0f}s — "
-                "the axon tunnel is likely wedged; retry later"
-            )
-        if not isinstance(result, Exception):
-            return time.perf_counter() - t0
-        if time.perf_counter() - t0 + 60 > timeout_s:
-            raise result
-        print(
-            f"[bench] tunnel probe failed ({type(result).__name__}); "
-            "retrying in 60s",
-            file=sys.stderr,
-        )
-        time.sleep(60)
-        try:
-            # a failed backend init is cached for the process lifetime —
-            # drop it so the retry actually re-dials the tunnel
-            # (jax 0.9 keeps clear_backends under jax.extend.backend)
-            import jax.extend.backend
-
-            jax.extend.backend.clear_backends()
-        except Exception:  # pragma: no cover - best effort
-            pass
+    return _probe(timeout_s, tag="bench")
 
 
 def main():

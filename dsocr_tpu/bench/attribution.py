@@ -49,6 +49,14 @@ def main() -> int:
     chunk = int(os.environ.get("ATTR_CHUNK", "128"))
     tiny = os.environ.get("ATTR_TINY") == "1"  # CPU smoke of the tool itself
 
+    if not tiny:
+        # wait out a wedged/down tunnel in-process (killing a probe
+        # mid-device-op re-wedges it — see bench.probe)
+        from .probe import probe_tunnel
+
+        budget = float(os.environ.get("ATTR_PROBE_TIMEOUT", "3600"))
+        print(f"probe ok ({probe_tunnel(budget, tag='attr'):.1f}s)", flush=True)
+
     t0 = time.perf_counter()
     if tiny:
         from ..models.deepseek.config import tiny_deepseek_config

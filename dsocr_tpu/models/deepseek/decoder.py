@@ -369,13 +369,29 @@ def deepseek_forward(
         if page_tables is not None:
             # whole pools + traced layer id ride into the kernel (never
             # feed a lax slice of a stacked buffer to a Pallas call)
-            from ...ops.pallas.paged_attention import paged_decode_attention_auto
+            qf = q[:, :, 0, :].astype(jnp.float32)
+            if mesh is not None:
+                # shard_map per-shard (heads over mp when divisible,
+                # redundant-replicated otherwise — pool_sharding's rule)
+                from ...ops.pallas.paged_attention import (
+                    paged_decode_attention_mesh,
+                )
 
-            ctx = paged_decode_attention_auto(
-                q[:, :, 0, :].astype(jnp.float32),
-                k_all, v_all, page_tables, row_lengths, li, scale=scale,
-                ks_pool=ks_all, vs_pool=vs_all,
-            )
+                ctx = paged_decode_attention_mesh(
+                    qf, k_all, v_all, page_tables, row_lengths, li,
+                    scale=scale, mesh=mesh,
+                    cache_replicated=slot_cache_replicated,
+                    ks_pool=ks_all, vs_pool=vs_all,
+                )
+            else:
+                from ...ops.pallas.paged_attention import (
+                    paged_decode_attention_auto,
+                )
+
+                ctx = paged_decode_attention_auto(
+                    qf, k_all, v_all, page_tables, row_lengths, li,
+                    scale=scale, ks_pool=ks_all, vs_pool=vs_all,
+                )
             attn = ctx[:, None, :].astype(q.dtype)  # [B, 1, H*Dv]
         elif flash_prefill and S > 1:
             # Prefill always starts from an empty cache (engine invariant:

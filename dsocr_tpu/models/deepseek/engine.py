@@ -917,13 +917,6 @@ class DeepseekOcrEngine:
         that would not fit)."""
         import os
 
-        if self.mesh is not None:
-            raise NotImplementedError(
-                "paged slot KV under a mesh — the paged Pallas kernel "
-                "would need a shard_map wrapper; use the contiguous slot "
-                "cache (unset DSOCR_PAGED_KV) for sharded serving"
-            )
-
         from ...runtime.paged import (
             PageAllocator,
             PagedSlotRunner,
@@ -941,6 +934,39 @@ class DeepseekOcrEngine:
             cfg.head_dim, cfg.resolved_v_head_dim, page_size, n_slots,
             p_max, self.dtype_, kv_quant=self.kv_quant,
         )
+        if self.mesh is not None:
+            from ...parallel import (
+                pool_scale_sharding,
+                pool_sharding,
+                replicated,
+            )
+
+            if self.quantize_:
+                # EP-quantized serving replicates attention/KV (see
+                # new_slot_cache) — the pool replicates with it
+                ps = ss = replicated(self.mesh)
+            else:
+                ps = pool_sharding(
+                    self.mesh, cfg.resolved_kv_heads, cfg.num_attention_heads
+                )
+                ss = pool_scale_sharding(
+                    self.mesh, cfg.resolved_kv_heads, cfg.num_attention_heads
+                )
+            rep = replicated(self.mesh)
+            cache = cache._replace(
+                k=jax.device_put(cache.k, ps),
+                v=jax.device_put(cache.v, ps),
+                tables=jax.device_put(cache.tables, rep),
+                lengths=jax.device_put(cache.lengths, rep),
+                k_scale=(
+                    None if cache.k_scale is None
+                    else jax.device_put(cache.k_scale, ss)
+                ),
+                v_scale=(
+                    None if cache.v_scale is None
+                    else jax.device_put(cache.v_scale, ss)
+                ),
+            )
         eos = cfg.eos_token_id
         runner = PagedSlotRunner(
             self.slot_step_fn_paged,

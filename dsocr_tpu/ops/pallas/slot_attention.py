@@ -46,14 +46,26 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
+def _select_head_row(scales_blk, head):
+    """[NKV, blk] -> [blk]: pick row `head` (a traced grid coordinate).
+
+    Mosaic's tiling rule forbids a (1, blk) scale block over the
+    [..., NKV, S] planes (second-minor block dim must divide 8 or equal
+    NKV), so blocks carry ALL heads' scales and the kernel selects its
+    row with an iota mask — a VPU-cheap reduction that always lowers,
+    unlike a dynamic sublane slice."""
+    row = jax.lax.broadcasted_iota(jnp.int32, scales_blk.shape, 0) == head
+    return jnp.sum(jnp.where(row, scales_blk, 0.0), axis=0)
+
+
 def _kernel(
     layer_ref,  # [1] int32 (scalar prefetch)
     lengths_ref,  # [B] int32 (scalar prefetch)
     q_ref,  # [1, 1, G, D]
     k_ref,  # [1, 1, 1, blk, D] codes or model dtype
     v_ref,  # [1, 1, 1, blk, Dv]
-    ks_ref,  # [1, 1, 1, blk] f32 or None
-    vs_ref,  # [1, 1, 1, blk] f32 or None
+    ks_ref,  # [1, 1, NKV, blk] f32 or None (all heads; see _select_head_row)
+    vs_ref,  # [1, 1, NKV, blk] f32 or None
     o_ref,  # [1, 1, G, Dv]
     m_ref,  # scratch [1, G]
     l_ref,  # scratch [1, G]
@@ -63,6 +75,7 @@ def _kernel(
     scale: float,
 ):
     b = pl.program_id(0)
+    kv = pl.program_id(1)
     j = pl.program_id(2)
     n_pos = lengths_ref[b] + 1  # attends [0, lengths[b]] inclusive
     last_blk = lengths_ref[b] // block
@@ -82,7 +95,7 @@ def _kernel(
             preferred_element_type=jnp.float32,
         ) * jnp.float32(scale)  # [G, blk]
         if ks_ref is not None:
-            scores = scores * ks_ref[0, 0, 0][None, :]
+            scores = scores * _select_head_row(ks_ref[0, 0], kv)[None, :]
         pos = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1) + j * block
         scores = jnp.where(pos < n_pos, scores, jnp.float32(-1e30))
 
@@ -92,7 +105,7 @@ def _kernel(
         p = jnp.exp(scores - m_new[:, None])  # [G, blk]
         l_ref[0] = l_ref[0] * alpha + jnp.sum(p, axis=1)
         if vs_ref is not None:
-            p = p * vs_ref[0, 0, 0][None, :]
+            p = p * _select_head_row(vs_ref[0, 0], kv)[None, :]
         acc_ref[...] = acc_ref[...] * alpha[:, None] + jax.lax.dot_general(
             p, v_ref[0, 0, 0].astype(jnp.float32), (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
@@ -148,9 +161,12 @@ def slot_decode_attention(
     ]
     operands = [qg, k_all, v_all]
     if quant:
+        # all NKV heads per block: a (1, blk) slice of the [L,B,NKV,S]
+        # planes is not a legal TPU tile (second-minor dim 1 vs NKV);
+        # the kernel masks out its head row (_select_head_row)
         scale_spec = pl.BlockSpec(
-            (1, 1, 1, blk),
-            lambda b, kv, j, lr, nr: (lr[0], b, kv, jnp.minimum(j, nr[b] // blk)),
+            (1, 1, NKV, blk),
+            lambda b, kv, j, lr, nr: (lr[0], b, 0, jnp.minimum(j, nr[b] // blk)),
         )
         in_specs += [scale_spec, scale_spec]
         operands += [ks_all, vs_all]

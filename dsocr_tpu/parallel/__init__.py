@@ -15,9 +15,13 @@ from .mesh import (
     cache_sharding,
     scale_sharding,
     row_cache_sharding,
+    pool_sharding,
+    pool_scale_sharding,
 )
 
 __all__ = [
+    "pool_sharding",
+    "pool_scale_sharding",
     "make_mesh",
     "deepseek_param_shardings",
     "batch_sharding",

@@ -68,6 +68,29 @@ def row_cache_sharding(mesh: Mesh, num_kv_heads: int) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
+def pool_sharding(mesh: Mesh, num_kv_heads: int, num_heads: int) -> NamedSharding:
+    """Paged page pool [L, P, H_kv, page, D]: heads over mp when BOTH the
+    query and KV head counts divide (the paged kernel shard_maps over the
+    head axis, so the q heads must split the same way). The page axis is
+    shared by every row and therefore can never shard over dp — rows
+    replicate instead. Replicated when heads don't divide."""
+    mp = mesh.shape["mp"]
+    if num_kv_heads % mp == 0 and num_heads % mp == 0:
+        return NamedSharding(mesh, P(None, None, "mp", None, None))
+    return NamedSharding(mesh, P())
+
+
+def pool_scale_sharding(
+    mesh: Mesh, num_kv_heads: int, num_heads: int
+) -> NamedSharding:
+    """int8 paged-pool scale planes [L, P, H_kv, page]: same layout as
+    the pool they describe, minus the D dim."""
+    mp = mesh.shape["mp"]
+    if num_kv_heads % mp == 0 and num_heads % mp == 0:
+        return NamedSharding(mesh, P(None, None, "mp", None))
+    return NamedSharding(mesh, P())
+
+
 def deepseek_param_shardings(params: Dict, mesh: Mesh, ep: bool = False) -> Dict:
     """PartitionSpec tree matching init_deepseek_params' layout.
 

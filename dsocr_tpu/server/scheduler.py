@@ -212,9 +212,6 @@ class ContinuousScheduler:
         paged = (
             os.environ.get("DSOCR_PAGED_KV") == "1"
             and hasattr(self.engine, "make_paged_slot_runner")
-            # sharded serving keeps the contiguous cache (the paged
-            # Pallas kernel has no shard_map wrapper)
-            and getattr(self.engine, "mesh", None) is None
         )
         if self._runner is None:
             if paged:

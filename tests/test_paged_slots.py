@@ -139,23 +139,46 @@ def test_paged_int8_kv_serving_matches_contiguous_int8():
         assert a.generated_tokens == b.generated_tokens
 
 
-def test_paged_under_mesh_falls_back_to_contiguous():
-    """A mesh engine with DSOCR_PAGED_KV=1 serves via the contiguous
-    cache (paged kernel has no shard_map wrapper); direct paged-runner
-    construction raises cleanly."""
+@pytest.mark.parametrize(
+    "dp", [2, 1],
+    ids=["head_sharded",  # mp=4 divides the 4 heads -> per-shard kernel
+         "replicated"],   # mp=8 doesn't -> redundant-replicated kernel
+)
+def test_paged_serving_under_mesh_matches_plain(dp):
+    """DSOCR_PAGED_KV=1 under a mesh: the pool shards heads over mp when
+    divisible (pool_sharding) and the paged kernel runs per-shard via
+    shard_map; tokens must match the unsharded paged runtime."""
+    from dsocr_tpu.parallel import make_mesh
+
+    mesh = make_mesh(8, dp=dp)
+    eng = DeepseekOcrEngine(tiny_deepseek_config(), dtype=jnp.float32,
+                            max_seq_len=512, seed=3, mesh=mesh)
+    plain = DeepseekOcrEngine(tiny_deepseek_config(), dtype=jnp.float32,
+                              max_seq_len=512, seed=3)
+    prompts = ["<image>m1", "<image>m2 longer", "<image>m3"]
+    imgs = [_img(70 + i) for i in range(3)]
+    params = DecodeParameters(max_new_tokens=5, no_repeat_ngram_size=None)
+    base = _serve(plain, prompts, imgs, params, env={"DSOCR_PAGED_KV": "1"})
+    served = _serve(eng, prompts, imgs, params, env={"DSOCR_PAGED_KV": "1"})
+    for a, b in zip(base, served):
+        assert a.generated_tokens == b.generated_tokens
+
+
+def test_paged_int8_kv_under_mesh_matches_plain():
+    """int8 KV scale planes shard like the pool they describe
+    (pool_scale_sharding); mesh x paged x int8 matches unsharded."""
     from dsocr_tpu.parallel import make_mesh
 
     mesh = make_mesh(8, dp=2)
     eng = DeepseekOcrEngine(tiny_deepseek_config(), dtype=jnp.float32,
-                            max_seq_len=512, seed=3, mesh=mesh)
-    with pytest.raises(NotImplementedError, match="paged"):
-        eng.make_paged_slot_runner(2, 256)
+                            max_seq_len=512, seed=3, mesh=mesh,
+                            kv_quant="int8")
     plain = DeepseekOcrEngine(tiny_deepseek_config(), dtype=jnp.float32,
-                              max_seq_len=512, seed=3)
-    prompts = ["<image>m1", "<image>m2"]
-    imgs = [_img(70), _img(71)]
+                              max_seq_len=512, seed=3, kv_quant="int8")
+    prompts = ["<image>q1", "<image>q2"]
+    imgs = [_img(80), _img(81)]
     params = DecodeParameters(max_new_tokens=5, no_repeat_ngram_size=None)
-    base = _serve(plain, prompts, imgs, params)
+    base = _serve(plain, prompts, imgs, params, env={"DSOCR_PAGED_KV": "1"})
     served = _serve(eng, prompts, imgs, params, env={"DSOCR_PAGED_KV": "1"})
     for a, b in zip(base, served):
         assert a.generated_tokens == b.generated_tokens
