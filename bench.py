@@ -34,6 +34,10 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_comp_cache")
+# random-init quantized decoder trees are pure functions of
+# (config, seed, method) — cache them on disk so repeated bench
+# processes skip the ~15 min single-core init+quantize
+os.environ.setdefault("DSOCR_INIT_CACHE", "/tmp/dsocr_init_cache")
 
 import numpy as np
 

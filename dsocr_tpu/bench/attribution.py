@@ -27,6 +27,7 @@ import time
 
 def main() -> int:
     os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_comp_cache")
+    os.environ.setdefault("DSOCR_INIT_CACHE", "/tmp/dsocr_init_cache")
     import jax
 
     jax.config.update(

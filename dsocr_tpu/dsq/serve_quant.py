@@ -15,6 +15,10 @@ assembly, and the plain/expert-stack packers. Family modules
 (models/*/quantize.py) decide WHICH keys quantize — mirroring the
 reference's per-family LinearSpec discovery.
 
+All outputs are HOST numpy: engines own the one-shot device upload
+(and the mesh placement), which keeps the packed trees disk-cacheable
+(utils/init_cache.py) without round-tripping the tunnel.
+
 Layouts:
   plain linears → {codes [.., out, in] int8, scales [.., out, in/32]}
     (ggml row layout; consumed by q8_matmul / q8_matmul_layered)
@@ -32,7 +36,6 @@ from __future__ import annotations
 
 from typing import Dict, Optional
 
-import jax.numpy as jnp
 import numpy as np
 
 from ..ops.pallas.dequant_matmul import pack_q8_0
@@ -127,8 +130,8 @@ def quantize_plain(w, method: str = "q8_0", raw=None) -> Dict:
             rows = arr.reshape(-1, i, o).transpose(0, 2, 1).reshape(-1, i)
             codes, scales = q8_rows(rows)
         return {
-            "codes": jnp.asarray(codes.reshape(*lead, o, i)),
-            "scales": jnp.asarray(scales.reshape(*lead, o, i // 32)),
+            "codes": np.ascontiguousarray(codes.reshape(*lead, o, i)),
+            "scales": np.ascontiguousarray(scales.reshape(*lead, o, i // 32)),
         }
     from .quant import quantize as ggml_quantize
     from ..ops.pallas.kquant_matmul import pack_q4_k, pack_q6_k
@@ -138,7 +141,7 @@ def quantize_plain(w, method: str = "q8_0", raw=None) -> Dict:
         payload = ggml_quantize(method.upper(), rows, rows_n, i)
     packed = (pack_q4_k if method == "q4_k" else pack_q6_k)(payload, rows_n, i)
     return {
-        key: jnp.asarray(np.asarray(v).reshape(*lead, o, *v.shape[1:]))
+        key: np.ascontiguousarray(np.asarray(v).reshape(*lead, o, *v.shape[1:]))
         for key, v in packed.items()
     }
 
@@ -174,7 +177,7 @@ def quantize_expert_stack(w, method: str = "q8_0", raw=None) -> Dict:
                 codes, scales = q8_rows(rows)
             codes_out[l] = codes.reshape(E, o, i).transpose(0, 2, 1)
             scales_out[l] = scales.reshape(E, o, i // 32).transpose(0, 2, 1)
-        return {"codes": jnp.asarray(codes_out), "scales": jnp.asarray(scales_out)}
+        return {"codes": codes_out, "scales": scales_out}
     from .quant import quantize as ggml_quantize
     from ..ops.pallas.kquant_matmul import pack_q4_k_inmajor, pack_q6_k_inmajor
 
@@ -190,7 +193,7 @@ def quantize_expert_stack(w, method: str = "q8_0", raw=None) -> Dict:
             )
         )
     return {
-        key: jnp.stack([np.asarray(p[key]) for p in per_layer])
+        key: np.stack([np.asarray(p[key]) for p in per_layer])
         for key in per_layer[0]
     }
 

@@ -97,9 +97,14 @@ class DeepseekOcrEngine:
             params = {
                 "sam": init_sam_params(cfg.sam, ks, vdtype),
                 # quantize consumes host numpy — device-init would be
-                # pulled back through the tunnel (~15 min at 3B)
-                "decoder": init_deepseek_params(
-                    cfg.language, kd, dtype, host=bool(quantize)
+                # pulled back through the tunnel (~15 min at 3B). The
+                # quantized random-init build is deferred into the
+                # init-cache callback below (a DSOCR_INIT_CACHE hit
+                # skips init+fuse+quantize entirely).
+                "decoder": (
+                    None
+                    if quantize
+                    else init_deepseek_params(cfg.language, kd, dtype)
                 ),
             }
             if cfg.variant == "ocr2":
@@ -118,7 +123,7 @@ class DeepseekOcrEngine:
             params = dict(params)
             params["decoder"] = dict(params["decoder"])
             raw_quant = params["decoder"].pop("__raw_quant__", None)
-        if mesh is None:
+        if mesh is None and params["decoder"] is not None:
             # halve the decode op count (latency-bound): fuse qkv and
             # gate/up projections; the mesh path keeps split weights so
             # TP shard boundaries align with the q/k/v splits
@@ -135,19 +140,39 @@ class DeepseekOcrEngine:
                     "shard_map (ops.moe EP dispatch); attention/shared "
                     "projections stay replicated"
                 )
+            from ...utils.init_cache import cached_quant_init
             from .quantize import EXPERT_KEYS, quantize_decoder_params
 
             params = dict(params)
-            quantized = quantize_decoder_params(
-                params["decoder"], quantize, raw=raw_quant
-            )
+
+            def _build_quantized():
+                dec = params["decoder"]
+                if dec is None:  # deferred random init (host numpy)
+                    dec = init_deepseek_params(
+                        cfg.language, kd, dtype, host=True
+                    )
+                    if mesh is None:
+                        from .decoder import fuse_decoder_params
+
+                        dec = fuse_decoder_params(dec)
+                return quantize_decoder_params(dec, quantize, raw=raw_quant)
+
+            if params["decoder"] is None:
+                # random init: a pure function of (cfg, seed, method,
+                # fusion) — disk-cacheable across bench processes
+                quantized = cached_quant_init(
+                    "deepseek", cfg.language, seed, quantize,
+                    mesh is None, _build_quantized,
+                )
+            else:
+                quantized = _build_quantized()
 
             if mesh is None:
                 def _upload(x):
                     # host-init leaves that stayed float (norms, router,
                     # the dense-prefix MLP, embeddings) cast to the
-                    # serving dtype during upload; packed planes are
-                    # already device arrays.
+                    # serving dtype during upload; packed host planes
+                    # (int8 codes / kquant bytes) upload as-is.
                     if isinstance(x, np.ndarray) and np.issubdtype(
                         x.dtype, np.floating
                     ):

@@ -78,8 +78,8 @@ class DotsOcrEngine:
 
             def _upload(x):
                 # host-init leaves that stayed float (norms, embeddings)
-                # cast to the serving dtype during upload; packed planes
-                # are already device arrays.
+                # cast to the serving dtype during upload; packed host
+                # planes (int8 codes / kquant bytes) upload as-is.
                 if isinstance(x, np.ndarray) and np.issubdtype(
                     x.dtype, np.floating
                 ):
