@@ -323,28 +323,62 @@ def deepseek_forward(
             return x, k_all, v_all, ks_all, vs_all
         if page_tables is not None:
             # paged write: the new token's KV goes to its row's page
-            # page_tables[r][len // page] at offset len % page
-            page = k_all.shape[3]
-            rows = jnp.arange(B)
-            pids = page_tables[rows, row_lengths // page]
-            offs = row_lengths % page
+            # page_tables[r][len // page] at offset len % page — via the
+            # ALIASED Pallas update when the kernel path is on (an XLA
+            # scatter feeding the paged attend kernel forces a full pool
+            # copy per layer; see paged_attention.py paged_kv_update)
+            import os as _os
+
+            _flag = _os.environ.get("DSOCR_SLOT_ATTN_KERNEL", "")
+            _use_kernel = _flag == "1" or (
+                _flag != "0" and jax.default_backend() == "tpu"
+            )
             if ks_all is not None:
                 # int8 paged pool: quantize the new token on device
                 from ...ops.attention import quantize_kv_int8
 
                 k_q, k_s = quantize_kv_int8(k)
                 v_q, v_s = quantize_kv_int8(v)
-                k_all = k_all.at[li, pids, :, offs, :].set(k_q[:, :, 0, :])
-                v_all = v_all.at[li, pids, :, offs, :].set(v_q[:, :, 0, :])
-                ks_all = ks_all.at[li, pids, :, offs].set(k_s[:, :, 0])
-                vs_all = vs_all.at[li, pids, :, offs].set(v_s[:, :, 0])
+                new = (k_q[:, :, 0, :], v_q[:, :, 0, :],
+                       k_s[:, :, 0], v_s[:, :, 0])
             else:
-                k_all = k_all.at[li, pids, :, offs, :].set(
-                    k[:, :, 0, :].astype(k_all.dtype)
-                )
-                v_all = v_all.at[li, pids, :, offs, :].set(
-                    v[:, :, 0, :].astype(v_all.dtype)
-                )
+                new = (k[:, :, 0, :].astype(k_all.dtype),
+                       v[:, :, 0, :].astype(v_all.dtype), None, None)
+            updated = None
+            if _use_kernel:
+                if mesh is not None:
+                    from ...ops.pallas.paged_attention import (
+                        paged_kv_update_mesh,
+                    )
+
+                    updated = paged_kv_update_mesh(
+                        k_all, v_all, ks_all, vs_all, *new,
+                        page_tables, row_lengths, li, mesh=mesh,
+                        cache_replicated=slot_cache_replicated,
+                    )
+                else:
+                    from ...ops.pallas.paged_attention import (
+                        paged_kv_update_auto,
+                    )
+
+                    updated = paged_kv_update_auto(
+                        k_all, v_all, ks_all, vs_all, *new,
+                        page_tables, row_lengths, li,
+                    )
+            if updated is not None:
+                k_all, v_all, ks2, vs2 = updated
+                if ks_all is not None:
+                    ks_all, vs_all = ks2, vs2
+            else:
+                page = k_all.shape[3]
+                rows = jnp.arange(B)
+                pids = page_tables[rows, row_lengths // page]
+                offs = row_lengths % page
+                k_all = k_all.at[li, pids, :, offs, :].set(new[0])
+                v_all = v_all.at[li, pids, :, offs, :].set(new[1])
+                if ks_all is not None:
+                    ks_all = ks_all.at[li, pids, :, offs].set(new[2])
+                    vs_all = vs_all.at[li, pids, :, offs].set(new[3])
         elif row_lengths is not None:
             # per-row write positions → scatter + attend (same shared
             # helper as the int8 branch; on TPU it runs the Pallas slot

@@ -152,6 +152,43 @@ def _slot_kernel_dispatch(q, k_all, v_all, ks_all, vs_all, li, row_lengths,
     )
 
 
+def _slot_update_dispatch(k_all, v_all, ks_all, vs_all, k_new, v_new,
+                          ks_new, vs_new, li, row_lengths, mesh,
+                          cache_replicated, use_kernel):
+    """Write one new token per row into the slot caches at
+    row_lengths[r]. On TPU the write runs as an ALIASED Pallas call
+    (slot_kv_update): the XLA scatter stops being in-place as soon as a
+    Pallas attend consumes the cache in the same scan body — XLA then
+    copies every full [L, B, H, S, *] stack per layer (measured 71 vs
+    14 ms/step at 16 rows); the aliased kernel touches one 128-token
+    window per row instead. Falls back to the scatter when the kernel
+    is off or the mesh layout can't be expressed."""
+    if use_kernel:
+        from .pallas.slot_attention import (
+            slot_kv_update_auto,
+            slot_kv_update_mesh,
+        )
+
+        if mesh is None:
+            return slot_kv_update_auto(
+                k_all, v_all, ks_all, vs_all, k_new, v_new, ks_new, vs_new,
+                li, row_lengths,
+            )
+        out = slot_kv_update_mesh(
+            k_all, v_all, ks_all, vs_all, k_new, v_new, ks_new, vs_new,
+            li, row_lengths, mesh=mesh, cache_replicated=cache_replicated,
+        )
+        if out is not None:
+            return out
+    rows = jnp.arange(k_new.shape[0])
+    k_all = k_all.at[li, rows, :, row_lengths, :].set(k_new)
+    v_all = v_all.at[li, rows, :, row_lengths, :].set(v_new)
+    if ks_all is not None:
+        ks_all = ks_all.at[li, rows, :, row_lengths].set(ks_new)
+        vs_all = vs_all.at[li, rows, :, row_lengths].set(vs_new)
+    return k_all, v_all, ks_all, vs_all
+
+
 def slot_kv_write_attend(
     q: jnp.ndarray,  # [B, NH, 1, D]
     k: jnp.ndarray,  # [B, H_kv, 1, D] new token K (pre-quant dtype)
@@ -188,14 +225,14 @@ def slot_kv_write_attend(
     # default = TPU only.
     flag = os.environ.get("DSOCR_SLOT_ATTN_KERNEL", "")
     use_kernel = flag == "1" or (flag != "0" and jax.default_backend() == "tpu")
-    rows = jnp.arange(k.shape[0])
     if ks_all is not None:
         k_q, k_s = quantize_kv_int8(k)
         v_q, v_s = quantize_kv_int8(v)
-        k_all = k_all.at[li, rows, :, row_lengths, :].set(k_q[:, :, 0, :])
-        v_all = v_all.at[li, rows, :, row_lengths, :].set(v_q[:, :, 0, :])
-        ks_all = ks_all.at[li, rows, :, row_lengths].set(k_s[:, :, 0])
-        vs_all = vs_all.at[li, rows, :, row_lengths].set(v_s[:, :, 0])
+        k_all, v_all, ks_all, vs_all = _slot_update_dispatch(
+            k_all, v_all, ks_all, vs_all,
+            k_q[:, :, 0, :], v_q[:, :, 0, :], k_s[:, :, 0], v_s[:, :, 0],
+            li, row_lengths, mesh, cache_replicated, use_kernel,
+        )
         if use_kernel:
             attn = _slot_kernel_dispatch(
                 q, k_all, v_all, ks_all, vs_all, li, row_lengths, scale,
@@ -213,11 +250,10 @@ def slot_kv_write_attend(
             scale,
         )
         return attn, k_all, v_all, ks_all, vs_all
-    k_all = k_all.at[li, rows, :, row_lengths, :].set(
-        k[:, :, 0, :].astype(k_all.dtype)
-    )
-    v_all = v_all.at[li, rows, :, row_lengths, :].set(
-        v[:, :, 0, :].astype(v_all.dtype)
+    k_all, v_all, _, _ = _slot_update_dispatch(
+        k_all, v_all, None, None,
+        k[:, :, 0, :].astype(k_all.dtype), v[:, :, 0, :].astype(v_all.dtype),
+        None, None, li, row_lengths, mesh, cache_replicated, use_kernel,
     )
     if use_kernel:
         attn = _slot_kernel_dispatch(

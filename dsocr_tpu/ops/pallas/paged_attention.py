@@ -12,7 +12,12 @@ kernel walks only the pages a row actually uses:
   steps map to the same block, so HBM traffic is ~proportional to used
   tokens, not to the table capacity;
 - softmax is accumulated online (flash-style scratch: running max,
-  denominator, weighted value sum) across the page walk.
+  denominator, weighted value sum) across the page walk;
+- the grid is (B, P_max) and every page block carries ALL KV heads,
+  with the head loop unrolled inside the kernel (one [NKV, page, D]
+  DMA per step) — a per-head grid dimension costs ~NKV x more
+  sequential grid steps and NKV x smaller DMAs (slot_attention.py
+  docstring has the measured numbers).
 
 The whole [L, ...] pool is passed and the layer index rides scalar
 prefetch — never feed a lax dynamic-slice of a stacked buffer into a
@@ -34,31 +39,31 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .slot_attention import _select_head_row
+from .slot_attention import _online_softmax_head
 
 
 def _kernel(
     layer_ref,  # [1] int32 (scalar prefetch)
     tables_ref,  # [B, P_max] int32 (scalar prefetch)
     lengths_ref,  # [B] int32 (scalar prefetch)
-    q_ref,  # [1, 1, G, D] — all query heads of this KV head
-    k_ref,  # [1, 1, 1, page, D] model dtype or int8 codes
-    v_ref,  # [1, 1, 1, page, Dv]
-    ks_ref,  # [1, 1, H_kv, page] f32 per-token scales (all heads) or None
+    q_ref,  # [1, H_kv, G, D] — the row's full query block
+    k_ref,  # [1, 1, H_kv, page, D] model dtype or int8 codes
+    v_ref,  # [1, 1, H_kv, page, Dv]
+    ks_ref,  # [1, 1, H_kv, page] f32 per-token scales or None
     vs_ref,  # [1, 1, H_kv, page] f32 or None
-    o_ref,  # [1, 1, G, Dv]
-    m_ref,  # scratch [1, G]
-    l_ref,  # scratch [1, G]
-    acc_ref,  # scratch [G, Dv]
+    o_ref,  # [1, H_kv, G, Dv]
+    m_ref,  # scratch [H_kv, G]
+    l_ref,  # scratch [H_kv, G]
+    acc_ref,  # scratch [H_kv, G, Dv]
     *,
     page: int,
     scale: float,
 ):
     b = pl.program_id(0)
-    kv = pl.program_id(1)
-    j = pl.program_id(2)
+    j = pl.program_id(1)
     n_pos = lengths_ref[b] + 1  # attends [0, lengths[b]] inclusive
     last_page = (n_pos - 1) // page
+    nkv = q_ref.shape[1]
 
     @pl.when(j == 0)
     def _init():
@@ -68,37 +73,18 @@ def _kernel(
 
     @pl.when(j <= last_page)
     def _accumulate():
-        q = q_ref[0, 0].astype(jnp.float32)  # [G, D]
-        k = k_ref[0, 0, 0]  # [page, D]
-        v = v_ref[0, 0, 0]  # [page, Dv]
-        scores = jax.lax.dot_general(
-            q, k.astype(jnp.float32), (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        ) * jnp.float32(scale)  # [G, page]
-        if ks_ref is not None:
-            # int8 codes: per-token K scales fold into the scores (the
-            # block carries every head's scales — a (1, page) slice of
-            # the [..., H_kv, page] planes is not a legal TPU tile)
-            scores = scores * _select_head_row(ks_ref[0, 0], kv)[None, :]
-        pos = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1) + j * page
-        scores = jnp.where(pos < n_pos, scores, jnp.float32(-1e30))
+        for h in range(nkv):  # static unroll: all heads share the DMA
+            _online_softmax_head(
+                h, q_ref, k_ref[0, 0, h], v_ref[0, 0, h],
+                ks_ref[0, 0, h] if ks_ref is not None else None,
+                vs_ref[0, 0, h] if vs_ref is not None else None,
+                m_ref, l_ref, acc_ref,
+                base_pos=j * page, n_pos=n_pos, scale=scale,
+            )
 
-        m_prev = m_ref[0]  # [G]
-        m_new = jnp.maximum(m_prev, jnp.max(scores, axis=1))
-        alpha = jnp.exp(m_prev - m_new)  # [G]
-        p = jnp.exp(scores - m_new[:, None])  # [G, page]
-        l_ref[0] = l_ref[0] * alpha + jnp.sum(p, axis=1)
-        if vs_ref is not None:
-            p = p * _select_head_row(vs_ref[0, 0], kv)[None, :]
-        acc_ref[...] = acc_ref[...] * alpha[:, None] + jax.lax.dot_general(
-            p, v.astype(jnp.float32), (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        m_ref[0] = m_new
-
-    @pl.when(j == pl.num_programs(2) - 1)
+    @pl.when(j == pl.num_programs(1) - 1)
     def _finalize():
-        o_ref[0, 0] = acc_ref[...] / l_ref[0][:, None]
+        o_ref[0] = acc_ref[...] / l_ref[...][..., None]
 
 
 def _no_scale_kernel(layer_ref, tables_ref, lengths_ref, q_ref, k_ref, v_ref,
@@ -132,23 +118,21 @@ def paged_decode_attention(
     quant = ks_pool is not None
     qg = q.reshape(B, H_kv, G, D)
 
-    def _pool_idx(b, kv, j, lr, tr, nr):
+    def _pool_idx(b, j, lr, tr, nr):
         # clamp past-the-end ordinals to the row's last used page:
         # consecutive identical blocks skip the DMA
-        return (lr[0], tr[b, jnp.minimum(j, nr[b] // page)], kv, 0, 0)
+        return (lr[0], tr[b, jnp.minimum(j, nr[b] // page)], 0, 0, 0)
 
     in_specs = [
-        pl.BlockSpec((1, 1, G, D), lambda b, kv, j, lr, tr, nr: (b, kv, 0, 0)),
-        pl.BlockSpec((1, 1, 1, page, D), _pool_idx),
-        pl.BlockSpec((1, 1, 1, page, Dv), _pool_idx),
+        pl.BlockSpec((1, H_kv, G, D), lambda b, j, lr, tr, nr: (b, 0, 0, 0)),
+        pl.BlockSpec((1, 1, H_kv, page, D), _pool_idx),
+        pl.BlockSpec((1, 1, H_kv, page, Dv), _pool_idx),
     ]
     operands = [qg, k_pool, v_pool]
     if quant:
-        # all H_kv heads of the page per block (tiling-legal); the
-        # kernel masks out its head row (_select_head_row)
         scale_spec = pl.BlockSpec(
             (1, 1, H_kv, page),
-            lambda b, kv, j, lr, tr, nr: (
+            lambda b, j, lr, tr, nr: (
                 lr[0], tr[b, jnp.minimum(j, nr[b] // page)], 0, 0
             ),
         )
@@ -160,15 +144,15 @@ def paged_decode_attention(
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,  # layer, tables, lengths
-        grid=(B, H_kv, P_max),
+        grid=(B, P_max),
         in_specs=in_specs,
         out_specs=pl.BlockSpec(
-            (1, 1, G, Dv), lambda b, kv, j, lr, tr, nr: (b, kv, 0, 0)
+            (1, H_kv, G, Dv), lambda b, j, lr, tr, nr: (b, 0, 0, 0)
         ),
         scratch_shapes=[
-            pltpu.VMEM((1, G), jnp.float32),
-            pltpu.VMEM((1, G), jnp.float32),
-            pltpu.VMEM((G, Dv), jnp.float32),
+            pltpu.VMEM((H_kv, G), jnp.float32),
+            pltpu.VMEM((H_kv, G), jnp.float32),
+            pltpu.VMEM((H_kv, G, Dv), jnp.float32),
         ],
     )
     out = pl.pallas_call(
@@ -185,6 +169,234 @@ def paged_decode_attention(
         *operands[1:],
     )
     return out.reshape(B, H * Dv)
+
+
+def _paged_update_kernel(
+    layer_ref,  # [1] int32 (scalar prefetch)
+    tables_ref,  # [B, P_max] int32 (scalar prefetch)
+    lengths_ref,  # [B] int32 (scalar prefetch)
+    k_ref,  # [1, 1, H_kv, W, D] — the row's write window of its page
+    v_ref,  # [1, 1, H_kv, W, Dv]
+    ks_ref,  # [1, 1, H_kv, W] or None
+    vs_ref,  # [1, 1, H_kv, W] or None
+    kn_ref,  # [1, H_kv, D]
+    vn_ref,  # [1, H_kv, Dv]
+    ksn_ref,  # [1, H_kv] or None
+    vsn_ref,  # [1, H_kv] or None
+    ko_ref,  # aliased outputs
+    vo_ref,
+    kso_ref,
+    vso_ref,
+    *,
+    window: int,
+):
+    b = pl.program_id(0)
+    off = lengths_ref[b] % window
+    nkv = k_ref.shape[2]
+    sel = (
+        jax.lax.broadcasted_iota(jnp.int32, (nkv, window), 1) == off
+    )  # [H_kv, W]
+    def _blend(dst_ref, win_ref, new_ref):
+        # blend in f32 with a 3D iota mask: Mosaic can't insert a minor
+        # dim on sub-32-bit types (int8 data, i1 masks) — and the
+        # int8<->f32 round trip is exact
+        win = win_ref[0, 0].astype(jnp.float32)
+        new = new_ref[0].astype(jnp.float32)
+        sel3 = (
+            jax.lax.broadcasted_iota(jnp.int32, win.shape, 1) == off
+        )  # [H_kv, W, D]
+        dst_ref[0, 0] = jnp.where(sel3, new[:, None, :], win).astype(
+            dst_ref.dtype
+        )
+
+    _blend(ko_ref, k_ref, kn_ref)
+    _blend(vo_ref, v_ref, vn_ref)
+    if ks_ref is not None:
+        # new scales ride as ONE [B, H_kv] block (a (1, H_kv) block is
+        # not a legal TPU tile — second-minor 1); select row b by mask
+        row = jax.lax.broadcasted_iota(jnp.int32, ksn_ref.shape, 0) == b
+        ksn = jnp.sum(jnp.where(row, ksn_ref[...], 0.0), axis=0)  # [H_kv]
+        vsn = jnp.sum(jnp.where(row, vsn_ref[...], 0.0), axis=0)
+        kso_ref[0, 0] = jnp.where(sel, ksn[:, None], ks_ref[0, 0])
+        vso_ref[0, 0] = jnp.where(sel, vsn[:, None], vs_ref[0, 0])
+
+
+def _paged_update_kernel_no_scale(layer_ref, tables_ref, lengths_ref, k_ref,
+                                  v_ref, kn_ref, vn_ref, ko_ref, vo_ref, *,
+                                  window):
+    _paged_update_kernel(layer_ref, tables_ref, lengths_ref, k_ref, v_ref,
+                         None, None, kn_ref, vn_ref, None, None, ko_ref,
+                         vo_ref, None, None, window=window)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def paged_kv_update(
+    k_pool: jnp.ndarray,  # [L, P, H_kv, page, D]
+    v_pool: jnp.ndarray,  # [L, P, H_kv, page, Dv]
+    ks_pool: Optional[jnp.ndarray],  # [L, P, H_kv, page] f32 or None
+    vs_pool: Optional[jnp.ndarray],
+    k_new: jnp.ndarray,  # [B, H_kv, D] — already int8 codes if pool is
+    v_new: jnp.ndarray,
+    ks_new: Optional[jnp.ndarray],  # [B, H_kv] f32 or None
+    vs_new: Optional[jnp.ndarray],
+    page_tables: jnp.ndarray,  # [B, P_max] int32
+    lengths: jnp.ndarray,  # [B] int32 write positions
+    layer: jnp.ndarray,  # scalar int32
+    *,
+    interpret: bool = False,
+):
+    """In-place (input_output_aliases) write of one new token per row
+    into its page-table slot at position lengths[r]. Same rationale as
+    slot_kv_update (slot_attention.py): an XLA scatter whose result
+    feeds a Pallas attend forces a full pool copy per layer; the aliased
+    kernel touches one [H_kv, W, D] window of one page per row."""
+    L, P, H_kv, page, D = k_pool.shape
+    Dv = v_pool.shape[-1]
+    W = 128 if page % 128 == 0 else page
+    quant = ks_pool is not None
+
+    def _win(b, lr, tr, nr):
+        pos = nr[b]
+        return (lr[0], tr[b, pos // page], 0, (pos % page) // W, 0)
+
+    def _win_s(b, lr, tr, nr):
+        pos = nr[b]
+        return (lr[0], tr[b, pos // page], 0, (pos % page) // W)
+
+    kv_specs = [
+        pl.BlockSpec((1, 1, H_kv, W, D), _win),
+        pl.BlockSpec((1, 1, H_kv, W, Dv), _win),
+    ]
+    new_specs = [
+        pl.BlockSpec((1, H_kv, D), lambda b, lr, tr, nr: (b, 0, 0)),
+        pl.BlockSpec((1, H_kv, Dv), lambda b, lr, tr, nr: (b, 0, 0)),
+    ]
+    if quant:
+        B_ = k_new.shape[0]
+        scale_spec = pl.BlockSpec((1, 1, H_kv, W), _win_s)
+        new_scale_spec = pl.BlockSpec(
+            (B_, H_kv), lambda b, lr, tr, nr: (0, 0)
+        )
+        in_specs = kv_specs + [scale_spec, scale_spec] + new_specs + [
+            new_scale_spec, new_scale_spec,
+        ]
+        operands = [k_pool, v_pool, ks_pool, vs_pool,
+                    k_new, v_new, ks_new, vs_new]
+        out_specs = [kv_specs[0], kv_specs[1], scale_spec, scale_spec]
+        out_shape = [
+            jax.ShapeDtypeStruct(k_pool.shape, k_pool.dtype),
+            jax.ShapeDtypeStruct(v_pool.shape, v_pool.dtype),
+            jax.ShapeDtypeStruct(ks_pool.shape, ks_pool.dtype),
+            jax.ShapeDtypeStruct(vs_pool.shape, vs_pool.dtype),
+        ]
+        # indices count the scalar-prefetch operands (layer, tables, lengths)
+        aliases = {3: 0, 4: 1, 5: 2, 6: 3}
+        kernel = functools.partial(_paged_update_kernel, window=W)
+    else:
+        in_specs = kv_specs + new_specs
+        operands = [k_pool, v_pool, k_new, v_new]
+        out_specs = [kv_specs[0], kv_specs[1]]
+        out_shape = [
+            jax.ShapeDtypeStruct(k_pool.shape, k_pool.dtype),
+            jax.ShapeDtypeStruct(v_pool.shape, v_pool.dtype),
+        ]
+        aliases = {3: 0, 4: 1}
+        kernel = functools.partial(_paged_update_kernel_no_scale, window=W)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,  # layer, tables, lengths
+        grid=(k_new.shape[0],),
+        in_specs=in_specs,
+        out_specs=out_specs,
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=out_shape,
+        input_output_aliases=aliases,
+        interpret=interpret,
+    )(
+        jnp.asarray(layer, jnp.int32).reshape(1),
+        page_tables.astype(jnp.int32),
+        lengths.astype(jnp.int32),
+        *operands,
+    )
+    if quant:
+        return out[0], out[1], out[2], out[3]
+    return out[0], out[1], None, None
+
+
+def paged_kv_update_auto(k_pool, v_pool, ks_pool, vs_pool, k_new, v_new,
+                         ks_new, vs_new, page_tables, lengths, layer):
+    """Pallas on TPU, interpreter elsewhere (CPU tests)."""
+    return paged_kv_update(
+        k_pool, v_pool, ks_pool, vs_pool, k_new, v_new, ks_new, vs_new,
+        page_tables, lengths, layer,
+        interpret=jax.default_backend() != "tpu",
+    )
+
+
+def paged_kv_update_mesh(
+    k_pool, v_pool, ks_pool, vs_pool, k_new, v_new, ks_new, vs_new,
+    page_tables, lengths, layer, *, mesh, cache_replicated: bool = False,
+):
+    """shard_map wrapper mirroring paged_decode_attention_mesh's layouts
+    (heads over mp when divisible, else replicated — rows never shard).
+    Returns None when the layout can't be expressed."""
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    mp = mesh.shape.get("mp", 1)
+    NKV = k_pool.shape[2]
+    quant = ks_pool is not None
+    interpret = jax.default_backend() != "tpu"
+    h_axis = None
+    if not cache_replicated and mp > 1 and NKV % mp == 0:
+        h_axis = "mp"
+    pool_spec = P(None, None, h_axis, None, None)
+    scale_spec = P(None, None, h_axis, None)
+    new_spec = P(None, h_axis, None)
+    new_scale_spec = P(None, h_axis)
+
+    if quant:
+        def per_shard(k_, v_, ks_, vs_, kn_, vn_, ksn_, vsn_, tab_, len_, li_):
+            return paged_kv_update(
+                k_, v_, ks_, vs_, kn_, vn_, ksn_, vsn_, tab_, len_, li_,
+                interpret=interpret,
+            )
+
+        fn = shard_map(
+            per_shard,
+            mesh=mesh,
+            in_specs=(
+                pool_spec, pool_spec, scale_spec, scale_spec,
+                new_spec, new_spec, new_scale_spec, new_scale_spec,
+                P(None, None), P(None), P(),
+            ),
+            out_specs=(pool_spec, pool_spec, scale_spec, scale_spec),
+            check_vma=False,
+        )
+        return fn(k_pool, v_pool, ks_pool, vs_pool, k_new, v_new, ks_new,
+                  vs_new, page_tables, lengths, jnp.asarray(layer, jnp.int32))
+
+    def per_shard_nq(k_, v_, kn_, vn_, tab_, len_, li_):
+        k2, v2, _, _ = paged_kv_update(
+            k_, v_, None, None, kn_, vn_, None, None, tab_, len_, li_,
+            interpret=interpret,
+        )
+        return k2, v2
+
+    fn_nq = shard_map(
+        per_shard_nq,
+        mesh=mesh,
+        in_specs=(pool_spec, pool_spec, new_spec, new_spec,
+                  P(None, None), P(None), P()),
+        out_specs=(pool_spec, pool_spec),
+        check_vma=False,
+    )
+    k2, v2 = fn_nq(k_pool, v_pool, k_new, v_new, page_tables, lengths,
+                   jnp.asarray(layer, jnp.int32))
+    return k2, v2, None, None
 
 
 def paged_decode_attention_auto(

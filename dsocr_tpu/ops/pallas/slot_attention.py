@@ -24,9 +24,12 @@ This kernel walks the row in blocks with online (flash-style) softmax:
 - int8 codes are dequantized in VMEM: per-token k scales fold into the
   scores, v scales into the softmax weights (exactly
   attention_kv_int8's math, ops/attention.py:95-132);
-- GQA computes all G = NH/NKV query heads of a KV head per block, so
-  grouped caches are read once (the einsum path shares this property;
-  the naive repeat_kv layout would not).
+- the grid is (B, n_blocks) and every block carries ALL KV heads: at
+  the real model's geometry (10 KV heads, G=1) a per-head grid costs
+  ~NKV x more sequential grid steps (~2-3 us each — measured 73.7
+  ms/step vs the einsum's 15.4 at 16 rows x 27 layers) and NKV x
+  smaller DMAs; the head loop unrolls INSIDE the kernel instead, so
+  each grid step issues one [NKV, blk, D] DMA and NKV small dots.
 
 Semantics match deepseek_forward's slot mode (models/deepseek/
 decoder.py:253-262): the new token's K/V is already written at
@@ -46,39 +49,60 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _select_head_row(scales_blk, head):
-    """[NKV, blk] -> [blk]: pick row `head` (a traced grid coordinate).
+def _online_softmax_head(
+    h, q_ref, k_blk, v_blk, ks_row, vs_row, m_ref, l_ref, acc_ref,
+    *, base_pos, n_pos, scale,
+):
+    """One KV head's flash-softmax block update (h is a static int).
 
-    Mosaic's tiling rule forbids a (1, blk) scale block over the
-    [..., NKV, S] planes (second-minor block dim must divide 8 or equal
-    NKV), so blocks carry ALL heads' scales and the kernel selects its
-    row with an iota mask — a VPU-cheap reduction that always lowers,
-    unlike a dynamic sublane slice."""
-    row = jax.lax.broadcasted_iota(jnp.int32, scales_blk.shape, 0) == head
-    return jnp.sum(jnp.where(row, scales_blk, 0.0), axis=0)
+    q_ref[0, h]: [G, D]; k_blk/v_blk: [blk, D]/[blk, Dv]; ks_row/vs_row:
+    [blk] per-token scales or None; scratch rows m/l [NKV, G],
+    acc [NKV, G, Dv]."""
+    q = q_ref[0, h].astype(jnp.float32)  # [G, D]
+    scores = jax.lax.dot_general(
+        q, k_blk.astype(jnp.float32), (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) * jnp.float32(scale)  # [G, blk]
+    if ks_row is not None:
+        scores = scores * ks_row[None, :]
+    pos = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1) + base_pos
+    scores = jnp.where(pos < n_pos, scores, jnp.float32(-1e30))
+
+    m_prev = m_ref[h]  # [G]
+    m_new = jnp.maximum(m_prev, jnp.max(scores, axis=1))
+    alpha = jnp.exp(m_prev - m_new)  # [G]
+    p = jnp.exp(scores - m_new[:, None])  # [G, blk]
+    l_ref[h] = l_ref[h] * alpha + jnp.sum(p, axis=1)
+    if vs_row is not None:
+        p = p * vs_row[None, :]
+    acc_ref[h] = acc_ref[h] * alpha[:, None] + jax.lax.dot_general(
+        p, v_blk.astype(jnp.float32), (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    m_ref[h] = m_new
 
 
 def _kernel(
     layer_ref,  # [1] int32 (scalar prefetch)
     lengths_ref,  # [B] int32 (scalar prefetch)
-    q_ref,  # [1, 1, G, D]
-    k_ref,  # [1, 1, 1, blk, D] codes or model dtype
-    v_ref,  # [1, 1, 1, blk, Dv]
-    ks_ref,  # [1, 1, NKV, blk] f32 or None (all heads; see _select_head_row)
+    q_ref,  # [1, NKV, G, D]
+    k_ref,  # [1, 1, NKV, blk, D] codes or model dtype
+    v_ref,  # [1, 1, NKV, blk, Dv]
+    ks_ref,  # [1, 1, NKV, blk] f32 or None
     vs_ref,  # [1, 1, NKV, blk] f32 or None
-    o_ref,  # [1, 1, G, Dv]
-    m_ref,  # scratch [1, G]
-    l_ref,  # scratch [1, G]
-    acc_ref,  # scratch [G, Dv]
+    o_ref,  # [1, NKV, G, Dv]
+    m_ref,  # scratch [NKV, G]
+    l_ref,  # scratch [NKV, G]
+    acc_ref,  # scratch [NKV, G, Dv]
     *,
     block: int,
     scale: float,
 ):
     b = pl.program_id(0)
-    kv = pl.program_id(1)
-    j = pl.program_id(2)
+    j = pl.program_id(1)
     n_pos = lengths_ref[b] + 1  # attends [0, lengths[b]] inclusive
     last_blk = lengths_ref[b] // block
+    nkv = q_ref.shape[1]
 
     @pl.when(j == 0)
     def _init():
@@ -88,33 +112,18 @@ def _kernel(
 
     @pl.when(j <= last_blk)
     def _accumulate():
-        q = q_ref[0, 0].astype(jnp.float32)  # [G, D]
-        k = k_ref[0, 0, 0].astype(jnp.float32)  # [blk, D]
-        scores = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        ) * jnp.float32(scale)  # [G, blk]
-        if ks_ref is not None:
-            scores = scores * _select_head_row(ks_ref[0, 0], kv)[None, :]
-        pos = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1) + j * block
-        scores = jnp.where(pos < n_pos, scores, jnp.float32(-1e30))
+        for h in range(nkv):  # static unroll: all heads share the DMA
+            _online_softmax_head(
+                h, q_ref, k_ref[0, 0, h], v_ref[0, 0, h],
+                ks_ref[0, 0, h] if ks_ref is not None else None,
+                vs_ref[0, 0, h] if vs_ref is not None else None,
+                m_ref, l_ref, acc_ref,
+                base_pos=j * block, n_pos=n_pos, scale=scale,
+            )
 
-        m_prev = m_ref[0]  # [G]
-        m_new = jnp.maximum(m_prev, jnp.max(scores, axis=1))
-        alpha = jnp.exp(m_prev - m_new)  # [G]
-        p = jnp.exp(scores - m_new[:, None])  # [G, blk]
-        l_ref[0] = l_ref[0] * alpha + jnp.sum(p, axis=1)
-        if vs_ref is not None:
-            p = p * _select_head_row(vs_ref[0, 0], kv)[None, :]
-        acc_ref[...] = acc_ref[...] * alpha[:, None] + jax.lax.dot_general(
-            p, v_ref[0, 0, 0].astype(jnp.float32), (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        m_ref[0] = m_new
-
-    @pl.when(j == pl.num_programs(2) - 1)
+    @pl.when(j == pl.num_programs(1) - 1)
     def _finalize():
-        o_ref[0, 0] = acc_ref[...] / l_ref[0][:, None]
+        o_ref[0] = acc_ref[...] / l_ref[...][..., None]
 
 
 def _pick_block(S: int) -> int:
@@ -122,6 +131,244 @@ def _pick_block(S: int) -> int:
         if S % blk == 0:
             return blk
     return S
+
+
+def _kv_update_kernel(
+    layer_ref,  # [1] int32 (scalar prefetch)
+    lengths_ref,  # [B] int32 (scalar prefetch)
+    k_ref,  # [1, 1, NKV, W, D] — the row's write window
+    v_ref,  # [1, 1, NKV, W, Dv]
+    ks_ref,  # [1, 1, NKV, W] or None
+    vs_ref,  # [1, 1, NKV, W] or None
+    kn_ref,  # [1, NKV, D] new token K
+    vn_ref,  # [1, NKV, Dv]
+    ksn_ref,  # [1, NKV] or None
+    vsn_ref,  # [1, NKV] or None
+    ko_ref,  # aliased outputs (same blocks as the k/v/ks/vs inputs)
+    vo_ref,
+    kso_ref,
+    vso_ref,
+    *,
+    window: int,
+):
+    b = pl.program_id(0)
+    off = lengths_ref[b] % window
+    nkv = k_ref.shape[2]
+    sel = (
+        jax.lax.broadcasted_iota(jnp.int32, (nkv, window), 1) == off
+    )  # [NKV, W]
+
+    def _blend(dst_ref, win_ref, new_ref):
+        # blend in f32 with a 3D iota mask: Mosaic can't insert a minor
+        # dim on sub-32-bit types (int8 data, i1 masks) — and the
+        # int8<->f32 round trip is exact
+        win = win_ref[0, 0].astype(jnp.float32)
+        new = new_ref[0].astype(jnp.float32)
+        sel3 = (
+            jax.lax.broadcasted_iota(jnp.int32, win.shape, 1) == off
+        )  # [NKV, W, D]
+        dst_ref[0, 0] = jnp.where(sel3, new[:, None, :], win).astype(
+            dst_ref.dtype
+        )
+
+    _blend(ko_ref, k_ref, kn_ref)
+    _blend(vo_ref, v_ref, vn_ref)
+    if ks_ref is not None:
+        # the new scales ride as ONE [B, NKV] block (a (1, NKV) block is
+        # not a legal TPU tile — second-minor 1); select row b by mask
+        row = jax.lax.broadcasted_iota(jnp.int32, ksn_ref.shape, 0) == b
+        ksn = jnp.sum(jnp.where(row, ksn_ref[...], 0.0), axis=0)  # [NKV]
+        vsn = jnp.sum(jnp.where(row, vsn_ref[...], 0.0), axis=0)
+        kso_ref[0, 0] = jnp.where(sel, ksn[:, None], ks_ref[0, 0])
+        vso_ref[0, 0] = jnp.where(sel, vsn[:, None], vs_ref[0, 0])
+
+
+def _kv_update_kernel_no_scale(layer_ref, lengths_ref, k_ref, v_ref, kn_ref,
+                               vn_ref, ko_ref, vo_ref, *, window):
+    _kv_update_kernel(layer_ref, lengths_ref, k_ref, v_ref, None, None,
+                      kn_ref, vn_ref, None, None, ko_ref, vo_ref, None, None,
+                      window=window)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def slot_kv_update(
+    k_all: jnp.ndarray,  # [L, B, NKV, S, D] (model dtype or int8 codes)
+    v_all: jnp.ndarray,  # [L, B, NKV, S, Dv]
+    ks_all: Optional[jnp.ndarray],  # [L, B, NKV, S] f32 or None
+    vs_all: Optional[jnp.ndarray],
+    k_new: jnp.ndarray,  # [B, NKV, D] — already quantized if the cache is
+    v_new: jnp.ndarray,  # [B, NKV, Dv]
+    ks_new: Optional[jnp.ndarray],  # [B, NKV] f32 or None
+    vs_new: Optional[jnp.ndarray],
+    layer: jnp.ndarray,  # scalar int32
+    lengths: jnp.ndarray,  # [B] int32 write positions
+    *,
+    interpret: bool = False,
+):
+    """In-place (input_output_aliases) write of one new token per row at
+    position lengths[r] of layer `layer`.
+
+    The XLA scatter (`cache.at[li, rows, :, lengths, :].set(...)`) stops
+    being in-place the moment a Pallas custom-call consumes the cache in
+    the same scan body — XLA conservatively materializes a full copy of
+    every [L, B, NKV, S, *] stack per LAYER (measured: 71 vs 14 ms/step
+    at 16 rows x 12 layers x 2560 ctx). This kernel makes the write a
+    Pallas call too, with the cache stacks explicitly aliased in/out, so
+    the whole decode-step chain stays copy-free. Traffic per call is one
+    [NKV, W, D] window per row (W = 128), ~KBs — not the full stack.
+
+    Returns (k_all, v_all, ks_all, vs_all) with the same buffers updated.
+    """
+    L, B, NKV, S, D = k_all.shape
+    Dv = v_all.shape[-1]
+    W = 128 if S % 128 == 0 else _pick_block(S)
+    quant = ks_all is not None
+
+    def _win(b, lr, nr):
+        return (lr[0], b, 0, nr[b] // W, 0)
+
+    def _win_s(b, lr, nr):
+        return (lr[0], b, 0, nr[b] // W)
+
+    kv_specs = [
+        pl.BlockSpec((1, 1, NKV, W, D), _win),
+        pl.BlockSpec((1, 1, NKV, W, Dv), _win),
+    ]
+    new_specs = [
+        pl.BlockSpec((1, NKV, D), lambda b, lr, nr: (b, 0, 0)),
+        pl.BlockSpec((1, NKV, Dv), lambda b, lr, nr: (b, 0, 0)),
+    ]
+    if quant:
+        B_, NKV_ = k_new.shape[0], NKV
+        scale_spec = pl.BlockSpec((1, 1, NKV, W), _win_s)
+        new_scale_spec = pl.BlockSpec(
+            (B_, NKV_), lambda b, lr, nr: (0, 0)
+        )
+        in_specs = kv_specs + [scale_spec, scale_spec] + new_specs + [
+            new_scale_spec, new_scale_spec,
+        ]
+        operands = [k_all, v_all, ks_all, vs_all, k_new, v_new, ks_new, vs_new]
+        out_specs = [kv_specs[0], kv_specs[1], scale_spec, scale_spec]
+        out_shape = [
+            jax.ShapeDtypeStruct(k_all.shape, k_all.dtype),
+            jax.ShapeDtypeStruct(v_all.shape, v_all.dtype),
+            jax.ShapeDtypeStruct(ks_all.shape, ks_all.dtype),
+            jax.ShapeDtypeStruct(vs_all.shape, vs_all.dtype),
+        ]
+        # indices count the scalar-prefetch operands (layer, lengths)
+        aliases = {2: 0, 3: 1, 4: 2, 5: 3}
+        kernel = functools.partial(_kv_update_kernel, window=W)
+    else:
+        in_specs = kv_specs + new_specs
+        operands = [k_all, v_all, k_new, v_new]
+        out_specs = [kv_specs[0], kv_specs[1]]
+        out_shape = [
+            jax.ShapeDtypeStruct(k_all.shape, k_all.dtype),
+            jax.ShapeDtypeStruct(v_all.shape, v_all.dtype),
+        ]
+        aliases = {2: 0, 3: 1}
+        kernel = functools.partial(_kv_update_kernel_no_scale, window=W)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,  # layer, lengths
+        grid=(B,),
+        in_specs=in_specs,
+        out_specs=out_specs,
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=out_shape,
+        input_output_aliases=aliases,
+        interpret=interpret,
+    )(
+        jnp.asarray(layer, jnp.int32).reshape(1),
+        lengths.astype(jnp.int32),
+        *operands,
+    )
+    if quant:
+        return out[0], out[1], out[2], out[3]
+    return out[0], out[1], None, None
+
+
+def slot_kv_update_auto(k_all, v_all, ks_all, vs_all, k_new, v_new, ks_new,
+                        vs_new, layer, lengths):
+    """Pallas on TPU, interpreter elsewhere (CPU tests)."""
+    return slot_kv_update(
+        k_all, v_all, ks_all, vs_all, k_new, v_new, ks_new, vs_new, layer,
+        lengths, interpret=jax.default_backend() != "tpu",
+    )
+
+
+def slot_kv_update_mesh(
+    k_all, v_all, ks_all, vs_all, k_new, v_new, ks_new, vs_new, layer,
+    lengths, *, mesh, cache_replicated: bool = False,
+):
+    """shard_map wrapper for the in-place write under a mesh; the
+    sharding layouts mirror slot_decode_attention_mesh exactly (the
+    update must land on the same shards the attend reads). Returns None
+    when the layout can't be expressed (caller falls back to the XLA
+    scatter + einsum path)."""
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    mp = mesh.shape.get("mp", 1)
+    dp = mesh.shape.get("dp", 1)
+    B, NKV = k_new.shape[0], k_all.shape[2]
+    interpret = jax.default_backend() != "tpu"
+    quant = ks_all is not None
+    if cache_replicated:
+        h_axis = b_axis = None
+    else:
+        if dp > 1 and B % dp != 0:
+            return None
+        h_axis = "mp" if (mp > 1 and NKV % mp == 0) else None
+        b_axis = "dp" if (dp > 1 and B % dp == 0) else None
+        if h_axis is None and b_axis is None:
+            return None
+    kv_spec = P(None, b_axis, h_axis, None, None)
+    scale_spec = P(None, b_axis, h_axis, None)
+    new_spec = P(b_axis, h_axis, None)
+    new_scale_spec = P(b_axis, h_axis)
+
+    if quant:
+        def per_shard(k_, v_, ks_, vs_, kn_, vn_, ksn_, vsn_, li_, lengths_):
+            return slot_kv_update(
+                k_, v_, ks_, vs_, kn_, vn_, ksn_, vsn_, li_, lengths_,
+                interpret=interpret,
+            )
+
+        fn = shard_map(
+            per_shard,
+            mesh=mesh,
+            in_specs=(
+                kv_spec, kv_spec, scale_spec, scale_spec,
+                new_spec, new_spec, new_scale_spec, new_scale_spec,
+                P(), P(b_axis),
+            ),
+            out_specs=(kv_spec, kv_spec, scale_spec, scale_spec),
+            check_vma=False,
+        )
+        return fn(k_all, v_all, ks_all, vs_all, k_new, v_new, ks_new,
+                  vs_new, jnp.asarray(layer, jnp.int32), lengths)
+
+    def per_shard_nq(k_, v_, kn_, vn_, li_, lengths_):
+        k2, v2, _, _ = slot_kv_update(
+            k_, v_, None, None, kn_, vn_, None, None, li_, lengths_,
+            interpret=interpret,
+        )
+        return k2, v2
+
+    fn_nq = shard_map(
+        per_shard_nq,
+        mesh=mesh,
+        in_specs=(kv_spec, kv_spec, new_spec, new_spec, P(), P(b_axis)),
+        out_specs=(kv_spec, kv_spec),
+        check_vma=False,
+    )
+    k2, v2 = fn_nq(k_all, v_all, k_new, v_new,
+                   jnp.asarray(layer, jnp.int32), lengths)
+    return k2, v2, None, None
 
 
 @functools.partial(jax.jit, static_argnames=("scale", "interpret"))
@@ -149,24 +396,21 @@ def slot_decode_attention(
 
     quant = ks_all is not None
 
-    def _clamped(b, kv, j, lr, nr):
+    def _clamped(b, j, lr, nr):
         # past-the-end ordinals re-read the row's last used block: Pallas
         # skips the DMA when consecutive steps map to the same block
-        return (lr[0], b, kv, jnp.minimum(j, nr[b] // blk), 0)
+        return (lr[0], b, 0, jnp.minimum(j, nr[b] // blk), 0)
 
     in_specs = [
-        pl.BlockSpec((1, 1, G, D), lambda b, kv, j, lr, nr: (b, kv, 0, 0)),
-        pl.BlockSpec((1, 1, 1, blk, D), _clamped),
-        pl.BlockSpec((1, 1, 1, blk, Dv), _clamped),
+        pl.BlockSpec((1, NKV, G, D), lambda b, j, lr, nr: (b, 0, 0, 0)),
+        pl.BlockSpec((1, 1, NKV, blk, D), _clamped),
+        pl.BlockSpec((1, 1, NKV, blk, Dv), _clamped),
     ]
     operands = [qg, k_all, v_all]
     if quant:
-        # all NKV heads per block: a (1, blk) slice of the [L,B,NKV,S]
-        # planes is not a legal TPU tile (second-minor dim 1 vs NKV);
-        # the kernel masks out its head row (_select_head_row)
         scale_spec = pl.BlockSpec(
             (1, 1, NKV, blk),
-            lambda b, kv, j, lr, nr: (lr[0], b, 0, jnp.minimum(j, nr[b] // blk)),
+            lambda b, j, lr, nr: (lr[0], b, 0, jnp.minimum(j, nr[b] // blk)),
         )
         in_specs += [scale_spec, scale_spec]
         operands += [ks_all, vs_all]
@@ -178,15 +422,15 @@ def slot_decode_attention(
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,  # layer, lengths
-        grid=(B, NKV, n_blocks),
+        grid=(B, n_blocks),
         in_specs=in_specs,
         out_specs=pl.BlockSpec(
-            (1, 1, G, Dv), lambda b, kv, j, lr, nr: (b, kv, 0, 0)
+            (1, NKV, G, Dv), lambda b, j, lr, nr: (b, 0, 0, 0)
         ),
         scratch_shapes=[
-            pltpu.VMEM((1, G), jnp.float32),
-            pltpu.VMEM((1, G), jnp.float32),
-            pltpu.VMEM((G, Dv), jnp.float32),
+            pltpu.VMEM((NKV, G), jnp.float32),
+            pltpu.VMEM((NKV, G), jnp.float32),
+            pltpu.VMEM((NKV, G, Dv), jnp.float32),
         ],
     )
     out = pl.pallas_call(

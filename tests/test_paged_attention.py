@@ -94,3 +94,54 @@ def test_paged_int8_matches_reference():
         )
         np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                    rtol=2e-5, atol=2e-5)
+
+
+@pytest.mark.parametrize("quant", [False, True])
+def test_paged_kv_update_matches_scatter(quant):
+    """paged_kv_update (aliased in-place Pallas write) == the XLA scatter."""
+    from dsocr_tpu.ops.pallas.paged_attention import paged_kv_update
+
+    rng = np.random.default_rng(5)
+    L, P, NKV, page, D, Dv, B, P_max = 3, 12, 2, 128, 64, 64, 4, 3
+    if quant:
+        k_pool = jnp.asarray(rng.integers(-127, 128, (L, P, NKV, page, D)), jnp.int8)
+        v_pool = jnp.asarray(rng.integers(-127, 128, (L, P, NKV, page, Dv)), jnp.int8)
+        ks = jnp.asarray(rng.uniform(0.01, 0.1, (L, P, NKV, page)), jnp.float32)
+        vs = jnp.asarray(rng.uniform(0.01, 0.1, (L, P, NKV, page)), jnp.float32)
+        k_new = jnp.asarray(rng.integers(-127, 128, (B, NKV, D)), jnp.int8)
+        v_new = jnp.asarray(rng.integers(-127, 128, (B, NKV, Dv)), jnp.int8)
+        ks_new = jnp.asarray(rng.uniform(0.01, 0.1, (B, NKV)), jnp.float32)
+        vs_new = jnp.asarray(rng.uniform(0.01, 0.1, (B, NKV)), jnp.float32)
+    else:
+        k_pool = jnp.asarray(rng.normal(size=(L, P, NKV, page, D)), jnp.float32)
+        v_pool = jnp.asarray(rng.normal(size=(L, P, NKV, page, Dv)), jnp.float32)
+        ks = vs = ks_new = vs_new = None
+        k_new = jnp.asarray(rng.normal(size=(B, NKV, D)), jnp.float32)
+        v_new = jnp.asarray(rng.normal(size=(B, NKV, Dv)), jnp.float32)
+    # distinct pages per row (rows never share a write page)
+    tables = jnp.asarray(
+        rng.permutation(P)[: B * P_max].reshape(B, P_max), jnp.int32
+    )
+    lengths = jnp.asarray(rng.integers(0, page * P_max, (B,)), jnp.int32)
+    li = jnp.asarray(2, jnp.int32)
+
+    k2, v2, ks2, vs2 = paged_kv_update(
+        k_pool, v_pool, ks, vs, k_new, v_new, ks_new, vs_new, tables,
+        lengths, li, interpret=True,
+    )
+    rows = jnp.arange(B)
+    pids = tables[rows, lengths // page]
+    offs = lengths % page
+    np.testing.assert_array_equal(
+        np.asarray(k2), np.asarray(k_pool.at[li, pids, :, offs, :].set(k_new))
+    )
+    np.testing.assert_array_equal(
+        np.asarray(v2), np.asarray(v_pool.at[li, pids, :, offs, :].set(v_new))
+    )
+    if quant:
+        np.testing.assert_array_equal(
+            np.asarray(ks2), np.asarray(ks.at[li, pids, :, offs].set(ks_new))
+        )
+        np.testing.assert_array_equal(
+            np.asarray(vs2), np.asarray(vs.at[li, pids, :, offs].set(vs_new))
+        )

@@ -129,3 +129,48 @@ def test_slot_decode_end_to_end_with_kernel(monkeypatch):
     toks_kernel = run("1")
     toks_einsum = run("0")
     assert toks_kernel == toks_einsum
+
+
+@pytest.mark.parametrize("quant", [False, True])
+def test_kv_update_matches_scatter(quant):
+    """slot_kv_update (aliased in-place Pallas write) == the XLA scatter."""
+    from dsocr_tpu.ops.pallas.slot_attention import slot_kv_update
+
+    rng = np.random.default_rng(3)
+    L, B, NKV, S, D, Dv = 3, 4, 2, 256, 64, 64
+    if quant:
+        k_all = jnp.asarray(rng.integers(-127, 128, (L, B, NKV, S, D)), jnp.int8)
+        v_all = jnp.asarray(rng.integers(-127, 128, (L, B, NKV, S, Dv)), jnp.int8)
+        ks = jnp.asarray(rng.uniform(0.01, 0.1, (L, B, NKV, S)), jnp.float32)
+        vs = jnp.asarray(rng.uniform(0.01, 0.1, (L, B, NKV, S)), jnp.float32)
+        k_new = jnp.asarray(rng.integers(-127, 128, (B, NKV, D)), jnp.int8)
+        v_new = jnp.asarray(rng.integers(-127, 128, (B, NKV, Dv)), jnp.int8)
+        ks_new = jnp.asarray(rng.uniform(0.01, 0.1, (B, NKV)), jnp.float32)
+        vs_new = jnp.asarray(rng.uniform(0.01, 0.1, (B, NKV)), jnp.float32)
+    else:
+        k_all = jnp.asarray(rng.normal(size=(L, B, NKV, S, D)), jnp.float32)
+        v_all = jnp.asarray(rng.normal(size=(L, B, NKV, S, Dv)), jnp.float32)
+        ks = vs = ks_new = vs_new = None
+        k_new = jnp.asarray(rng.normal(size=(B, NKV, D)), jnp.float32)
+        v_new = jnp.asarray(rng.normal(size=(B, NKV, Dv)), jnp.float32)
+    lengths = jnp.asarray(rng.integers(0, S, (B,)), jnp.int32)
+    li = jnp.asarray(1, jnp.int32)
+
+    k2, v2, ks2, vs2 = slot_kv_update(
+        k_all, v_all, ks, vs, k_new, v_new, ks_new, vs_new, li, lengths,
+        interpret=True,
+    )
+    rows = jnp.arange(B)
+    np.testing.assert_array_equal(
+        np.asarray(k2), np.asarray(k_all.at[li, rows, :, lengths, :].set(k_new))
+    )
+    np.testing.assert_array_equal(
+        np.asarray(v2), np.asarray(v_all.at[li, rows, :, lengths, :].set(v_new))
+    )
+    if quant:
+        np.testing.assert_array_equal(
+            np.asarray(ks2), np.asarray(ks.at[li, rows, :, lengths].set(ks_new))
+        )
+        np.testing.assert_array_equal(
+            np.asarray(vs2), np.asarray(vs.at[li, rows, :, lengths].set(vs_new))
+        )
