@@ -95,13 +95,54 @@ def main() -> int:
     pres = engine.prefill_for_slots(tok, reqs)
     _ = np.asarray(pres[-1]["row_k"][0, 0, 0, 0, :1])
     warm = time.perf_counter() - t0
+    from ..core.benchmark import BenchRecorder, set_recorder
+
+    recorder = BenchRecorder()
+    set_recorder(recorder)
     t0 = time.perf_counter()
     pres = engine.prefill_for_slots(tok, reqs)
     _ = np.asarray(pres[-1]["row_k"][0, 0, 0, 0, :1])
     wave_s = time.perf_counter() - t0
+    set_recorder(None)
     print(
         f"tower+prefill wave of {n}: {wave_s:.2f}s "
         f"(warm incl compile {warm:.1f}s) -> {wave_s / n * 1000:.0f} ms/page",
+        flush=True,
+    )
+    # Engine-internal stage split of the isolated wave. Caveat: the
+    # vision_towers timer ends on a device sync, but prefill_rows only
+    # DISPATCHES (its device time lands on the row_k pull above) — so
+    # report prefill as the sync-to-sync remainder of the wave.
+    stages = recorder.stage_totals()
+    towers_ms = stages.get("slot.vision_towers", 0.0)
+    prep_ms = stages.get("slot.prepare_inputs", 0.0)
+    rest_ms = wave_s * 1000 - towers_ms - prep_ms
+    print(
+        f"  wave split: prepare(host) {prep_ms:.0f} ms, "
+        f"upload+towers(sync) {towers_ms:.0f} ms, "
+        f"prefill remainder {rest_ms:.0f} ms "
+        f"({towers_ms / n:.0f} / {rest_ms / n:.0f} ms/page)",
+        flush=True,
+    )
+    # Upload-only: ship the wave's pixels again and sync — bounds how
+    # much of the tower stage is tunnel transfer rather than compute.
+    vins = [
+        engine.prepare_vision_input(np.asarray(image), settings)
+        for _ in range(n)
+    ]
+    pix = [v.global_pixels for v in vins] + [
+        v.patches for v in vins if v.patches is not None
+    ]
+    t0 = time.perf_counter()
+    bufs = [jax.device_put(p) for p in pix]
+    for b in bufs:
+        b.block_until_ready()
+    _ = np.asarray(bufs[-1][0, 0, 0, :1])  # tunnel-honest sync
+    up_s = time.perf_counter() - t0
+    nbytes = sum(p.nbytes for p in pix)
+    print(
+        f"pixel upload only: {nbytes / 1e6:.0f} MB in {up_s:.2f}s "
+        f"({nbytes / up_s / 1e6:.0f} MB/s, {up_s / n * 1000:.0f} ms/page)",
         flush=True,
     )
 
