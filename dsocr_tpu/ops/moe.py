@@ -317,6 +317,72 @@ def _kq_n_experts(q) -> int:
     return arrays[key].shape[1 if isinstance(q, LayeredKQuant) else 0]
 
 
+def _n_experts_any(q) -> int:
+    """Expert count of any stack kind (Layered* view, packed dict, float)."""
+    if isinstance(q, LayeredQ8):
+        return q.codes.shape[1]
+    if isinstance(q, LayeredKQuant):
+        return _kq_n_experts(q)
+    if isinstance(q, dict):
+        return q["codes"].shape[0] if "codes" in q else _kq_n_experts(q)
+    return q.shape[0]
+
+
+def _gather_any(x, q, idx):
+    """Gather-matmul rows of x against idx-selected experts of ANY stack
+    kind. Mixed-method groups are real: the quantizer falls back
+    per-tensor when a projection's in_dim misses the block size, e.g.
+    q4_k gate+up (block 256) with a q8_0 down at moe_inter % 256 != 0."""
+    if not is_quantized(q):
+        # Float fallback (rare: only when a projection could not quantize
+        # at all). Correctness over speed — the gather materializes.
+        return jnp.einsum(
+            "ai,aio->ao", x, q[idx], preferred_element_type=jnp.float32
+        ).astype(x.dtype)
+    if quant_method(q) == "q8_0":
+        from .pallas.dequant_matmul import (
+            q8_gather_matmul_auto,
+            q8_gather_matmul_layered_auto,
+        )
+
+        if isinstance(q, LayeredQ8):
+            return q8_gather_matmul_layered_auto(x, q.codes, q.scales, idx, q.layer)
+        return q8_gather_matmul_auto(x, q["codes"], q["scales"], idx)
+    return _kq_gather(x, q, idx)
+
+
+def _dense_ok(q) -> bool:
+    """Dense all-expert kernels exist only for Layered* stacks (and float
+    arrays, which use a plain einsum)."""
+    return isinstance(q, (LayeredQ8, LayeredKQuant)) or not is_quantized(q)
+
+
+def _dense_any(x, q):
+    """Dense all-expert sweep with shared x [N, H] → [E, N, M], any kind."""
+    if not is_quantized(q):
+        return jnp.einsum(
+            "nh,ehm->enm", x, q, preferred_element_type=jnp.float32
+        ).astype(x.dtype)
+    if quant_method(q) == "q8_0":
+        from .pallas.dequant_matmul import q8_dense_experts_layered_auto
+
+        return q8_dense_experts_layered_auto(x, q.codes, q.scales, q.layer)
+    return _kq_dense(x, q)
+
+
+def _dense_perx_any(x, q):
+    """Dense all-expert sweep with per-expert x [E, N, K] → [E, N, M]."""
+    if not is_quantized(q):
+        return jnp.einsum(
+            "enk,ekm->enm", x, q, preferred_element_type=jnp.float32
+        ).astype(x.dtype)
+    if quant_method(q) == "q8_0":
+        from .pallas.dequant_matmul import q8_dense_experts_perx_layered_auto
+
+        return q8_dense_experts_perx_layered_auto(x, q.codes, q.scales, q.layer)
+    return _kq_dense_perx(x, q)
+
+
 def _kq_dense(x, q):
     """Dense all-expert sweep with shared x [N, H] → [E, N, M]."""
     from .pallas.kquant_matmul import (
@@ -350,11 +416,12 @@ def _kq_dense_perx(x, q):
 def moe_apply_kq_dense(tokens, topk_weights, topk_indices, gate_q, up_q, down_q):
     """Dense ALL-expert k-quant decode (the q8 dense tier at Q4_K's 0.75 /
     Q6_K's ~1.06 bytes-per-weight): stream every expert once instead of
-    re-gathering shared experts when N*top_k > n_experts."""
-    gates = _kq_dense(tokens, gate_q)  # [E, N, I]
-    ups = _kq_dense(tokens, up_q)
+    re-gathering shared experts when N*top_k > n_experts. Each projection
+    dispatches on its OWN method (mixed q4_k/q6_k + q8_0 groups occur)."""
+    gates = _dense_any(tokens, gate_q)  # [E, N, I]
+    ups = _dense_any(tokens, up_q)
     inter = (silu(gates) * ups).astype(tokens.dtype)
-    outs = _kq_dense_perx(inter, down_q)  # [E, N, hidden]
+    outs = _dense_perx_any(inter, down_q)  # [E, N, hidden]
     sel = jnp.take_along_axis(
         outs.transpose(1, 0, 2), topk_indices[..., None], axis=1
     )  # [N, K, hidden]
@@ -364,10 +431,10 @@ def moe_apply_kq_dense(tokens, topk_weights, topk_indices, gate_q, up_q, down_q)
 
 def moe_apply_kq_dense_fused(tokens, topk_weights, topk_indices, gateup_q, down_q):
     """Fused gate+up counterpart of moe_apply_kq_dense."""
-    gus = _kq_dense(tokens, gateup_q)  # [E, N, 2I]
+    gus = _dense_any(tokens, gateup_q)  # [E, N, 2I]
     gates, ups = _split_gateup(gus)
     inter = (silu(gates) * ups).astype(tokens.dtype)
-    outs = _kq_dense_perx(inter, down_q)
+    outs = _dense_perx_any(inter, down_q)
     sel = jnp.take_along_axis(
         outs.transpose(1, 0, 2), topk_indices[..., None], axis=1
     )
@@ -380,15 +447,16 @@ def moe_apply_quant(tokens, topk_weights, topk_indices, gate_q, up_q, down_q):
     int8 gather kernels, q4_k/q6_k the plane-decoded ones (~0.56/0.81
     B/weight of HBM traffic for the selected experts). Above N*top_k >
     n_experts every variant switches to a dense all-expert sweep."""
-    if quant_method(gate_q) == "q8_0":
+    if all(
+        is_quantized(q) and quant_method(q) == "q8_0"
+        for q in (gate_q, up_q, down_q)
+    ):
         return moe_apply_q8(
             tokens, topk_weights, topk_indices, gate_q, up_q, down_q
         )
     n, k = topk_indices.shape
-    if (
-        isinstance(gate_q, LayeredKQuant)
-        and isinstance(down_q, LayeredKQuant)
-        and n * k > _kq_n_experts(gate_q)
+    if n * k > _n_experts_any(gate_q) and all(
+        _dense_ok(q) for q in (gate_q, up_q, down_q)
     ):
         return moe_apply_kq_dense(
             tokens, topk_weights, topk_indices, gate_q, up_q, down_q
@@ -396,10 +464,10 @@ def moe_apply_quant(tokens, topk_weights, topk_indices, gate_q, up_q, down_q):
     hidden = tokens.shape[1]
     flat_idx = topk_indices.reshape(n * k)
     flat_x = jnp.repeat(tokens, k, axis=0)
-    gates = _kq_gather(flat_x, gate_q, flat_idx)
-    ups = _kq_gather(flat_x, up_q, flat_idx)
+    gates = _gather_any(flat_x, gate_q, flat_idx)
+    ups = _gather_any(flat_x, up_q, flat_idx)
     inter = (silu(gates) * ups).astype(tokens.dtype)
-    outs = _kq_gather(inter, down_q, flat_idx)
+    outs = _gather_any(inter, down_q, flat_idx)
     combined = jnp.sum(
         outs.reshape(n, k, hidden) * topk_weights[..., None], axis=1
     )
@@ -408,15 +476,16 @@ def moe_apply_quant(tokens, topk_weights, topk_indices, gate_q, up_q, down_q):
 
 def moe_apply_quant_fused(tokens, topk_weights, topk_indices, gateup_q, down_q):
     """Fused gate+up counterpart of moe_apply_quant."""
-    if quant_method(gateup_q) == "q8_0":
+    if all(
+        is_quantized(q) and quant_method(q) == "q8_0"
+        for q in (gateup_q, down_q)
+    ):
         return moe_apply_q8_fused(
             tokens, topk_weights, topk_indices, gateup_q, down_q
         )
     n, k = topk_indices.shape
-    if (
-        isinstance(gateup_q, LayeredKQuant)
-        and isinstance(down_q, LayeredKQuant)
-        and n * k > _kq_n_experts(gateup_q)
+    if n * k > _n_experts_any(gateup_q) and all(
+        _dense_ok(q) for q in (gateup_q, down_q)
     ):
         return moe_apply_kq_dense_fused(
             tokens, topk_weights, topk_indices, gateup_q, down_q
@@ -424,10 +493,10 @@ def moe_apply_quant_fused(tokens, topk_weights, topk_indices, gateup_q, down_q):
     hidden = tokens.shape[1]
     flat_idx = topk_indices.reshape(n * k)
     flat_x = jnp.repeat(tokens, k, axis=0)
-    gus = _kq_gather(flat_x, gateup_q, flat_idx)
+    gus = _gather_any(flat_x, gateup_q, flat_idx)
     gates, ups = _split_gateup(gus)
     inter = (silu(gates) * ups).astype(tokens.dtype)
-    outs = _kq_gather(inter, down_q, flat_idx)
+    outs = _gather_any(inter, down_q, flat_idx)
     combined = jnp.sum(
         outs.reshape(n, k, hidden) * topk_weights[..., None], axis=1
     )

@@ -423,3 +423,74 @@ def test_moe_kq_dense_matches_gather(method):
             jnp.sum(outs.reshape(N, K, H) * tw[..., None], axis=1)
         )
         np.testing.assert_allclose(dense, expected, rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.parametrize("method", ["q4_k", "q6_k"])
+@pytest.mark.parametrize("fused", [True, False])
+def test_moe_mixed_method_group(method, fused):
+    """Regression: with k-quant serving the down stack falls back to Q8_0
+    when moe_intermediate_size % 256 != 0 (serve_quant.effective_method) —
+    the real deepseek geometry. moe_apply_quant(_fused) must dispatch each
+    projection on its OWN method, in both the gather tier (N*K <= E) and
+    the dense all-expert tier (N*K > E)."""
+    from dsocr_tpu.dsq.serve_quant import quantize_expert_stack
+    from dsocr_tpu.ops.linear import with_quantized
+    from dsocr_tpu.ops.moe import (
+        dequant_stack,
+        moe_apply_quant,
+        moe_apply_quant_fused,
+        silu,
+    )
+
+    rng = np.random.default_rng(31)
+    L, E, H, I, K = 2, 3, 256, 160, 2  # I % 256 != 0 → down falls to q8_0
+    gu_w = (rng.normal(size=(L, E, H, 2 * I)) * 0.4).astype(np.float32)
+    g_w, u_w = gu_w[..., :I], gu_w[..., I:]
+    dn_w = (rng.normal(size=(L, E, I, H)) * 0.4).astype(np.float32)
+    gu_q = quantize_expert_stack(gu_w, method)
+    g_q = quantize_expert_stack(np.ascontiguousarray(g_w), method)
+    u_q = quantize_expert_stack(np.ascontiguousarray(u_w), method)
+    dn_q = quantize_expert_stack(dn_w, method)
+    assert "codes" in dn_q and "codes" not in gu_q  # mixed methods for real
+
+    for N in (2, 4):  # N*K = 4 ≤ E? no: E=3 → 4 > 3 dense; N=1*K=2 ≤ 3 gather
+        x = jnp.asarray(rng.normal(size=(N, H)).astype(np.float32))
+        tw = jnp.asarray(rng.random((N, K)).astype(np.float32))
+        ti = jnp.asarray(rng.integers(0, E, (N, K)).astype(np.int32))
+        for layer in (0, 1):
+            if fused:
+                views = with_quantized(
+                    {}, {"gu": gu_q, "dn": dn_q}, jnp.int32(layer)
+                )
+                got = np.asarray(
+                    moe_apply_quant_fused(x, tw, ti, views["gu"], views["dn"])
+                )
+                gu_f = dequant_stack(views["gu"]).astype(jnp.float32)
+                gus = jnp.einsum("nh,ehm->enm", x, gu_f)
+                gates, ups = jnp.split(gus, 2, axis=-1)
+            else:
+                views = with_quantized(
+                    {}, {"g": g_q, "u": u_q, "dn": dn_q}, jnp.int32(layer)
+                )
+                got = np.asarray(
+                    moe_apply_quant(
+                        x, tw, ti, views["g"], views["u"], views["dn"]
+                    )
+                )
+                g_f = dequant_stack(views["g"]).astype(jnp.float32)
+                u_f = dequant_stack(views["u"]).astype(jnp.float32)
+                gates = jnp.einsum("nh,ehm->enm", x, g_f)
+                ups = jnp.einsum("nh,ehm->enm", x, u_f)
+            inter = (silu(gates) * ups).astype(x.dtype)
+            outs = jnp.einsum(
+                "enk,ekm->enm",
+                inter,
+                dequant_stack(views["dn"]).astype(jnp.float32),
+            )  # [E, N, H]
+            sel = jnp.take_along_axis(
+                outs.transpose(1, 0, 2), ti[..., None], axis=1
+            )
+            expected = np.asarray(jnp.sum(sel * tw[..., None], axis=1))
+            # expected dequantizes via bf16 (dequant_stack) while the
+            # kernels dequantize in f32 VMEM — tolerance covers that gap
+            np.testing.assert_allclose(got, expected, rtol=5e-2, atol=2.0)

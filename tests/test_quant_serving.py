@@ -114,3 +114,35 @@ def test_q4k_int8kv_serving(q4_engine):
         assert 1 <= len(a.generated_tokens) <= 4
         assert a.generated_tokens == b.generated_tokens
         assert a.text == b.text
+
+
+def test_q4k_mixed_down_q8_serving():
+    """Regression for the graded-bench geometry: real deepseek has
+    moe_intermediate_size % 256 != 0, so the down stack falls back to
+    Q8_0 while gate+up pack q4_k (serve_quant.effective_method). The
+    decode dispatch must handle the mixed-method group."""
+    base = _kquant_config()
+    lang = dataclasses.replace(base.language, moe_intermediate_size=160)
+    engine = DeepseekOcrEngine(
+        dataclasses.replace(base, language=lang),
+        dtype=jnp.float32, max_seq_len=512,
+        quantize="q4_k", kv_quant="int8",
+    )
+    dec = engine.params["decoder"]
+    down = dec["moe_layers"]["experts_down"]
+    assert isinstance(down, dict) and set(down) == {"codes", "scales"}
+    gu = dec["moe_layers"].get(
+        "experts_gateup", dec["moe_layers"].get("experts_gate")
+    )
+    assert isinstance(gu, dict) and set(gu) != {"codes", "scales"}
+
+    rng = np.random.default_rng(13)
+    imgs = [rng.integers(0, 256, (50, 50, 3), dtype=np.uint8) for _ in range(2)]
+    prompts = [f"<image>mix {i}" for i in range(2)]
+    params = DecodeParameters(max_new_tokens=4, no_repeat_ngram_size=None)
+    out_a = _serve(engine, prompts, imgs, params)
+    out_b = _serve(engine, prompts, imgs, params)
+    assert len(out_a) == 2
+    for a, b in zip(out_a, out_b):
+        assert 1 <= len(a.generated_tokens) <= 4
+        assert a.generated_tokens == b.generated_tokens
