@@ -14,6 +14,7 @@ out[n, m] = Σ_k x[n, k] · scale[m, k//32] · q[m, k]
 from __future__ import annotations
 
 import functools
+import os
 from typing import Tuple
 
 import jax
@@ -23,6 +24,61 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 Q8_BLOCK = 32
+
+# DSOCR_Q8_EXPAND picks how block scales broadcast to full weight shape
+# inside the kernels: 'fast' (default) uses a sublane reshape-multiply /
+# two-term bf16 expansion; 'matmul' reverts to the original 0/1 f32
+# expansion matmul (whose MACs measured ~2.5x the actual weight matmul
+# at decode geometry — it dominated the dense-expert kernels).
+_EXPAND_DEFAULT = os.environ.get("DSOCR_Q8_EXPAND", "fast")
+
+
+def _expand_rows(s: jnp.ndarray, h: int, mode: str) -> jnp.ndarray:
+    """[h/32, T] f32 → [h, T] f32 with row i taking s[i // 32].
+
+    The expansion runs down the SUBLANE dim, so a broadcast+reshape does
+    it with no MXU work at all (numerically identical to the selection
+    matmul: each output row is exactly one input row)."""
+    nb, t = s.shape
+    if mode == "fast":
+        return jnp.broadcast_to(s[:, None, :], (nb, Q8_BLOCK, t)).reshape(h, t)
+    rows = jax.lax.broadcasted_iota(jnp.int32, (h, nb), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (h, nb), 1)
+    expand = (rows // Q8_BLOCK == cols).astype(jnp.float32)
+    return jax.lax.dot_general(
+        expand, s, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+
+
+def _expand_cols(s: jnp.ndarray, k: int, mode: str) -> jnp.ndarray:
+    """[MT, k/32] f32 → [MT, k] with column j taking s[:, j // 32].
+
+    Expansion across the LANE dim must stay a matmul (Mosaic rejects
+    lane-splitting reshapes), but Q8_0 scales are f16-origin (≤ 11
+    significand bits), so a two-term bf16 split reconstructs them
+    EXACTLY — each product selects one scale (0/1 matrix), f32
+    accumulation adds the two bf16 halves back — using full-rate bf16
+    MXU passes instead of a multi-pass f32 matmul."""
+    nb = k // Q8_BLOCK
+    rows = jax.lax.broadcasted_iota(jnp.int32, (nb, k), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (nb, k), 1)
+    sel = cols // Q8_BLOCK == rows
+    if mode == "fast":
+        expand = sel.astype(jnp.bfloat16)
+        s1 = s.astype(jnp.bfloat16)
+        s2 = (s - s1.astype(jnp.float32)).astype(jnp.bfloat16)
+
+        def dot(a):
+            return jax.lax.dot_general(
+                a, expand, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+
+        return dot(s1) + dot(s2)
+    return jax.lax.dot_general(
+        s, sel.astype(jnp.float32), (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
 
 
 def pack_q8_0(payload: bytes, rows: int, cols: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
@@ -38,21 +94,11 @@ def pack_q8_0(payload: bytes, rows: int, cols: int) -> Tuple[jnp.ndarray, jnp.nd
     )
 
 
-def _kernel(x_ref, q_ref, s_ref, out_ref):
+def _kernel(x_ref, q_ref, s_ref, out_ref, *, expand_mode=_EXPAND_DEFAULT):
     q = q_ref[...].astype(jnp.float32)  # [MT, K]
     s = s_ref[...]  # [MT, K // 32]
     mt, k = q.shape
-    nb = k // Q8_BLOCK
-    # Expand block scales across their 32 columns via a 0/1 expansion
-    # matmul (Mosaic rejects repeat/reshape across the lane dim).
-    rows = jax.lax.broadcasted_iota(jnp.int32, (nb, k), 0)
-    cols = jax.lax.broadcasted_iota(jnp.int32, (nb, k), 1)
-    expand = (cols // Q8_BLOCK == rows).astype(jnp.float32)
-    s_full = jax.lax.dot_general(
-        s, expand,
-        dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
+    s_full = _expand_cols(s, k, expand_mode)
     # bf16 MXU dot (f32 accumulate) — int8 codes are exact in bf16, the
     # scale product rounds like any bf16-served weight
     w = (q * s_full).astype(jnp.bfloat16)
@@ -75,12 +121,13 @@ def _pick_tile(dim: int, want: int, align: int) -> int:
     return tile
 
 
-@functools.partial(jax.jit, static_argnames=("interpret", "m_tile", "n_tile"))
+@functools.partial(jax.jit, static_argnames=("interpret", "m_tile", "n_tile", "expand"))
 def q8_matmul(
     x: jnp.ndarray,  # [N, K]
     codes: jnp.ndarray,  # [M, K] int8
     scales: jnp.ndarray,  # [M, K/32] f32
     interpret: bool = False,
+    expand: str = _EXPAND_DEFAULT,
     m_tile: int = 256,
     n_tile: int = 256,
 ) -> jnp.ndarray:
@@ -96,7 +143,7 @@ def q8_matmul(
     n_tile = _pick_tile(n, n_tile, 8)
     grid = (n // n_tile, m // m_tile)
     out = pl.pallas_call(
-        _kernel,
+        functools.partial(_kernel, expand_mode=expand),
         grid=grid,
         in_specs=[
             pl.BlockSpec((n_tile, k), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
@@ -119,21 +166,16 @@ def q8_matmul_auto(x, codes, scales):
     return q8_matmul(x, codes, scales, interpret=jax.default_backend() != "tpu")
 
 
-def _gather_kernel(idx_ref, x_ref, q_ref, s_ref, out_ref):
+def _gather_kernel(idx_ref, x_ref, q_ref, s_ref, out_ref, *,
+                   expand_mode=_EXPAND_DEFAULT):
     del idx_ref  # consumed by the index maps
     ni = pl.program_id(1)
     n, h = x_ref.shape
     q = q_ref[0].astype(jnp.float32)  # [H, tile]
     s = s_ref[0]  # [H // 32, tile]
-    nb = s.shape[0]
     # expand block scales down the sublane (contraction) dim:
     # s_full[h, t] = s[h // 32, t]
-    rows = jax.lax.broadcasted_iota(jnp.int32, (h, nb), 0)
-    cols = jax.lax.broadcasted_iota(jnp.int32, (h, nb), 1)
-    expand = (rows // Q8_BLOCK == cols).astype(jnp.float32)
-    s_full = jax.lax.dot_general(
-        expand, s, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
-    )  # [H, tile]
+    s_full = _expand_rows(s, h, expand_mode)
     w = (q * s_full).astype(jnp.bfloat16)
     row_ids = jax.lax.broadcasted_iota(jnp.int32, (n, h), 0)
     xrow = jnp.sum(
@@ -148,13 +190,14 @@ def _gather_kernel(idx_ref, x_ref, q_ref, s_ref, out_ref):
     out_ref[...] = jnp.where(out_rows == ni, row, out_ref[...])
 
 
-@functools.partial(jax.jit, static_argnames=("interpret", "tile"))
+@functools.partial(jax.jit, static_argnames=("interpret", "tile", "expand"))
 def q8_gather_matmul(
     x: jnp.ndarray,  # [N, H]
     codes: jnp.ndarray,  # [E, H, M] int8 (in-major — see ops.moe layout note)
     scales: jnp.ndarray,  # [E, H/32, M] f32
     idx: jnp.ndarray,  # [N] int32
     interpret: bool = False,
+    expand: str = _EXPAND_DEFAULT,
     tile: int = 0,
 ) -> jnp.ndarray:
     """out[n] = x[n] @ dequant(W[idx[n]]) → [N, M] f32.
@@ -181,7 +224,7 @@ def q8_gather_matmul(
         out_specs=pl.BlockSpec((n, tile), lambda ji, ni, idx: (0, ji)),
     )
     return pl.pallas_call(
-        _gather_kernel,
+        functools.partial(_gather_kernel, expand_mode=expand),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((n, m), jnp.float32),
         interpret=interpret,
@@ -195,18 +238,13 @@ def q8_gather_matmul_auto(x, codes, scales, idx):
     )
 
 
-def _layered_matmul_kernel(li_ref, x_ref, q_ref, s_ref, out_ref):
+def _layered_matmul_kernel(li_ref, x_ref, q_ref, s_ref, out_ref, *,
+                           expand_mode=_EXPAND_DEFAULT):
     del li_ref  # consumed by the index maps
     q = q_ref[0].astype(jnp.float32)  # [MT, K]
     s = s_ref[0]  # [MT, K // 32]
     mt, k = q.shape
-    nb = k // Q8_BLOCK
-    rows = jax.lax.broadcasted_iota(jnp.int32, (nb, k), 0)
-    cols = jax.lax.broadcasted_iota(jnp.int32, (nb, k), 1)
-    expand = (cols // Q8_BLOCK == rows).astype(jnp.float32)
-    s_full = jax.lax.dot_general(
-        s, expand, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
-    )
+    s_full = _expand_cols(s, k, expand_mode)
     w = (q * s_full).astype(jnp.bfloat16)
     out_ref[...] = jax.lax.dot_general(
         x_ref[...].astype(jnp.bfloat16),
@@ -216,13 +254,14 @@ def _layered_matmul_kernel(li_ref, x_ref, q_ref, s_ref, out_ref):
     )
 
 
-@functools.partial(jax.jit, static_argnames=("interpret", "m_tile", "n_tile"))
+@functools.partial(jax.jit, static_argnames=("interpret", "m_tile", "n_tile", "expand"))
 def q8_matmul_layered(
     x: jnp.ndarray,  # [N, K]
     codes: jnp.ndarray,  # [L, M, K] int8
     scales: jnp.ndarray,  # [L, M, K/32] f32
     layer: jnp.ndarray,  # scalar int32
     interpret: bool = False,
+    expand: str = _EXPAND_DEFAULT,
     m_tile: int = 256,
     n_tile: int = 256,
 ) -> jnp.ndarray:
@@ -247,7 +286,7 @@ def q8_matmul_layered(
         out_specs=pl.BlockSpec((n_tile, m_tile), lambda i, j, li: (i, j)),
     )
     return pl.pallas_call(
-        _layered_matmul_kernel,
+        functools.partial(_layered_matmul_kernel, expand_mode=expand),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((n, m), jnp.float32),
         interpret=interpret,
@@ -260,19 +299,14 @@ def q8_matmul_layered_auto(x, codes, scales, layer):
     )
 
 
-def _layered_gather_kernel(idx_ref, li_ref, x_ref, q_ref, s_ref, out_ref):
+def _layered_gather_kernel(idx_ref, li_ref, x_ref, q_ref, s_ref, out_ref, *,
+                           expand_mode=_EXPAND_DEFAULT):
     del idx_ref, li_ref  # consumed by the index maps
     ni = pl.program_id(1)
     n, h = x_ref.shape
     q = q_ref[0, 0].astype(jnp.float32)  # [H, tile]
     s = s_ref[0, 0]  # [H // 32, tile]
-    nb = s.shape[0]
-    rows = jax.lax.broadcasted_iota(jnp.int32, (h, nb), 0)
-    cols = jax.lax.broadcasted_iota(jnp.int32, (h, nb), 1)
-    expand = (rows // Q8_BLOCK == cols).astype(jnp.float32)
-    s_full = jax.lax.dot_general(
-        expand, s, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
-    )  # [H, tile]
+    s_full = _expand_rows(s, h, expand_mode)
     w = (q * s_full).astype(jnp.bfloat16)
     row_ids = jax.lax.broadcasted_iota(jnp.int32, (n, h), 0)
     xrow = jnp.sum(
@@ -287,7 +321,7 @@ def _layered_gather_kernel(idx_ref, li_ref, x_ref, q_ref, s_ref, out_ref):
     out_ref[...] = jnp.where(out_rows == ni, row, out_ref[...])
 
 
-@functools.partial(jax.jit, static_argnames=("interpret", "tile"))
+@functools.partial(jax.jit, static_argnames=("interpret", "tile", "expand"))
 def q8_gather_matmul_layered(
     x: jnp.ndarray,  # [N, H]
     codes: jnp.ndarray,  # [L, E, H, M] int8
@@ -295,6 +329,7 @@ def q8_gather_matmul_layered(
     idx: jnp.ndarray,  # [N] int32
     layer: jnp.ndarray,  # scalar int32
     interpret: bool = False,
+    expand: str = _EXPAND_DEFAULT,
     tile: int = 0,
 ) -> jnp.ndarray:
     """Layered q8_gather_matmul: expert stacks stay whole across the
@@ -322,7 +357,7 @@ def q8_gather_matmul_layered(
         out_specs=pl.BlockSpec((n, tile), lambda ji, ni, idx, li: (0, ji)),
     )
     return pl.pallas_call(
-        _layered_gather_kernel,
+        functools.partial(_layered_gather_kernel, expand_mode=expand),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((n, m), jnp.float32),
         interpret=interpret,
@@ -354,18 +389,13 @@ def q8_gather_matmul_layered_auto(x, codes, scales, idx, layer):
 # ---------------------------------------------------------------------------
 
 
-def _dense_experts_kernel(li_ref, x_ref, q_ref, s_ref, out_ref):
+def _dense_experts_kernel(li_ref, x_ref, q_ref, s_ref, out_ref, *,
+                          expand_mode=_EXPAND_DEFAULT):
     del li_ref  # consumed by the index maps
     _, h = x_ref.shape
     q = q_ref[0, 0].astype(jnp.float32)  # [H, tile]
     s = s_ref[0, 0]  # [H // 32, tile]
-    nb = s.shape[0]
-    rows = jax.lax.broadcasted_iota(jnp.int32, (h, nb), 0)
-    cols = jax.lax.broadcasted_iota(jnp.int32, (h, nb), 1)
-    expand = (rows // Q8_BLOCK == cols).astype(jnp.float32)
-    s_full = jax.lax.dot_general(
-        expand, s, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
-    )  # [H, tile]
+    s_full = _expand_rows(s, h, expand_mode)
     w = (q * s_full).astype(jnp.bfloat16)
     out_ref[0] = jax.lax.dot_general(
         x_ref[...].astype(jnp.bfloat16), w,
@@ -373,18 +403,13 @@ def _dense_experts_kernel(li_ref, x_ref, q_ref, s_ref, out_ref):
     )
 
 
-def _dense_experts_perx_kernel(li_ref, x_ref, q_ref, s_ref, out_ref):
+def _dense_experts_perx_kernel(li_ref, x_ref, q_ref, s_ref, out_ref, *,
+                               expand_mode=_EXPAND_DEFAULT):
     del li_ref
     _, _, h = x_ref.shape
     q = q_ref[0, 0].astype(jnp.float32)
     s = s_ref[0, 0]
-    nb = s.shape[0]
-    rows = jax.lax.broadcasted_iota(jnp.int32, (h, nb), 0)
-    cols = jax.lax.broadcasted_iota(jnp.int32, (h, nb), 1)
-    expand = (rows // Q8_BLOCK == cols).astype(jnp.float32)
-    s_full = jax.lax.dot_general(
-        expand, s, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
-    )
+    s_full = _expand_rows(s, h, expand_mode)
     w = (q * s_full).astype(jnp.bfloat16)
     out_ref[0] = jax.lax.dot_general(
         x_ref[0].astype(jnp.bfloat16), w,
@@ -399,13 +424,14 @@ def _expert_tile(m: int) -> int:
     return tile
 
 
-@functools.partial(jax.jit, static_argnames=("interpret", "tile"))
+@functools.partial(jax.jit, static_argnames=("interpret", "tile", "expand"))
 def q8_dense_experts_layered(
     x: jnp.ndarray,  # [N, H] — shared across experts (gate/up input)
     codes: jnp.ndarray,  # [L, E, H, M] int8 (in-major)
     scales: jnp.ndarray,  # [L, E, H/32, M] f32
     layer: jnp.ndarray,  # scalar int32
     interpret: bool = False,
+    expand: str = _EXPAND_DEFAULT,
     tile: int = 0,
 ) -> jnp.ndarray:
     """out[e] = x @ dequant(W[layer, e]) → [E, N, M]."""
@@ -425,7 +451,7 @@ def q8_dense_experts_layered(
         out_specs=pl.BlockSpec((1, n, tile), lambda ei, ji, li: (ei, 0, ji)),
     )
     return pl.pallas_call(
-        _dense_experts_kernel,
+        functools.partial(_dense_experts_kernel, expand_mode=expand),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((e, n, m), jnp.float32),
         interpret=interpret,
@@ -438,13 +464,14 @@ def q8_dense_experts_layered_auto(x, codes, scales, layer):
     )
 
 
-@functools.partial(jax.jit, static_argnames=("interpret", "tile"))
+@functools.partial(jax.jit, static_argnames=("interpret", "tile", "expand"))
 def q8_dense_experts_perx_layered(
     x: jnp.ndarray,  # [E, N, K] — per-expert input (down projection)
     codes: jnp.ndarray,  # [L, E, K, M] int8
     scales: jnp.ndarray,  # [L, E, K/32, M] f32
     layer: jnp.ndarray,  # scalar int32
     interpret: bool = False,
+    expand: str = _EXPAND_DEFAULT,
     tile: int = 0,
 ) -> jnp.ndarray:
     """out[e] = x[e] @ dequant(W[layer, e]) → [E, N, M]."""
@@ -464,7 +491,7 @@ def q8_dense_experts_perx_layered(
         out_specs=pl.BlockSpec((1, n, tile), lambda ei, ji, li: (ei, 0, ji)),
     )
     return pl.pallas_call(
-        _dense_experts_perx_kernel,
+        functools.partial(_dense_experts_perx_kernel, expand_mode=expand),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((e, n, m), jnp.float32),
         interpret=interpret,

@@ -27,6 +27,7 @@ Q6_K 1.0 — vs 2.0 for bf16.
 from __future__ import annotations
 
 import functools
+import os
 from typing import Dict, Tuple
 
 import jax
@@ -159,8 +160,15 @@ def _expand_cols(s: jnp.ndarray, block: int, k: int) -> jnp.ndarray:
 
 
 def _expand_rows(s: jnp.ndarray, block: int, h: int) -> jnp.ndarray:
-    """[h/block, T] → [h, T]: broadcast block scales down the sublane dim."""
+    """[h/block, T] → [h, T]: broadcast block scales down the sublane dim.
+
+    Sublane expansion is a broadcast+reshape (numerically identical to
+    the 0/1 selection matmul it replaces, and free of its MXU cost —
+    see dequant_matmul._expand_rows). DSOCR_KQ_EXPAND=matmul reverts."""
     nb = h // block
+    t = s.shape[-1]
+    if os.environ.get("DSOCR_KQ_EXPAND", "fast") == "fast":
+        return jnp.broadcast_to(s[:, None, :], (nb, block, t)).reshape(h, t)
     rows = jax.lax.broadcasted_iota(jnp.int32, (h, nb), 0)
     cols = jax.lax.broadcasted_iota(jnp.int32, (h, nb), 1)
     expand = (rows // block == cols).astype(jnp.float32)

@@ -190,3 +190,69 @@ def test_moe_q8_dense_matches_gather():
             jnp.sum(outs.reshape(N, K, H) * tw[..., None], axis=1)
         )
         np.testing.assert_allclose(dense, gather, rtol=5e-2, atol=0.15)
+
+
+def test_expand_modes_agree_and_fast_is_exact():
+    """Both scale-expansion modes (DSOCR_Q8_EXPAND) produce the same
+    result in interpret mode, and 'fast' matches the exact
+    bf16(q * s_f32) dequant bitwise. On real TPU only 'fast' is exact:
+    the 0/1 f32 expansion matmul silently rounds scales to bf16 (TPU
+    f32 matmuls are bf16 multiplies), measured up to 0.3 abs off the
+    exact dequant at decode geometry — see /tmp note in r3 journal."""
+    import jax
+    import ml_dtypes
+    from dsocr_tpu.ops.pallas.dequant_matmul import (
+        q8_dense_experts_layered,
+        q8_matmul,
+        q8_matmul_layered,
+    )
+
+    rng = np.random.default_rng(11)
+    N, K, M, L, E = 8, 128, 128, 2, 3
+    interp = jax.default_backend() != "tpu"
+    x = jnp.asarray(rng.standard_normal((N, K)), jnp.bfloat16)
+
+    def ref_out_major(q, s):  # w[m, k] = q * s[m, k//32]
+        sf = np.repeat(s, 32, axis=-1)
+        w = (q.astype(np.float32) * sf).astype(ml_dtypes.bfloat16)
+        return np.asarray(x, np.float32) @ w.astype(np.float32).T
+
+    codes = rng.integers(-127, 128, (M, K), dtype=np.int8)
+    scales = (rng.standard_normal((M, K // 32)) * 0.02).astype(
+        np.float16).astype(np.float32)
+    fast = np.asarray(q8_matmul(
+        x, jnp.asarray(codes), jnp.asarray(scales),
+        interpret=interp, expand="fast"))
+    slow = np.asarray(q8_matmul(
+        x, jnp.asarray(codes), jnp.asarray(scales),
+        interpret=interp, expand="matmul"))
+    ref = ref_out_major(codes, scales)
+    np.testing.assert_allclose(fast, ref, rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(slow, ref, rtol=1e-5, atol=1e-5)
+
+    lcodes = rng.integers(-127, 128, (L, M, K), dtype=np.int8)
+    lscales = (rng.standard_normal((L, M, K // 32)) * 0.02).astype(
+        np.float16).astype(np.float32)
+    for mode in ("fast", "matmul"):
+        out = np.asarray(q8_matmul_layered(
+            x, jnp.asarray(lcodes), jnp.asarray(lscales),
+            jnp.asarray(1, jnp.int32), interpret=interp, expand=mode))
+        np.testing.assert_allclose(
+            out, ref_out_major(lcodes[1], lscales[1]), rtol=1e-5, atol=1e-5)
+
+    dcodes = rng.integers(-127, 128, (L, E, K, M), dtype=np.int8)
+    dscales = (rng.standard_normal((L, E, K // 32, M)) * 0.02).astype(
+        np.float16).astype(np.float32)
+
+    def ref_in_major(q, s):  # w[k, m] = q * s[k//32, m]
+        sf = np.repeat(s, 32, axis=0)
+        w = (q.astype(np.float32) * sf).astype(ml_dtypes.bfloat16)
+        return np.asarray(x, np.float32) @ w.astype(np.float32)
+
+    for mode in ("fast", "matmul"):
+        out = np.asarray(q8_dense_experts_layered(
+            x, jnp.asarray(dcodes), jnp.asarray(dscales),
+            jnp.asarray(0, jnp.int32), interpret=interp, expand=mode))
+        exp = np.stack([ref_in_major(dcodes[0, e], dscales[0, e])
+                        for e in range(E)])
+        np.testing.assert_allclose(out, exp, rtol=1e-5, atol=1e-5)
