@@ -14,8 +14,15 @@ Variants:
   integrated   slot_kv_write_attend: aliased Pallas write + attend,
                the production decode path (ops/attention.py:190)
 
+MoE variants (--suite moe) time the dense all-expert Q8 decode kernels
+at serving geometry with both scale-expansion modes (DSOCR_Q8_EXPAND):
+  moe-fast     broadcast+reshape expansion (exact, default)
+  moe-matmul   the 0/1 f32 expansion matmul it replaced (r3: measured
+               ~2x the kernel time AND bf16-rounded the scales on TPU)
+
 Usage: python -m dsocr_tpu.bench.kernels [--steps 32] [--rows 16]
        [--ctx 2560] [--layers 12] [--variants integrated,einsum-ro]
+       [--suite attn|moe]
 
 Numbers print per-call (per layer) and per-step (all layers); the
 production step also pays projections/MoE, so compare variants against
@@ -57,9 +64,91 @@ def _bench(name, fn, args, steps, layers, reps):
     )
 
 
+def _moe_suite(args) -> int:
+    """Dense all-expert Q8 MoE chain (gate+up -> silu -> down) at
+    serving geometry, expansion-mode A/B. Weights ride as jit ARGS —
+    closure-captured GB-scale constants choke the remote compiler."""
+    from ..ops.pallas.dequant_matmul import (
+        q8_dense_experts_layered,
+        q8_dense_experts_perx_layered,
+    )
+
+    L, E, H, MI, N = (args.layers, args.experts, args.hidden,
+                      args.moe_inter, args.rows)
+    rng = np.random.default_rng(0)
+
+    def scales(*shape):
+        return jnp.asarray(
+            (rng.standard_normal(shape) * 0.02)
+            .astype(np.float16).astype(np.float32)
+        )
+
+    gu_c = jnp.asarray(rng.integers(-127, 128, (L, E, H, 2 * MI), dtype=np.int8))
+    gu_s = scales(L, E, H // 32, 2 * MI)
+    dn_c = jnp.asarray(rng.integers(-127, 128, (L, E, MI, H), dtype=np.int8))
+    dn_s = scales(L, E, MI // 32, H)
+    x0 = jnp.asarray(rng.standard_normal((N, H)), jnp.bfloat16)
+    layers = jnp.arange(L, dtype=jnp.int32)
+    gb = (gu_c.size + dn_c.size) / 1e9 + (gu_s.size + dn_s.size) * 4 / 1e9
+
+    interp = jax.default_backend() != "tpu"
+
+    def make(mode):
+        def loop(x0, gu_c, gu_s, dn_c, dn_s):
+            def step(x, _):
+                def layer(xc, li):
+                    gu = q8_dense_experts_layered(
+                        xc, gu_c, gu_s, li, expand=mode, interpret=interp)
+                    hdn = (jax.nn.silu(gu[..., :MI]) * gu[..., MI:]).astype(
+                        jnp.bfloat16)
+                    dn = q8_dense_experts_perx_layered(
+                        hdn, dn_c, dn_s, li, expand=mode,
+                        interpret=interp)
+                    return (xc + 0.01 * dn.mean(axis=0)).astype(jnp.bfloat16), None
+
+                x, _ = jax.lax.scan(layer, x, layers)
+                return x, None
+
+            x, _ = jax.lax.scan(step, x0, None, length=args.steps)
+            return x
+
+        return loop
+
+    wanted = [v.strip() for v in args.variants.split(",")]
+    for name in wanted:
+        if name not in ("moe-fast", "moe-matmul"):
+            continue
+        mode = name.split("-", 1)[1]
+        f = jax.jit(make(mode))
+        t = time.perf_counter()
+        np.asarray(f(x0, gu_c, gu_s, dn_c, dn_s))
+        warm = time.perf_counter() - t
+        times = []
+        for _ in range(args.reps):
+            t = time.perf_counter()
+            np.asarray(f(x0, gu_c, gu_s, dn_c, dn_s))
+            times.append(time.perf_counter() - t)
+        best = min(times)
+        ms = best * 1000 / args.steps
+        print(
+            f"{name:22s}: {ms:7.3f} ms/step "
+            f"({gb / (best / args.steps):6.1f} GB/s streamed) warm {warm:.1f}s",
+            flush=True,
+        )
+    return 0
+
+
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(description=__doc__.splitlines()[0])
+    ap.add_argument("--suite", default="attn", choices=("attn", "moe"))
+    ap.add_argument(
+        "--device", default=None, choices=(None, "cpu", "tpu"),
+        help="force a platform (config update must precede any device op)",
+    )
     ap.add_argument("--steps", type=int, default=32)
+    ap.add_argument("--experts", type=int, default=64)
+    ap.add_argument("--hidden", type=int, default=1280)
+    ap.add_argument("--moe-inter", type=int, default=896)
     ap.add_argument("--rows", type=int, default=16)
     ap.add_argument("--ctx", type=int, default=2560)
     ap.add_argument("--layers", type=int, default=12)
@@ -72,6 +161,17 @@ def main(argv=None) -> int:
         help="comma list from kernel-ro,kernel-rw,einsum-ro,integrated",
     )
     args = ap.parse_args(argv)
+    if args.device:
+        jax.config.update("jax_platforms", args.device)
+
+    if args.suite == "moe":
+        if args.variants == "kernel-ro,kernel-rw,einsum-ro,integrated":
+            args.variants = "moe-fast,moe-matmul"
+        t = time.perf_counter()
+        np.asarray(jnp.ones((8, 8)) @ jnp.ones((8, 8)))
+        print(f"probe ok in {time.perf_counter() - t:.1f}s "
+              f"backend={jax.default_backend()}", flush=True)
+        return _moe_suite(args)
 
     from ..ops.attention import attention_kv_int8, slot_kv_write_attend
     from ..ops.pallas.slot_attention import slot_decode_attention
