@@ -98,12 +98,13 @@ def _moe_suite(args) -> int:
             def step(x, _):
                 def layer(xc, li):
                     gu = q8_dense_experts_layered(
-                        xc, gu_c, gu_s, li, expand=mode, interpret=interp)
+                        xc, gu_c, gu_s, li, expand=mode, interpret=interp,
+                        tile=args.tile_gu)
                     hdn = (jax.nn.silu(gu[..., :MI]) * gu[..., MI:]).astype(
                         jnp.bfloat16)
                     dn = q8_dense_experts_perx_layered(
                         hdn, dn_c, dn_s, li, expand=mode,
-                        interpret=interp)
+                        interpret=interp, tile=args.tile_dn)
                     return (xc + 0.01 * dn.mean(axis=0)).astype(jnp.bfloat16), None
 
                 x, _ = jax.lax.scan(layer, x, layers)
@@ -147,6 +148,8 @@ def main(argv=None) -> int:
     )
     ap.add_argument("--steps", type=int, default=32)
     ap.add_argument("--experts", type=int, default=64)
+    ap.add_argument("--tile-gu", type=int, default=0, help="moe gate+up out tile")
+    ap.add_argument("--tile-dn", type=int, default=0, help="moe down out tile")
     ap.add_argument("--hidden", type=int, default=1280)
     ap.add_argument("--moe-inter", type=int, default=896)
     ap.add_argument("--rows", type=int, default=16)

@@ -209,9 +209,7 @@ def q8_gather_matmul(
     n, h = x.shape
     e, _, m = codes.shape
     if not tile:
-        tile = m if (m % 128 or m <= 512) else 512
-        while m % tile:
-            tile //= 2
+        tile = _expert_tile(m, h)
     grid = (m // tile, n)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -337,9 +335,7 @@ def q8_gather_matmul_layered(
     n, h = x.shape
     L, e, _, m = codes.shape
     if not tile:
-        tile = m if (m % 128 or m <= 512) else 512
-        while m % tile:
-            tile //= 2
+        tile = _expert_tile(m, h)
     grid = (m // tile, n)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
@@ -417,11 +413,24 @@ def _dense_experts_perx_kernel(li_ref, x_ref, q_ref, s_ref, out_ref, *,
     )
 
 
-def _expert_tile(m: int) -> int:
-    tile = m if (m % 128 or m <= 512) else 512
-    while m % tile:
-        tile //= 2
-    return tile
+def _expert_tile(m: int, h: int = 0) -> int:
+    """Output tile for the expert kernels: the largest 128-multiple
+    divisor of m whose per-grid-step VMEM footprint stays under ~14 MB
+    (q f32 4B + s_full f32 4B + w bf16 2B + double-buffered codes 2B
+    per weight ≈ 12·h·tile bytes; v5e VMEM is ~16 MB). Swept on TPU at
+    decode geometry: gate+up [1280→1792] picks 896 and down
+    [896→1280] picks the full 1280 — 7.15 → 5.26 ms/step (+36%) over
+    the old halve-from-512 heuristic (bench.kernels --suite moe)."""
+    if m % 128:
+        return m
+    t_max = (14_000_000 // (12 * h)) if h else 512
+    best = 0
+    t = 128
+    while t <= m:
+        if m % t == 0 and t <= t_max:
+            best = t
+        t += 128
+    return best or min(m, 128)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret", "tile", "expand"))
@@ -437,7 +446,7 @@ def q8_dense_experts_layered(
     """out[e] = x @ dequant(W[layer, e]) → [E, N, M]."""
     n, h = x.shape
     L, e, _, m = codes.shape
-    tile = tile or _expert_tile(m)
+    tile = tile or _expert_tile(m, h)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(e, m // tile),
@@ -477,7 +486,7 @@ def q8_dense_experts_perx_layered(
     """out[e] = x[e] @ dequant(W[layer, e]) → [E, N, M]."""
     e, n, k = x.shape
     L, _, _, m = codes.shape
-    tile = tile or _expert_tile(m)
+    tile = tile or _expert_tile(m, k)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(e, m // tile),
