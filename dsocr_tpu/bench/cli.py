@@ -93,6 +93,22 @@ def cmd_bench_native(args) -> int:
 
 
 def cmd_perf(args) -> int:
+    # Persistent compile cache: the matrix's shape buckets (per-cell
+    # tower/prefill/chunk shapes) each cost a minutes-long remote
+    # compile on the tunneled TPU; without the disk cache every matrix
+    # run re-pays all of them and the history compares compile time,
+    # not runtime. Must be a jax.config update — this machine
+    # auto-imports jax before the env var could be read.
+    import os
+
+    import jax
+
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.environ.get("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_comp_cache"),
+    )
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
     from .perf import compare_history, run_perf_matrix, save_history
 
     entries = run_perf_matrix(

@@ -252,8 +252,10 @@ class DeepseekOcrEngine:
         # thread serializes with compute; a separate thread overlaps it
         from concurrent.futures import ThreadPoolExecutor
 
+        # 2 streams: the tunneled link saturates ~43 MB/s at 2 concurrent
+        # puts (35 at 1, flat beyond 2 — measured bench_logs/r3)
         self._transfer_pool = ThreadPoolExecutor(
-            max_workers=1, thread_name_prefix="dsocr-transfer"
+            max_workers=2, thread_name_prefix="dsocr-transfer"
         )
         self._generator_cache = {}
         self._rope = build_decoder_rope(cfg.language, max_seq_len)
@@ -475,15 +477,18 @@ class DeepseekOcrEngine:
             self._tower_jit = jax.jit(self._tower)
         return self._tower_jit(self.params, pixels)
 
-    def _compute_image_embeddings_batched(self, vins: Sequence[VisionInput]):
-        """Fused-token embeddings for many images with batched tower calls
-        (OCR1 path; OCR2 falls back to per-image encodes)."""
-        if not vins:
-            return []
-        if self.cfg.variant == "ocr2":
-            return self._ocr2_embeddings_batched(vins)
-        params = self.params
-        newline = params["projector"]["image_newline"]
+    def _prefetch_views(self, vins: Sequence[VisionInput]) -> dict:
+        """Chunk a wave's views and submit their pixel uploads on the
+        transfer pool (OCR1 view batching); returns upload futures the
+        tower pass consumes in order.
+
+        NOTE: an explicit cross-wave upload prefetch (submitting wave
+        N+1's uploads while wave N prefills) was built and A/B-measured
+        SLOWER (1.03 vs 1.55 pages/sec): the bulk pixel bytes share the
+        one tunneled link with the active wave's critical-path round
+        trips (joins, prefill dispatch, first-token pulls) and delay
+        them, whereas the next wave's uploads already overlap decode
+        chunks — which have ~1 round-trip per 128 steps — for free."""
         # SAM's global-attention blocks keep large activations at 1024px —
         # cap the tower micro-batch so they fit HBM alongside the decoder
         # weights. Chunk transfers run on a background thread: device_put
@@ -530,13 +535,6 @@ class DeepseekOcrEngine:
                 chunks.append((self._transfer_pool.submit(_put, chunk), pad))
             return chunks
 
-        def tower_chunks(chunks) -> jnp.ndarray:
-            outs = []
-            for fut, pad in chunks:
-                out = self._tower_jitted(fut.result())
-                outs.append(out[:-pad] if pad else out)
-            return jnp.concatenate(outs, axis=0)
-
         # globals are 1024px (4096 SAM tokens) → small chunks; tiles are
         # 640px (1600 tokens) → larger chunks amortize dispatch latency
         global_chunks = chunk_pixels(
@@ -552,6 +550,28 @@ class DeepseekOcrEngine:
             if tile_batches
             else None
         )
+        return {"global_chunks": global_chunks, "tile_chunks": tile_chunks}
+
+    def _compute_image_embeddings_batched(self, vins: Sequence[VisionInput]):
+        """Fused-token embeddings for many images with batched tower calls
+        (OCR1 path; OCR2 falls back to per-image encodes)."""
+        if not vins:
+            return []
+        if self.cfg.variant == "ocr2":
+            return self._ocr2_embeddings_batched(vins)
+        params = self.params
+        newline = params["projector"]["image_newline"]
+        views = self._prefetch_views(vins)
+        global_chunks = views["global_chunks"]
+        tile_chunks = views["tile_chunks"]
+
+        def tower_chunks(chunks) -> jnp.ndarray:
+            outs = []
+            for fut, pad in chunks:
+                out = self._tower_jitted(fut.result())
+                outs.append(out[:-pad] if pad else out)
+            return jnp.concatenate(outs, axis=0)
+
         global_proj = tower_chunks(global_chunks)  # [B, S, n_embed]
         tile_projs = {}
         if tile_chunks is not None:
@@ -1002,13 +1022,9 @@ class DeepseekOcrEngine:
         )
         return runner, cache
 
-    def prefill_for_slots(self, tokenizer, requests):
-        """Batched variant of prefill_for_slot for the scheduler's prefill
-        worker: vision towers run BATCHED across all queued requests
-        (one SAM/CLIP pass over the pooled views — the serving pipeline
-        is prefill-bound, and per-request towers waste the MXU), then
-        each request prefills its own row (same single-row jit, so no
-        new compilations). requests = [(prompt, images, vision), ...]."""
+    def _prepare_wave_inputs(self, requests):
+        """Host-side resample/tiling for every image of a wave (threaded;
+        pure host code, thread-safe)."""
         flat = [
             (ri, np.asarray(img))
             for ri, (_, images, _) in enumerate(requests)
@@ -1016,7 +1032,6 @@ class DeepseekOcrEngine:
         ]
         from concurrent.futures import ThreadPoolExecutor
 
-        prep_t = Timer("slot.prepare_inputs")
         if len(flat) > 1:
             with ThreadPoolExecutor(max_workers=min(8, len(flat))) as pool:
                 prepared = list(
@@ -1032,6 +1047,17 @@ class DeepseekOcrEngine:
                 self.prepare_vision_input(img, requests[ri][2])
                 for ri, img in flat
             ]
+        return flat, prepared
+
+    def prefill_for_slots(self, tokenizer, requests):
+        """Batched variant of prefill_for_slot for the scheduler's prefill
+        worker: vision towers run BATCHED across all queued requests
+        (one SAM/CLIP pass over the pooled views — the serving pipeline
+        is prefill-bound, and per-request towers waste the MXU), then
+        each request prefills its own row (same single-row jit, so no
+        new compilations). requests = [(prompt, images, vision), ...]."""
+        prep_t = Timer("slot.prepare_inputs")
+        flat, prepared = self._prepare_wave_inputs(requests)
         prep_t.finish(images=len(flat))
         tower_t = Timer("slot.vision_towers")
         embeddings_flat = self._compute_image_embeddings_batched(prepared)

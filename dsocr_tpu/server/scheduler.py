@@ -30,6 +30,25 @@ from .prefix_cache import PrefixCache, request_key
 
 logger = logging.getLogger("dsocr.scheduler")
 
+# DSOCR_SCHED_TRACE=1: timestamped pipeline events (wave grab/prep/put,
+# join, chunk dispatch, harvest) for attributing serving bubbles —
+# stage timers measure wall inside threads sharing one device queue,
+# so only event ordering can show WHERE overlap is lost.
+_TRACE = os.environ.get("DSOCR_SCHED_TRACE") == "1"
+_trace_t0: List[float] = []
+
+
+def _trace(event: str, **fields):
+    if not _TRACE:
+        return
+    import time as _time
+
+    now = _time.perf_counter()
+    if not _trace_t0:
+        _trace_t0.append(now)
+    kv = " ".join(f"{k}={v}" for k, v in fields.items())
+    print(f"[sched {now - _trace_t0[0]:8.3f}] {event} {kv}", flush=True)
+
 
 @dataclasses.dataclass
 class _Job:
@@ -268,6 +287,7 @@ class ContinuousScheduler:
 
     def _join_ready(self, row: int, job: _SlotJob, pre: dict) -> bool:
         """Blocking (device): insert a prefilled packet into slot `row`."""
+        _trace("join", row=row)
         with Timer("slot.join"):
             self._state, finished, first = self._runner.join(
                 self._state,
@@ -412,23 +432,45 @@ class ContinuousScheduler:
         job.truncated = job.max_new < requested
         return pre
 
+    def _grab_wave(self) -> List[_SlotJob]:
+        jobs: List[_SlotJob] = []
+        while len(jobs) < self.prefill_batch:
+            try:
+                jobs.append(self.queue.get_nowait())
+            except asyncio.QueueEmpty:
+                break
+        return jobs
+
     async def _prefill_worker(self):
+        # NOTE: cross-wave upload prefetch (prepping wave N+1's pixels
+        # while wave N prefills) was built and A/B-measured SLOWER here
+        # (1.03 vs 1.55 pages/sec at 32x16): wave N+1's bulk pixel bytes
+        # share the one tunneled device link with wave N's critical-path
+        # round trips (joins, prefill dispatch, first-token pulls) and
+        # delay them, while wave N+1's prepare already overlaps wave N's
+        # DECODE — which has only ~1 round trip per 128-step chunk — for
+        # free. Sequential waves + 2 concurrent transfer streams win.
         loop = asyncio.get_running_loop()
         try:
             while True:
-                jobs: List[_SlotJob] = []
-                cap = self.prefill_batch
-                while len(jobs) < cap:
-                    try:
-                        jobs.append(self.queue.get_nowait())
-                    except asyncio.QueueEmpty:
-                        break
+                jobs = self._grab_wave()
                 if not jobs:
                     return
                 self._ensure_state()
-                packets = await loop.run_in_executor(
+                _trace("wave_grab", n=len(jobs))
+                prepare_fut = loop.run_in_executor(
                     None, self._prepare_jobs, jobs
                 )
+                try:
+                    packets = await prepare_fut
+                except Exception as err:
+                    # a crash OUTSIDE the per-job error handling (e.g. a
+                    # broken _prepare_jobs override) must fail the wave's
+                    # futures — an unhandled worker exception would leave
+                    # every submit() awaiting forever
+                    logger.exception("prefill wave crashed")
+                    packets = [err] * len(jobs)
+                _trace("wave_prepared", n=len(jobs))
                 for job, pre in zip(jobs, packets):
                     if isinstance(pre, Exception) or pre is None:
                         # resolve failures HERE, on the loop thread —
@@ -436,6 +478,7 @@ class ContinuousScheduler:
                         self._fail(job, pre or RuntimeError("prefill failed"))
                         continue
                     await self._ready_q.put((job, pre))  # backpressure when full
+                    _trace("packet_put", qsize=self._ready_q.qsize())
                     self._ensure_workers()  # decode worker may have exited idle
         finally:
             self._prefill_task = None
@@ -511,6 +554,7 @@ class ContinuousScheduler:
                             self._rows[row] = job
                     continue
                 self.batch_sizes.append(len(active_jobs))
+                _trace("chunk_start", occ=len(active_jobs))
                 chunk = (
                     self.stream_chunk_steps
                     if any(j.stream_cb is not None for j in active_jobs)
@@ -568,6 +612,7 @@ class ContinuousScheduler:
                         None, self._runner.harvest_from_snap, sn
                     )
                     harvest_t.finish(rows=len(active_jobs))
+                    _trace("harvest_done", occ=len(active_jobs))
                     await self._process_harvest(loop, harvest)
         finally:
             self._worker_task = None

@@ -583,3 +583,31 @@ def test_speculation_skipped_for_streaming(slot_engine, monkeypatch):
     out = asyncio.run(go())
     assert sched.speculated_chunks == 0
     assert seen and seen[-1] == len(out.generated_tokens)
+
+
+def test_prefill_wave_crash_fails_futures(slot_engine, monkeypatch):
+    """An exception escaping _prepare_jobs entirely (not the per-job
+    error path) must still resolve every submitted future — otherwise
+    submit() awaits forever on a crashed prefill worker."""
+    tok = SlotTokenizer()
+    params = DecodeParameters(max_new_tokens=4, no_repeat_ngram_size=None)
+    imgs = [_img(40 + i) for i in range(3)]
+
+    class Crashing(ContinuousScheduler):
+        def _prepare_jobs(self, jobs):
+            raise RuntimeError("synthetic wave crash")
+
+    async def go():
+        sched = Crashing(slot_engine, tok, n_slots=4, max_len=256,
+                         chunk_steps=2, prefill_batch=2)
+        return await asyncio.gather(
+            *(sched.submit(f"<image>req{i}", [imgs[i]], VS, params)
+              for i in range(3)),
+            return_exceptions=True,
+        )
+
+    outs = asyncio.run(go())
+    assert len(outs) == 3
+    for out in outs:
+        assert isinstance(out, RuntimeError)
+        assert "synthetic wave crash" in str(out)
