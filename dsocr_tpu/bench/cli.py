@@ -119,6 +119,7 @@ def cmd_perf(args) -> int:
         quants=args.quants.split(",") if args.quants is not None else None,
         modes=args.modes.split(",") if args.modes is not None else None,
         n_requests=args.requests,
+        warmup=not args.no_warmup,
     )
     for e in entries:
         label = "/".join(filter(None, (e.model, e.dtype, e.quant, e.mode)))
@@ -213,6 +214,11 @@ def main(argv=None) -> int:
         help="comma list of single, serve (continuous batching)",
     )
     p.add_argument("--requests", type=int, default=4, help="pages in serve mode")
+    p.add_argument(
+        "--no-warmup", action="store_true",
+        help="skip the untimed warmup pass per cell (cells then include "
+        "first-dispatch compile time; only for plumbing smokes)",
+    )
     p.add_argument("--history", default=None)
     p.add_argument("--fail-on-regression", action="store_true")
     p.set_defaults(fn=cmd_perf)

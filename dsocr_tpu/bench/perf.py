@@ -76,6 +76,7 @@ def run_perf_matrix(
     quants: Optional[List[str]] = None,  # '' | q8_0 | q4_k | q6_k
     modes: Optional[List[str]] = None,  # single | serve
     n_requests: int = 4,
+    warmup: bool = True,
 ) -> List[PerfEntry]:
     """Run the model × dtype × quant × serving-mode matrix in-process
     with random-init weights (no weights ship with this machine);
@@ -129,31 +130,45 @@ def run_perf_matrix(
                 for mode in modes:
                     if mode == "serve" and not hasattr(engine, "make_slot_runner"):
                         continue
+
+                    def run_cell():
+                        t0 = time.perf_counter()
+                        if mode == "serve":
+                            import asyncio
+
+                            from ..server.scheduler import ContinuousScheduler
+
+                            sched = ContinuousScheduler(
+                                engine, _Tok(), n_slots=min(8, n_requests)
+                            )
+
+                            async def _serve():
+                                return await asyncio.gather(*(
+                                    sched.submit(
+                                        prompt, [image], settings, params
+                                    )
+                                    for _ in range(n_requests)
+                                ))
+
+                            outs = asyncio.run(_serve())
+                            tokens = sum(o.response_tokens for o in outs)
+                            pages = n_requests
+                        else:
+                            out = engine.decode(
+                                _Tok(), prompt, [image], settings, params
+                            )
+                            tokens, pages = out.response_tokens, 1
+                        return tokens, pages, time.perf_counter() - t0
+
+                    if warmup:
+                        # untimed pass: compiles (minutes-long on the
+                        # tunneled TPU, even with the disk cache on a
+                        # first run) must not pollute the history — the
+                        # matrix tracks steady-state regressions
+                        run_cell()
                     recorder = BenchRecorder()
                     set_recorder(recorder)
-                    t0 = time.perf_counter()
-                    if mode == "serve":
-                        import asyncio
-
-                        from ..server.scheduler import ContinuousScheduler
-
-                        sched = ContinuousScheduler(
-                            engine, _Tok(), n_slots=min(8, n_requests)
-                        )
-
-                        async def _serve():
-                            return await asyncio.gather(*(
-                                sched.submit(prompt, [image], settings, params)
-                                for _ in range(n_requests)
-                            ))
-
-                        outs = asyncio.run(_serve())
-                        tokens = sum(o.response_tokens for o in outs)
-                        pages = n_requests
-                    else:
-                        out = engine.decode(_Tok(), prompt, [image], settings, params)
-                        tokens, pages = out.response_tokens, 1
-                    wall = time.perf_counter() - t0
+                    tokens, pages, wall = run_cell()
                     set_recorder(None)
                     entries.append(
                         PerfEntry(
