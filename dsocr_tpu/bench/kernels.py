@@ -115,12 +115,44 @@ def _moe_suite(args) -> int:
 
         return loop
 
+    def make_megafused():
+        from ..ops.pallas.dequant_matmul import q8_moe_megafused_layered
+
+        # dense routing weights: 6 of 64 experts per row, like serving
+        w_np = np.zeros((E, N), np.float32)
+        for r in range(N):
+            sel = rng.choice(E, size=min(6, E), replace=False)
+            w_np[sel, r] = rng.random(len(sel))
+        w_dense = jnp.asarray(w_np)
+
+        def loop(x0, gu_c, gu_s, dn_c, dn_s):
+            def step(x, _):
+                def layer(xc, li):
+                    out = q8_moe_megafused_layered(
+                        xc.astype(jnp.bfloat16), w_dense, gu_c, gu_s,
+                        dn_c, dn_s, li, interpret=interp,
+                        gu_chunk=args.tile_gu or 256,
+                        dn_chunk=args.tile_dn or 640,
+                    )
+                    return (xc + 0.01 * out).astype(jnp.bfloat16), None
+
+                x, _ = jax.lax.scan(layer, x, layers)
+                return x, None
+
+            x, _ = jax.lax.scan(step, x0, None, length=args.steps)
+            return x
+
+        return loop
+
     wanted = [v.strip() for v in args.variants.split(",")]
     for name in wanted:
-        if name not in ("moe-fast", "moe-matmul"):
+        if name not in ("moe-fast", "moe-matmul", "moe-megafused"):
             continue
-        mode = name.split("-", 1)[1]
-        f = jax.jit(make(mode))
+        if name == "moe-megafused":
+            f = jax.jit(make_megafused())
+        else:
+            mode = name.split("-", 1)[1]
+            f = jax.jit(make(mode))
         t = time.perf_counter()
         np.asarray(f(x0, gu_c, gu_s, dn_c, dn_s))
         warm = time.perf_counter() - t
@@ -169,7 +201,7 @@ def main(argv=None) -> int:
 
     if args.suite == "moe":
         if args.variants == "kernel-ro,kernel-rw,einsum-ro,integrated":
-            args.variants = "moe-fast,moe-matmul"
+            args.variants = "moe-fast,moe-megafused"
         t = time.perf_counter()
         np.asarray(jnp.ones((8, 8)) @ jnp.ones((8, 8)))
         print(f"probe ok in {time.perf_counter() - t:.1f}s "

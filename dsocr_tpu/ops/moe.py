@@ -658,10 +658,40 @@ def moe_apply_q8_dense_fused(tokens, topk_weights, topk_indices, gateup_q, down_
     ONCE (the bf16 tier's moe_apply_dense strategy at ~half the bytes).
     Cheaper than the per-selection gather once N*top_k > n_experts —
     gathers re-stream shared experts at high slot occupancy."""
+    import os
+
     from .pallas.dequant_matmul import (
         q8_dense_experts_layered_auto,
         q8_dense_experts_perx_layered_auto,
     )
+
+    if os.environ.get("DSOCR_Q8_MEGAFUSED", "0") == "1":
+        # one kernel for the whole expert chain: gate+up → silu·up →
+        # down → weighted accumulate, no [E, N, *] HBM intermediates
+        # (the two-kernel path round-trips ~44 MB/layer at serving
+        # geometry). DSOCR_Q8_MEGAFUSED=0 reverts to the two-kernel
+        # sweep below.
+        from .pallas.dequant_matmul import q8_moe_megafused_layered_auto
+
+        n = tokens.shape[0]
+        e = gateup_q.codes.shape[1]
+        flat_e = topk_indices.reshape(-1)
+        flat_n = (
+            jnp.broadcast_to(
+                jnp.arange(n, dtype=topk_indices.dtype)[:, None],
+                topk_indices.shape,
+            ).reshape(-1)
+        )
+        w_dense = (
+            jnp.zeros((e, n), jnp.float32)
+            .at[flat_e, flat_n]
+            .add(topk_weights.reshape(-1).astype(jnp.float32))
+        )
+        combined = q8_moe_megafused_layered_auto(
+            tokens, w_dense, gateup_q.codes, gateup_q.scales,
+            down_q.codes, down_q.scales, gateup_q.layer,
+        )
+        return combined.astype(tokens.dtype)
 
     li = gateup_q.layer
     gus = q8_dense_experts_layered_auto(

@@ -511,3 +511,166 @@ def q8_dense_experts_perx_layered_auto(x, codes, scales, layer):
     return q8_dense_experts_perx_layered(
         x, codes, scales, layer, interpret=jax.default_backend() != "tpu"
     )
+
+
+# ---------------------------------------------------------------------------
+# Mega-fused dense MoE: gate+up -> silu*up -> down -> weighted combine in
+# ONE kernel, grid over experts.
+#
+# The two-kernel dense sweep above round-trips every per-expert
+# intermediate through HBM: gate+up writes [E, N, 2*MI] f32, XLA reads
+# it for the activation and writes [E, N, MI] bf16, the down kernel
+# writes [E, N, H] f32, and the combine transposes + gathers it
+# (~44 MB/layer at serving geometry — ~0.5 GB per decode step that the
+# weights-bandwidth analysis says is pure overhead). Here each grid
+# step processes one expert end-to-end in VMEM: dequant gate+up in
+# 128-aligned column chunks, activate, dequant down in chunks, and
+# accumulate w[e, n] * down_out into the [N, H] output block (which
+# never leaves VMEM across the expert grid). Routing weights arrive as
+# a dense [E, N] f32 map (zeros for unselected experts) — the
+# take_along_axis combine disappears into the accumulation.
+# ---------------------------------------------------------------------------
+
+
+def _chunk_cols(m: int, want: int) -> int:
+    """Largest 128-multiple divisor of m that is <= want (the in-kernel
+    dequant works lane-chunk by lane-chunk to bound VMEM temporaries);
+    whole dim for small/odd m (tiny test configs, interpret mode)."""
+    if m % 128:
+        return m
+    best = m
+    t = 128
+    while t <= m:
+        if m % t == 0 and t <= want:
+            best = t
+        t += 128
+    return best if best <= want else m
+
+
+def _megafused_kernel(
+    li_ref,  # [1] int32 (scalar prefetch)
+    x_ref,  # [N, H] bf16/f32
+    w_ref,  # [E, N] f32 dense routing weights
+    gu_c_ref,  # [1, 1, H, 2*MI] int8
+    gu_s_ref,  # [1, 1, H/32, 2*MI] f32
+    dn_c_ref,  # [1, 1, MI, H] int8
+    dn_s_ref,  # [1, 1, MI/32, H] f32
+    out_ref,  # [N, H] f32 — constant block: lives in VMEM across the grid
+    *,
+    gu_chunk: int,
+    dn_chunk: int,
+    expand_mode=_EXPAND_DEFAULT,
+):
+    del li_ref
+    e = pl.program_id(0)
+    n, h = x_ref.shape
+    mi2 = gu_c_ref.shape[-1]
+    mi = mi2 // 2
+
+    @pl.when(e == 0)
+    def _init():
+        out_ref[...] = jnp.zeros_like(out_ref)
+
+    x = x_ref[...].astype(jnp.bfloat16)
+
+    def deq_mm(xin, c_ref, s_ref, c0, width):
+        q = c_ref[0, 0, :, c0 : c0 + width].astype(jnp.float32)
+        s = s_ref[0, 0, :, c0 : c0 + width]
+        s_full = _expand_rows(s, q.shape[0], expand_mode)
+        w = (q * s_full).astype(jnp.bfloat16)
+        return jax.lax.dot_general(
+            xin, w, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    gu_parts = [
+        deq_mm(x, gu_c_ref, gu_s_ref, c0, gu_chunk)
+        for c0 in range(0, mi2, gu_chunk)
+    ]
+    gus = jnp.concatenate(gu_parts, axis=1) if len(gu_parts) > 1 else gu_parts[0]
+    gate, up = gus[:, :mi], gus[:, mi:]
+    inter = (jax.nn.silu(gate) * up).astype(jnp.bfloat16)  # [N, MI]
+
+    dn_parts = [
+        deq_mm(inter, dn_c_ref, dn_s_ref, c0, dn_chunk)
+        for c0 in range(0, h, dn_chunk)
+    ]
+    dn = jnp.concatenate(dn_parts, axis=1) if len(dn_parts) > 1 else dn_parts[0]
+
+    # select this expert's routing-weight row by mask ((1, N) blocks are
+    # not a legal TPU tile — see slot_attention's new-scale ride-along)
+    row = jax.lax.broadcasted_iota(jnp.int32, w_ref.shape, 0) == e
+    we = jnp.sum(jnp.where(row, w_ref[...], 0.0), axis=0)  # [N]
+    out_ref[...] += we[:, None] * dn
+
+
+@functools.partial(
+    jax.jit, static_argnames=("interpret", "gu_chunk", "dn_chunk", "expand")
+)
+def q8_moe_megafused_layered(
+    x: jnp.ndarray,  # [N, H]
+    weights: jnp.ndarray,  # [E, N] f32 dense routing weights (0 = unrouted)
+    gu_codes: jnp.ndarray,  # [L, E, H, 2*MI] int8
+    gu_scales: jnp.ndarray,  # [L, E, H/32, 2*MI] f32
+    dn_codes: jnp.ndarray,  # [L, E, MI, H] int8
+    dn_scales: jnp.ndarray,  # [L, E, MI/32, H] f32
+    layer: jnp.ndarray,  # scalar int32
+    interpret: bool = False,
+    gu_chunk: int = 256,
+    dn_chunk: int = 640,
+    expand: str = _EXPAND_DEFAULT,
+) -> jnp.ndarray:
+    """out[n] = Σ_e weights[e, n] · (silu(x@Wg[e]) * (x@Wu[e])) @ Wd[e]
+    → [N, H] f32. Reads each expert's packed weights exactly once; no
+    [E, N, *] intermediate ever touches HBM."""
+    n, h = x.shape
+    L, e, _, mi2 = gu_codes.shape
+    gu_chunk = _chunk_cols(mi2, gu_chunk)
+    dn_chunk = _chunk_cols(h, dn_chunk)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(e,),
+        in_specs=[
+            pl.BlockSpec((n, h), lambda ei, li: (0, 0)),
+            pl.BlockSpec(weights.shape, lambda ei, li: (0, 0)),
+            pl.BlockSpec((1, 1, h, mi2), lambda ei, li: (li[0], ei, 0, 0)),
+            pl.BlockSpec(
+                (1, 1, h // Q8_BLOCK, mi2), lambda ei, li: (li[0], ei, 0, 0)
+            ),
+            pl.BlockSpec(
+                (1, 1, mi2 // 2, h), lambda ei, li: (li[0], ei, 0, 0)
+            ),
+            pl.BlockSpec(
+                (1, 1, mi2 // 2 // Q8_BLOCK, h),
+                lambda ei, li: (li[0], ei, 0, 0),
+            ),
+        ],
+        out_specs=pl.BlockSpec((n, h), lambda ei, li: (0, 0)),
+    )
+    return pl.pallas_call(
+        functools.partial(
+            _megafused_kernel,
+            gu_chunk=gu_chunk,
+            dn_chunk=dn_chunk,
+            expand_mode=expand,
+        ),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((n, h), jnp.float32),
+        interpret=interpret,
+    )(
+        jnp.asarray(layer, jnp.int32).reshape(1),
+        x,
+        weights.astype(jnp.float32),
+        gu_codes,
+        gu_scales,
+        dn_codes,
+        dn_scales,
+    )
+
+
+def q8_moe_megafused_layered_auto(x, weights, gu_codes, gu_scales, dn_codes,
+                                  dn_scales, layer):
+    return q8_moe_megafused_layered(
+        x, weights, gu_codes, gu_scales, dn_codes, dn_scales, layer,
+        interpret=jax.default_backend() != "tpu",
+    )

@@ -256,3 +256,48 @@ def test_expand_modes_agree_and_fast_is_exact():
         exp = np.stack([ref_in_major(dcodes[0, e], dscales[0, e])
                         for e in range(E)])
         np.testing.assert_allclose(out, exp, rtol=1e-5, atol=1e-5)
+
+
+def test_q8_megafused_matches_two_kernel_sweep(monkeypatch):
+    """The mega-fused expert kernel (gate+up → silu·up → down → weighted
+    accumulate in one Pallas call) must match the two-kernel dense sweep
+    it replaces, including multi-chunk in-kernel dequant (H=768 → two
+    down chunks, 2*MI=512 → two gate+up chunks) and duplicate experts in
+    a row's top-k (the dense-weight scatter ADDS like the
+    take_along_axis combine)."""
+    from dsocr_tpu.ops.moe import LayeredQ8, moe_apply_q8_dense_fused
+
+    rng = np.random.default_rng(23)
+    L, E, H, I, N, K = 2, 4, 768, 256, 16, 3
+    gu = rng.normal(size=(L, E, 2 * I, H)).astype(np.float32) * 0.3
+    dn = rng.normal(size=(L, E, H, I)).astype(np.float32) * 0.3
+
+    def pack(stack, out_dim, in_dim):
+        codes = np.zeros((L, E, in_dim, out_dim), np.int8)
+        scales = np.zeros((L, E, in_dim // 32, out_dim), np.float32)
+        for l in range(L):
+            for e in range(E):
+                payload = quantize_q8_0(stack[l, e], out_dim, in_dim)
+                c, s = pack_q8_0(payload, out_dim, in_dim)
+                codes[l, e] = np.asarray(c).T
+                scales[l, e] = np.asarray(s).T
+        return jnp.asarray(codes), jnp.asarray(scales)
+
+    gu_c, gu_s = pack(gu, 2 * I, H)
+    dn_c, dn_s = pack(dn, H, I)
+    x = jnp.asarray(rng.normal(size=(N, H)).astype(np.float32) * 0.3)
+    tw = jnp.asarray(rng.random((N, K)).astype(np.float32))
+    ti_np = rng.integers(0, E, (N, K)).astype(np.int32)
+    ti_np[0, :2] = 1  # duplicate expert within one row's top-k
+    ti = jnp.asarray(ti_np)
+
+    for layer in (0, 1):
+        gu_q = LayeredQ8(gu_c, gu_s, jnp.int32(layer))
+        dn_q = LayeredQ8(dn_c, dn_s, jnp.int32(layer))
+        monkeypatch.setenv("DSOCR_Q8_MEGAFUSED", "0")
+        two_kernel = np.asarray(
+            moe_apply_q8_dense_fused(x, tw, ti, gu_q, dn_q)
+        )
+        monkeypatch.setenv("DSOCR_Q8_MEGAFUSED", "1")
+        fused = np.asarray(moe_apply_q8_dense_fused(x, tw, ti, gu_q, dn_q))
+        np.testing.assert_allclose(fused, two_kernel, rtol=2e-5, atol=2e-5)
