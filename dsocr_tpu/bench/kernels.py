@@ -202,10 +202,17 @@ def main(argv=None) -> int:
     if args.suite == "moe":
         if args.variants == "kernel-ro,kernel-rw,einsum-ro,integrated":
             args.variants = "moe-fast,moe-megafused"
-        t = time.perf_counter()
-        np.asarray(jnp.ones((8, 8)) @ jnp.ones((8, 8)))
-        print(f"probe ok in {time.perf_counter() - t:.1f}s "
-              f"backend={jax.default_backend()}", flush=True)
+        if jax.default_backend() != "cpu":
+            from .probe import probe_tunnel
+
+            dt = probe_tunnel(3600.0, tag="kernels")
+            print(f"probe ok in {dt:.1f}s backend={jax.default_backend()}",
+                  flush=True)
+        else:
+            t = time.perf_counter()
+            np.asarray(jnp.ones((8, 8)) @ jnp.ones((8, 8)))
+            print(f"probe ok in {time.perf_counter() - t:.1f}s "
+                  f"backend={jax.default_backend()}", flush=True)
         return _moe_suite(args)
 
     from ..ops.attention import attention_kv_int8, slot_kv_write_attend
@@ -317,10 +324,17 @@ def main(argv=None) -> int:
         "einsum-ro": einsum_ro,
         "integrated": integrated,
     }
-    t = time.perf_counter()
-    np.asarray(jnp.ones((8, 8)) @ jnp.ones((8, 8)))
-    print(f"probe ok in {time.perf_counter() - t:.1f}s "
-          f"backend={jax.default_backend()}", flush=True)
+    if jax.default_backend() != "cpu":
+        from .probe import probe_tunnel
+
+        dt = probe_tunnel(3600.0, tag="kernels")
+        print(f"probe ok in {dt:.1f}s backend={jax.default_backend()}",
+              flush=True)
+    else:
+        t = time.perf_counter()
+        np.asarray(jnp.ones((8, 8)) @ jnp.ones((8, 8)))
+        print(f"probe ok in {time.perf_counter() - t:.1f}s "
+              f"backend={jax.default_backend()}", flush=True)
     for name in args.variants.split(","):
         name = name.strip()
         if name not in fns:
