@@ -144,15 +144,20 @@ def _moe_suite(args) -> int:
 
         return loop
 
+    # moe-bf16deq: all-bf16 dequant (one fewer VPU pass per weight);
+    # moe-noscale: numerics-WRONG ceiling probe (stream+convert+matmul
+    # only) — if it matches moe-fast the kernel is DMA/HBM-bound and no
+    # dequant cut can help; if it is much faster, the VPU is the wall.
+    modes = {"moe-fast": "fast", "moe-matmul": "matmul",
+             "moe-bf16deq": "bf16", "moe-noscale": "none"}
     wanted = [v.strip() for v in args.variants.split(",")]
     for name in wanted:
-        if name not in ("moe-fast", "moe-matmul", "moe-megafused"):
+        if name not in modes and name != "moe-megafused":
             continue
         if name == "moe-megafused":
             f = jax.jit(make_megafused())
         else:
-            mode = name.split("-", 1)[1]
-            f = jax.jit(make(mode))
+            f = jax.jit(make(modes[name]))
         t = time.perf_counter()
         np.asarray(f(x0, gu_c, gu_s, dn_c, dn_s))
         warm = time.perf_counter() - t

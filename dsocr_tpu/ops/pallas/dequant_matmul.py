@@ -33,6 +33,32 @@ Q8_BLOCK = 32
 _EXPAND_DEFAULT = os.environ.get("DSOCR_Q8_EXPAND", "fast")
 
 
+def _dequant_w_rows(q: jnp.ndarray, s: jnp.ndarray, mode: str) -> jnp.ndarray:
+    """int8 codes [h, T] + block scales [h/32, T] → bf16 weights [h, T].
+
+    Modes (DSOCR_Q8_EXPAND / kernel `expand=` arg):
+      fast    f32 product, one bf16 round: bf16(f32(q) · s_full)  (default)
+      matmul  like fast but expands scales with the legacy 0/1 matmul
+      bf16    all-bf16 dequant: bf16(q) · bf16(s_full) — one fewer VPU
+              pass per weight (no f32 intermediates); scales round to
+              bf16 before the product (~2^-8.4 weight error vs fast's
+              2^-8) — a VPU-pressure diagnostic/perf mode
+      none    bf16(q) only — numerics-WRONG ceiling probe that measures
+              the kernel's pure stream+convert+matmul rate
+    """
+    h = q.shape[0]
+    if mode == "bf16":
+        nb, t = s.shape
+        s_full = jnp.broadcast_to(
+            s.astype(jnp.bfloat16)[:, None, :], (nb, Q8_BLOCK, t)
+        ).reshape(h, t)
+        return q.astype(jnp.bfloat16) * s_full
+    if mode == "none":
+        return q.astype(jnp.bfloat16)
+    qf = q.astype(jnp.float32)
+    return (qf * _expand_rows(s, h, mode)).astype(jnp.bfloat16)
+
+
 def _expand_rows(s: jnp.ndarray, h: int, mode: str) -> jnp.ndarray:
     """[h/32, T] f32 → [h, T] f32 with row i taking s[i // 32].
 
@@ -388,11 +414,7 @@ def q8_gather_matmul_layered_auto(x, codes, scales, idx, layer):
 def _dense_experts_kernel(li_ref, x_ref, q_ref, s_ref, out_ref, *,
                           expand_mode=_EXPAND_DEFAULT):
     del li_ref  # consumed by the index maps
-    _, h = x_ref.shape
-    q = q_ref[0, 0].astype(jnp.float32)  # [H, tile]
-    s = s_ref[0, 0]  # [H // 32, tile]
-    s_full = _expand_rows(s, h, expand_mode)
-    w = (q * s_full).astype(jnp.bfloat16)
+    w = _dequant_w_rows(q_ref[0, 0], s_ref[0, 0], expand_mode)
     out_ref[0] = jax.lax.dot_general(
         x_ref[...].astype(jnp.bfloat16), w,
         (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
@@ -402,11 +424,7 @@ def _dense_experts_kernel(li_ref, x_ref, q_ref, s_ref, out_ref, *,
 def _dense_experts_perx_kernel(li_ref, x_ref, q_ref, s_ref, out_ref, *,
                                expand_mode=_EXPAND_DEFAULT):
     del li_ref
-    _, _, h = x_ref.shape
-    q = q_ref[0, 0].astype(jnp.float32)
-    s = s_ref[0, 0]
-    s_full = _expand_rows(s, h, expand_mode)
-    w = (q * s_full).astype(jnp.bfloat16)
+    w = _dequant_w_rows(q_ref[0, 0], s_ref[0, 0], expand_mode)
     out_ref[0] = jax.lax.dot_general(
         x_ref[0].astype(jnp.bfloat16), w,
         (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
@@ -574,10 +592,11 @@ def _megafused_kernel(
     x = x_ref[...].astype(jnp.bfloat16)
 
     def deq_mm(xin, c_ref, s_ref, c0, width):
-        q = c_ref[0, 0, :, c0 : c0 + width].astype(jnp.float32)
-        s = s_ref[0, 0, :, c0 : c0 + width]
-        s_full = _expand_rows(s, q.shape[0], expand_mode)
-        w = (q * s_full).astype(jnp.bfloat16)
+        w = _dequant_w_rows(
+            c_ref[0, 0, :, c0 : c0 + width],
+            s_ref[0, 0, :, c0 : c0 + width],
+            expand_mode,
+        )
         return jax.lax.dot_general(
             xin, w, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
