@@ -258,6 +258,52 @@ def test_expand_modes_agree_and_fast_is_exact():
         np.testing.assert_allclose(out, exp, rtol=1e-5, atol=1e-5)
 
 
+def test_dequant_diagnostic_modes():
+    """expand='bf16' (all-bf16 dequant, one fewer VPU pass) stays within
+    bf16-scale rounding of the exact path; expand='none' (ceiling probe)
+    computes x @ q with unit scales — both sublane-oriented kernels."""
+    import jax
+    from dsocr_tpu.ops.pallas.dequant_matmul import (
+        q8_dense_experts_layered,
+        q8_dense_experts_perx_layered,
+    )
+
+    rng = np.random.default_rng(5)
+    L, E, H, M, N = 2, 3, 128, 128, 8
+    interp = jax.default_backend() != "tpu"
+    codes = rng.integers(-127, 128, (L, E, H, M), dtype=np.int8)
+    scales = (rng.standard_normal((L, E, H // 32, M)) * 0.02).astype(
+        np.float16).astype(np.float32)
+    x = jnp.asarray(rng.standard_normal((N, H)), jnp.bfloat16)
+
+    args = (x, jnp.asarray(codes), jnp.asarray(scales),
+            jnp.asarray(1, jnp.int32))
+    exact = np.asarray(q8_dense_experts_layered(
+        *args, interpret=interp, expand="fast"))
+    b16 = np.asarray(q8_dense_experts_layered(
+        *args, interpret=interp, expand="bf16"))
+    scale_mag = np.abs(exact).max()
+    assert np.abs(exact - b16).max() <= 0.01 * scale_mag
+
+    none = np.asarray(q8_dense_experts_layered(
+        *args, interpret=interp, expand="none"))
+    unit = np.stack([
+        np.asarray(x, np.float32) @ codes[1, e].astype(np.float32)
+        for e in range(E)
+    ])
+    np.testing.assert_allclose(none, unit, rtol=1e-2, atol=1e-2 * np.abs(unit).max())
+
+    # per-expert-x (down projection) orientation
+    xe = jnp.asarray(rng.standard_normal((E, N, H)), jnp.bfloat16)
+    pargs = (xe, jnp.asarray(codes), jnp.asarray(scales),
+             jnp.asarray(0, jnp.int32))
+    pexact = np.asarray(q8_dense_experts_perx_layered(
+        *pargs, interpret=interp, expand="fast"))
+    pb16 = np.asarray(q8_dense_experts_perx_layered(
+        *pargs, interpret=interp, expand="bf16"))
+    assert np.abs(pexact - pb16).max() <= 0.01 * np.abs(pexact).max()
+
+
 def test_q8_megafused_matches_two_kernel_sweep(monkeypatch):
     """The mega-fused expert kernel (gate+up → silu·up → down → weighted
     accumulate in one Pallas call) must match the two-kernel dense sweep
