@@ -10,7 +10,12 @@ infer-paddleocr/src/vision/preprocess.rs.
 """
 
 from .resample import resize_bicubic, resize_bicubic_numpy
-from .ops import build_global_view, image_to_tensor, round_ties_to_even
+from .ops import (
+    build_global_view,
+    build_global_view_with_box,
+    image_to_tensor,
+    round_ties_to_even,
+)
 from .tiling import PreprocessParams, DynamicPreprocessResult, dynamic_preprocess
 from .smart_resize import (
     SmartResizeConfig,
@@ -23,6 +28,7 @@ __all__ = [
     "resize_bicubic",
     "resize_bicubic_numpy",
     "build_global_view",
+    "build_global_view_with_box",
     "image_to_tensor",
     "round_ties_to_even",
     "PreprocessParams",

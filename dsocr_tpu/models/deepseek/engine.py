@@ -18,7 +18,12 @@ import numpy as np
 from ...core import DecodeOutcome, DecodeParameters, ModelKind, VisionSettings
 from ...core.benchmark import Timer
 from ...core.text import normalize_text
-from ...image import PreprocessParams, build_global_view, dynamic_preprocess
+from ...image import (
+    PreprocessParams,
+    build_global_view,
+    build_global_view_with_box,
+    dynamic_preprocess,
+)
 from ...runtime import GenerateParams, Generator, clamp_new_tokens
 from ...runtime.kv_cache import bump_length, reset
 from .clip import clip_forward, init_clip_params
@@ -45,11 +50,31 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+def _bucket_margins(
+    lo: int, hi: int, size: int, mult: int = 64
+) -> Tuple[int, int]:
+    """Shrink constant-fill margins (lo, hi) so the remaining content
+    span is a multiple of `mult` (growing the span, never cropping it):
+    returns new (lo, hi) with lo+span'+hi == size."""
+    span = size - lo - hi
+    target = min(size, _round_up(span, mult))
+    extra = target - span
+    take_lo = min(lo, extra)
+    lo -= take_lo
+    hi -= extra - take_lo
+    return lo, max(0, hi)
+
+
 @dataclasses.dataclass
 class VisionInput:
     global_pixels: np.ndarray  # [1, 3, G, G] uint8
     patches: Optional[np.ndarray]  # [T, 3, I, I] uint8 or None
     crop_shape: Optional[Tuple[int, int]]  # (width_crops, height_crops)
+    # constant-127 letterbox margins (top, bottom, left, right) of the
+    # global view: the serving path ships only the content slice over the
+    # host↔device link and re-pads on device (bit-exact — the margins are
+    # the mean-gray fill)
+    global_pad: Optional[Tuple[int, int, int, int]] = None
 
 
 class DeepseekOcrEngine:
@@ -283,7 +308,7 @@ class DeepseekOcrEngine:
         """Global letterboxed view (+ crop tiles when crop_mode)
         (ref model/mod.rs:1707-1758)."""
         global_size = vision.base_size if vision.crop_mode else vision.image_size
-        global_view = build_global_view(image, global_size)
+        global_view, global_pad = build_global_view_with_box(image, global_size)
         # pixels ship to the device as uint8 (4x less tunnel traffic);
         # normalization happens inside the jitted tower
         global_pixels = np.transpose(global_view, (2, 0, 1))[None]
@@ -301,10 +326,20 @@ class DeepseekOcrEngine:
                 patches = np.stack(
                     [np.transpose(t, (2, 0, 1)) for t in result.tiles]
                 )
-        return VisionInput(global_pixels, patches, crop_shape)
+        return VisionInput(global_pixels, patches, crop_shape, global_pad)
 
-    def _tower(self, params, pixels_u8):
-        # (x/255 - 0.5)/0.5 on device (ref image_to_tensor semantics)
+    def _tower(self, params, pixels_u8, pad=None):
+        # (x/255 - 0.5)/0.5 on device (ref image_to_tensor semantics).
+        # pad (static): constant-127 letterbox margins stripped on the
+        # host so only content pixels cross the tunnel — re-padding here
+        # rebuilds the canvas bit-exactly (the margins ARE the fill).
+        if pad is not None and any(pad):
+            top, bottom, left, right = pad
+            pixels_u8 = jnp.pad(
+                pixels_u8,
+                ((0, 0), (0, 0), (top, bottom), (left, right)),
+                constant_values=np.uint8(127),
+            )
         pixels = (pixels_u8.astype(jnp.float32) / 255.0 - 0.5) / 0.5
         sam_out = sam_forward(params["sam"], self.cfg.sam, pixels)
         clip_out = clip_forward(params["clip"], self.cfg.clip, sam_out)
@@ -471,11 +506,11 @@ class DeepseekOcrEngine:
         with open(path, "w") as fh:
             json.dump(self.vision_debug_trace(vins[0]), fh)
 
-    def _tower_jitted(self, pixels):
-        # jit keyed by pixel shape (global vs tile batches)
+    def _tower_jitted(self, pixels, pad=None):
+        # jit keyed by pixel shape (global vs tile batches) + static pad
         if not hasattr(self, "_tower_jit"):
-            self._tower_jit = jax.jit(self._tower)
-        return self._tower_jit(self.params, pixels)
+            self._tower_jit = jax.jit(self._tower, static_argnames=("pad",))
+        return self._tower_jit(self.params, pixels, pad=pad)
 
     def _prefetch_views(self, vins: Sequence[VisionInput]) -> dict:
         """Chunk a wave's views and submit their pixel uploads on the
@@ -499,12 +534,29 @@ class DeepseekOcrEngine:
         # (vision params are replicated, so the towers data-parallelize
         # across all chips instead of redoing identical work per shard);
         # chunks then pad to a multiple of the mesh size.
+        put = self._transfer_put()
+        # globals are 1024px (4096 SAM tokens) → small chunks; tiles are
+        # 640px (1600 tokens) → larger chunks amortize dispatch latency
+        vb_g, vb_t = self._view_chunk_sizes()
+        global_chunks = [
+            self._submit_global_chunk(vins[i : i + vb_g], vb_g, put)
+            for i in range(0, len(vins), vb_g)
+        ]
+        tile_batches = [v.patches for v in vins if v.patches is not None]
+        tile_chunks = None
+        if tile_batches:
+            tiles = np.concatenate(tile_batches)
+            tile_chunks = [
+                self._submit_chunk(tiles[i : i + vb_t], vb_t, put)
+                for i in range(0, tiles.shape[0], vb_t)
+            ]
+        return {"global_chunks": global_chunks, "tile_chunks": tile_chunks}
+
+    def _transfer_put(self):
         vision_sharding = None
-        mesh_n = 1
         if self.mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec
 
-            mesh_n = self.mesh.devices.size
             vision_sharding = NamedSharding(
                 self.mesh, PartitionSpec(tuple(self.mesh.axis_names))
             )
@@ -514,61 +566,135 @@ class DeepseekOcrEngine:
                 return jax.device_put(chunk)
             return jax.device_put(chunk, vision_sharding)
 
-        def chunk_pixels(pixels: np.ndarray, vb: int):
-            vb = _round_up(vb, mesh_n)
-            chunks = []
-            for i in range(0, pixels.shape[0], vb):
-                chunk = pixels[i : i + vb]
-                # pad every chunk to a power-of-2 bucket (×mesh size):
-                # exact final-chunk shapes caused a fresh ~minutes-long
-                # remote tower compile for every distinct pooled batch
-                target = min(
-                    vb,
-                    _round_up(
-                        1 << max(0, (chunk.shape[0] - 1)).bit_length(), mesh_n
-                    ),
-                )
-                pad = 0
-                if chunk.shape[0] != target:
-                    pad = target - chunk.shape[0]
-                    chunk = np.concatenate([chunk, chunk[-1:].repeat(pad, 0)])
-                chunks.append((self._transfer_pool.submit(_put, chunk), pad))
-            return chunks
+        return _put
 
-        # globals are 1024px (4096 SAM tokens) → small chunks; tiles are
-        # 640px (1600 tokens) → larger chunks amortize dispatch latency
-        global_chunks = chunk_pixels(
-            np.concatenate([v.global_pixels for v in vins]),
-            getattr(self, "vision_batch_global", 4),
+    def _view_chunk_sizes(self) -> Tuple[int, int]:
+        mesh_n = 1 if self.mesh is None else self.mesh.devices.size
+        return (
+            _round_up(getattr(self, "vision_batch_global", 4), mesh_n),
+            _round_up(getattr(self, "vision_batch_tiles", 16), mesh_n),
         )
-        tile_batches = [v.patches for v in vins if v.patches is not None]
-        tile_chunks = (
-            chunk_pixels(
-                np.concatenate(tile_batches),
-                getattr(self, "vision_batch_tiles", 16),
-            )
-            if tile_batches
-            else None
-        )
-        return {"global_chunks": global_chunks, "tile_chunks": tile_chunks}
 
-    def _compute_image_embeddings_batched(self, vins: Sequence[VisionInput]):
+    def _submit_chunk(self, chunk: np.ndarray, vb: int, put, pad_geom=None):
+        """Pad a view chunk to a power-of-2 bucket (×mesh size) — exact
+        final-chunk shapes caused a fresh ~minutes-long remote tower
+        compile for every distinct pooled batch — and submit its upload
+        on the transfer pool. Returns (future, n_pad_rows, pad_geom)."""
+        mesh_n = 1 if self.mesh is None else self.mesh.devices.size
+        target = min(
+            vb,
+            _round_up(1 << max(0, (chunk.shape[0] - 1)).bit_length(), mesh_n),
+        )
+        pad = 0
+        if chunk.shape[0] != target:
+            pad = target - chunk.shape[0]
+            chunk = np.concatenate([chunk, chunk[-1:].repeat(pad, 0)])
+        return (self._transfer_pool.submit(put, chunk), pad, pad_geom)
+
+    def _submit_global_chunk(self, group: Sequence[VisionInput], vb: int, put):
+        """Upload a chunk of global views. When every view in the chunk
+        shares the same nonzero letterbox margins, ship only the content
+        rows/cols — the constant-127 margins are re-padded inside the
+        tower jit (bit-exact, ~25-40% fewer bytes over the tunnel for
+        non-square pages)."""
+        import os
+
+        geoms = {v.global_pad for v in group}
+        geom = next(iter(geoms)) if len(geoms) == 1 else None
+        arrs = [v.global_pixels for v in group]
+        if (
+            geom is not None
+            and any(geom)
+            and os.environ.get("DSOCR_CONTENT_UPLOAD", "1") != "0"
+        ):
+            G_h, G_w = arrs[0].shape[2], arrs[0].shape[3]
+            # bucket content dims to multiples of 64 by re-including
+            # canvas rows/cols (they're the constant fill — still
+            # bit-exact): every distinct content shape costs a fresh
+            # remote tower compile (minutes on the tunnel), so bound the
+            # shape set to ≤G/64 per dimension
+            mult = min(64, max(1, G_h // 16))  # ≤16 shapes per dim
+            top, bottom = _bucket_margins(geom[0], geom[1], G_h, mult)
+            left, right = _bucket_margins(geom[2], geom[3], G_w, mult)
+            geom = (top, bottom, left, right)
+            if not any(geom):
+                geom = None
+            else:
+                arrs = [
+                    a[:, :, top : G_h - bottom, left : G_w - right]
+                    for a in arrs
+                ]
+        else:
+            geom = None
+        chunk = arrs[0] if len(arrs) == 1 else np.concatenate(arrs)
+        return self._submit_chunk(chunk, vb, put, pad_geom=geom)
+
+    def _prefetch_views_streamed(self, vin_futs):
+        """Streamed analogue of _prefetch_views: consumes per-image
+        prepare futures IN ORDER and submits each view chunk's upload as
+        soon as its images are resampled, so host-side prep (one core,
+        ~74 ms/page) overlaps the wave's pixel uploads instead of
+        serializing before them. Chunk geometry matches _prefetch_views
+        exactly (same compiled tower shapes). Returns (vins, views)."""
+        put = self._transfer_put()
+        vb_g, vb_t = self._view_chunk_sizes()
+        vins: List[VisionInput] = []
+        gbuf: List[VisionInput] = []
+        global_chunks = []
+        tbuf: List[np.ndarray] = []
+        trows = 0
+        tile_chunks = []
+        any_tiles = False
+        for fut in vin_futs:
+            v = fut.result()
+            vins.append(v)
+            gbuf.append(v)
+            if len(gbuf) == vb_g:
+                global_chunks.append(self._submit_global_chunk(gbuf, vb_g, put))
+                gbuf = []
+            if v.patches is not None:
+                any_tiles = True
+                tbuf.append(v.patches)
+                trows += v.patches.shape[0]
+                while trows >= vb_t:
+                    cat = tbuf[0] if len(tbuf) == 1 else np.concatenate(tbuf)
+                    tile_chunks.append(self._submit_chunk(cat[:vb_t], vb_t, put))
+                    rest = cat[vb_t:]
+                    tbuf = [rest] if rest.shape[0] else []
+                    trows = rest.shape[0]
+        if gbuf:
+            global_chunks.append(self._submit_global_chunk(gbuf, vb_g, put))
+        if trows:
+            cat = tbuf[0] if len(tbuf) == 1 else np.concatenate(tbuf)
+            tile_chunks.append(self._submit_chunk(cat, vb_t, put))
+        views = {
+            "global_chunks": global_chunks,
+            "tile_chunks": tile_chunks if any_tiles else None,
+        }
+        return vins, views
+
+    def _compute_image_embeddings_batched(
+        self, vins: Sequence[VisionInput], views: Optional[dict] = None
+    ):
         """Fused-token embeddings for many images with batched tower calls
-        (OCR1 path; OCR2 falls back to per-image encodes)."""
+        (OCR1 path; OCR2 falls back to per-image encodes). `views` may be
+        pre-submitted by _prefetch_views_streamed."""
         if not vins:
             return []
         if self.cfg.variant == "ocr2":
+            assert views is None, "OCR2 pools views per shape internally"
             return self._ocr2_embeddings_batched(vins)
         params = self.params
         newline = params["projector"]["image_newline"]
-        views = self._prefetch_views(vins)
+        if views is None:
+            views = self._prefetch_views(vins)
         global_chunks = views["global_chunks"]
         tile_chunks = views["tile_chunks"]
 
         def tower_chunks(chunks) -> jnp.ndarray:
             outs = []
-            for fut, pad in chunks:
-                out = self._tower_jitted(fut.result())
+            for fut, pad, geom in chunks:
+                out = self._tower_jitted(fut.result(), pad=geom)
                 outs.append(out[:-pad] if pad else out)
             return jnp.concatenate(outs, axis=0)
 
@@ -1049,6 +1175,31 @@ class DeepseekOcrEngine:
             ]
         return flat, prepared
 
+    def _prepare_wave_inputs_async(self, requests):
+        """Submit per-image host prep (resample/tiling) to a persistent
+        pool and return futures in image order — the streamed prefetch
+        consumes them as they finish so uploads overlap later images'
+        prep (the native resampler releases the GIL; device_put blocks
+        on the tunnel socket, not the interpreter)."""
+        flat = [
+            (ri, np.asarray(img))
+            for ri, (_, images, _) in enumerate(requests)
+            for img in images
+        ]
+        if not hasattr(self, "_prep_pool"):
+            from concurrent.futures import ThreadPoolExecutor
+
+            self._prep_pool = ThreadPoolExecutor(
+                max_workers=4, thread_name_prefix="dsocr-prep"
+            )
+        futs = [
+            self._prep_pool.submit(
+                self.prepare_vision_input, img, requests[ri][2]
+            )
+            for ri, img in flat
+        ]
+        return flat, futs
+
     def prefill_for_slots(self, tokenizer, requests):
         """Batched variant of prefill_for_slot for the scheduler's prefill
         worker: vision towers run BATCHED across all queued requests
@@ -1056,11 +1207,29 @@ class DeepseekOcrEngine:
         is prefill-bound, and per-request towers waste the MXU), then
         each request prefills its own row (same single-row jit, so no
         new compilations). requests = [(prompt, images, vision), ...]."""
+        import os
+
+        stream = (
+            os.environ.get("DSOCR_STREAM_PREP", "1") != "0"
+            and self.cfg.variant != "ocr2"
+        )
         prep_t = Timer("slot.prepare_inputs")
-        flat, prepared = self._prepare_wave_inputs(requests)
-        prep_t.finish(images=len(flat))
-        tower_t = Timer("slot.vision_towers")
-        embeddings_flat = self._compute_image_embeddings_batched(prepared)
+        views = None
+        if stream:
+            # per-image prep futures: uploads start as soon as the first
+            # chunk's images are resampled (prep overlaps the tunnel).
+            # NOTE: prep cost books under slot.vision_towers here.
+            flat, vin_futs = self._prepare_wave_inputs_async(requests)
+            prep_t.finish(images=len(flat))
+            tower_t = Timer("slot.vision_towers")
+            prepared, views = self._prefetch_views_streamed(vin_futs)
+        else:
+            flat, prepared = self._prepare_wave_inputs(requests)
+            prep_t.finish(images=len(flat))
+            tower_t = Timer("slot.vision_towers")
+        embeddings_flat = self._compute_image_embeddings_batched(
+            prepared, views=views
+        )
         if embeddings_flat:
             np.asarray(embeddings_flat[-1][:1])  # true sync (tunnel)
         tower_t.finish(images=len(flat))
