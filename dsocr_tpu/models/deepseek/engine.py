@@ -55,14 +55,22 @@ def _bucket_margins(
 ) -> Tuple[int, int]:
     """Shrink constant-fill margins (lo, hi) so the remaining content
     span is a multiple of `mult` (growing the span, never cropping it):
-    returns new (lo, hi) with lo+span'+hi == size."""
+    returns new (lo, hi) with lo+span'+hi == size.
+
+    The split is CANONICALIZED to the centered split for the bucketed
+    span, clamped into the valid range [lo-extra, lo] (so margins only
+    shrink). A split derived from the exact content offset made the pad
+    tuple — a static jit arg of the tower — vary per content height
+    inside one span bucket, exploding the compile-key space to ~hundreds
+    of remote tower compiles (ADVICE r3, high). Centered letterboxes now
+    collapse to ≤2 distinct tuples per span bucket (rounding ties)."""
     span = size - lo - hi
     target = min(size, _round_up(span, mult))
     extra = target - span
-    take_lo = min(lo, extra)
-    lo -= take_lo
-    hi -= extra - take_lo
-    return lo, max(0, hi)
+    ideal_lo = (size - target) // 2
+    new_lo = max(max(0, lo - extra), min(lo, ideal_lo))
+    new_hi = size - target - new_lo
+    return new_lo, max(0, new_hi)
 
 
 @dataclasses.dataclass
@@ -72,8 +80,10 @@ class VisionInput:
     crop_shape: Optional[Tuple[int, int]]  # (width_crops, height_crops)
     # constant-127 letterbox margins (top, bottom, left, right) of the
     # global view: the serving path ships only the content slice over the
-    # host↔device link and re-pads on device (bit-exact — the margins are
-    # the mean-gray fill)
+    # host↔device link and re-pads on device (pixel-exact — the margins
+    # are the mean-gray fill; tower OUTPUTS differ within ~2e-5 because
+    # XLA fuses the pad into the patch conv, changing f32 reduction
+    # order — same bound as pooled-vs-solo towers)
     global_pad: Optional[Tuple[int, int, int, int]] = None
 
 
@@ -332,7 +342,9 @@ class DeepseekOcrEngine:
         # (x/255 - 0.5)/0.5 on device (ref image_to_tensor semantics).
         # pad (static): constant-127 letterbox margins stripped on the
         # host so only content pixels cross the tunnel — re-padding here
-        # rebuilds the canvas bit-exactly (the margins ARE the fill).
+        # rebuilds the canvas pixel-exactly (the margins ARE the fill);
+        # downstream tower numerics shift within ~2e-5 (pad-into-conv
+        # fusion changes f32 reduction order).
         if pad is not None and any(pad):
             top, bottom, left, right = pad
             pixels_u8 = jnp.pad(
@@ -595,8 +607,9 @@ class DeepseekOcrEngine:
         """Upload a chunk of global views. When every view in the chunk
         shares the same nonzero letterbox margins, ship only the content
         rows/cols — the constant-127 margins are re-padded inside the
-        tower jit (bit-exact, ~25-40% fewer bytes over the tunnel for
-        non-square pages)."""
+        tower jit (pixel-exact canvas; tower outputs within the
+        pooled-vs-solo ~2e-5 tolerance; ~25-40% fewer bytes over the
+        tunnel for non-square pages)."""
         import os
 
         geoms = {v.global_pad for v in group}
@@ -610,7 +623,7 @@ class DeepseekOcrEngine:
             G_h, G_w = arrs[0].shape[2], arrs[0].shape[3]
             # bucket content dims to multiples of 64 by re-including
             # canvas rows/cols (they're the constant fill — still
-            # bit-exact): every distinct content shape costs a fresh
+            # pixel-exact): every distinct content shape costs a fresh
             # remote tower compile (minutes on the tunnel), so bound the
             # shape set to ≤G/64 per dimension
             mult = min(64, max(1, G_h // 16))  # ≤16 shapes per dim
@@ -1175,12 +1188,15 @@ class DeepseekOcrEngine:
             ]
         return flat, prepared
 
-    def _prepare_wave_inputs_async(self, requests):
+    def _prepare_wave_inputs_async(self, requests, durations=None):
         """Submit per-image host prep (resample/tiling) to a persistent
         pool and return futures in image order — the streamed prefetch
         consumes them as they finish so uploads overlap later images'
         prep (the native resampler releases the GIL; device_put blocks
-        on the tunnel socket, not the interpreter)."""
+        on the tunnel socket, not the interpreter). `durations` (a list)
+        collects per-image prep seconds for stage accounting."""
+        import time as _time
+
         flat = [
             (ri, np.asarray(img))
             for ri, (_, images, _) in enumerate(requests)
@@ -1192,10 +1208,16 @@ class DeepseekOcrEngine:
             self._prep_pool = ThreadPoolExecutor(
                 max_workers=4, thread_name_prefix="dsocr-prep"
             )
+
+        def _prep(img, vision):
+            t0 = _time.perf_counter()
+            out = self.prepare_vision_input(img, vision)
+            if durations is not None:
+                durations.append(_time.perf_counter() - t0)
+            return out
+
         futs = [
-            self._prep_pool.submit(
-                self.prepare_vision_input, img, requests[ri][2]
-            )
+            self._prep_pool.submit(_prep, img, requests[ri][2])
             for ri, img in flat
         ]
         return flat, futs
@@ -1213,17 +1235,25 @@ class DeepseekOcrEngine:
             os.environ.get("DSOCR_STREAM_PREP", "1") != "0"
             and self.cfg.variant != "ocr2"
         )
-        prep_t = Timer("slot.prepare_inputs")
         views = None
         if stream:
             # per-image prep futures: uploads start as soon as the first
             # chunk's images are resampled (prep overlaps the tunnel).
-            # NOTE: prep cost books under slot.vision_towers here.
-            flat, vin_futs = self._prepare_wave_inputs_async(requests)
-            prep_t.finish(images=len(flat))
+            # Prep WALL here is near-zero (futures submitted, not done) —
+            # the real per-image prep time is collected by the wrappers
+            # and recorded below so stage_ms stays comparable with the
+            # sequential path (ADVICE r3: silent skew vs history).
+            prep_durations: List[float] = []
+            prep_t = Timer("slot.prepare_inputs")
+            flat, vin_futs = self._prepare_wave_inputs_async(
+                requests, durations=prep_durations
+            )
+            prep_t.finish(images=len(flat), submitted_only=True)
             tower_t = Timer("slot.vision_towers")
             prepared, views = self._prefetch_views_streamed(vin_futs)
         else:
+            prep_durations = None
+            prep_t = Timer("slot.prepare_inputs")
             flat, prepared = self._prepare_wave_inputs(requests)
             prep_t.finish(images=len(flat))
             tower_t = Timer("slot.vision_towers")
@@ -1233,6 +1263,21 @@ class DeepseekOcrEngine:
         if embeddings_flat:
             np.asarray(embeddings_flat[-1][:1])  # true sync (tunnel)
         tower_t.finish(images=len(flat))
+        if prep_durations:
+            # overlapped prep time (summed across pool threads): booked
+            # under its own stage so slot.vision_towers is attributable
+            # to towers/upload, not host resampling
+            from ...core.benchmark import BenchEvent, get_recorder
+
+            rec = get_recorder()
+            if rec is not None:
+                rec.record(
+                    BenchEvent(
+                        stage="slot.prepare_inputs.overlapped",
+                        duration_ms=sum(prep_durations) * 1000.0,
+                        fields={"images": len(prep_durations)},
+                    )
+                )
         per_req_vins = [[] for _ in requests]
         per_req_embeds = [[] for _ in requests]
         for (ri, _), vin, emb in zip(flat, prepared, embeddings_flat):

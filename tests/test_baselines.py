@@ -18,10 +18,17 @@ Expected layout (same schema as the reference's baselines/):
 """
 
 import json
+import os
 import pathlib
 
 import numpy as np
 import pytest
+
+# Parity fixtures compare against HF goldens at tight tolerances: pin
+# the canonical full-canvas upload path. Content-only upload rebuilds
+# pixel-exact canvases but shifts tower numerics within ~2e-5 (XLA pad-
+# into-conv fusion), enough to flip a greedy near-tie (ADVICE r3).
+os.environ["DSOCR_CONTENT_UPLOAD"] = "0"
 
 BASELINE_DIR = pathlib.Path(__file__).resolve().parents[1] / "baselines" / "sample"
 

@@ -120,6 +120,31 @@ def test_prefill_for_slots_streamed_matches_sequential(engine, monkeypatch):
         )
 
 
+def test_bucket_margins_canonical_split_bounds_compile_keys():
+    """The bucketed pad tuple is a STATIC jit arg of the tower — its
+    distinct-value count is the tower compile-key count. The split must
+    depend (almost) only on the bucketed span, not the exact content
+    offset: over every content height of a centered letterbox at G=1024
+    there must be at most ~2 tuples per span bucket (ADVICE r3, high)."""
+    from dsocr_tpu.models.deepseek.engine import _bucket_margins
+
+    G = 1024
+    mult = 64
+    tuples = set()
+    spans = set()
+    for h in range(1, G + 1):
+        for lo in {(G - h) // 2, (G - h + 1) // 2}:  # both centering ties
+            hi = G - h - lo
+            top, bottom = _bucket_margins(lo, hi, G, mult)
+            # still a valid shrink-only re-split
+            assert 0 <= top <= lo and 0 <= bottom <= hi
+            span = G - top - bottom
+            assert span % mult == 0 or span == G
+            tuples.add((top, bottom))
+            spans.add(span)
+    assert len(tuples) <= 2 * len(spans), (len(tuples), len(spans))
+
+
 def test_mixed_geometry_wave_falls_back_per_chunk(engine):
     """A wave mixing different letterbox geometries must still produce
     per-image embeddings equal to the solo path (chunks that can't share
