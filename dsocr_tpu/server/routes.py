@@ -149,6 +149,17 @@ async def metrics(request: web.Request) -> web.Response:
         if spec is not None:
             lines.append("# TYPE dsocr_speculated_chunks_total counter")
             lines.append(f"dsocr_speculated_chunks_total {spec}")
+    ttft = getattr(sched, "ttft_samples", None)
+    if ttft:
+        import numpy as _np
+
+        p50, p95 = _np.percentile(ttft, [50, 95])
+        lines.append("# TYPE dsocr_ttft_seconds_p50 gauge")
+        lines.append(f"dsocr_ttft_seconds_p50 {p50:.4f}")
+        lines.append("# TYPE dsocr_ttft_seconds_p95 gauge")
+        lines.append(f"dsocr_ttft_seconds_p95 {p95:.4f}")
+        lines.append("# TYPE dsocr_ttft_samples_total counter")
+        lines.append(f"dsocr_ttft_samples_total {len(ttft)}")
     pcache = getattr(sched, "prefix_cache", None)
     if pcache is not None:
         lines.append("# TYPE dsocr_prefix_cache_hits_total counter")

@@ -83,6 +83,8 @@ class _SlotJob:
     # wave-level device first-token selection (select_first_tokens);
     # None → join selects host-side from the packet logits
     first: Optional[int] = None
+    # submit timestamp (perf_counter) for TTFT accounting
+    t_submit: float = 0.0
 
 
 class ContinuousScheduler:
@@ -152,6 +154,12 @@ class ContinuousScheduler:
         # useful — see _worker). DSOCR_PIPELINE_CHUNKS=0 disables.
         self._pipeline = os.environ.get("DSOCR_PIPELINE_CHUNKS", "1") != "0"
         self.speculated_chunks = 0  # observability (see /metrics)
+        # per-request time-to-first-token samples (seconds, submit → the
+        # request's first generated token is selected and its row is live
+        # in the decode batch). BASELINE.json's metric line names p50
+        # TTFT per page — bench.py and /metrics both report percentiles
+        # of this list.
+        self.ttft_samples: List[float] = []
 
     # -- public API ----------------------------------------------------------
 
@@ -188,7 +196,10 @@ class ContinuousScheduler:
                 self._state = None
                 self._stale_rows.clear()
             self._loop = loop
+        import time as _time
+
         job = _SlotJob(prompt, images, vision, params, loop.create_future(), stream_cb)
+        job.t_submit = _time.perf_counter()
         self._inflight += 1
         await self.queue.put(job)
         self._ensure_workers()
@@ -302,6 +313,14 @@ class ContinuousScheduler:
                 first=job.first,
             )
         return finished
+
+    def _record_ttft(self, job: _SlotJob) -> None:
+        """Sample TTFT at join success — the request's first token is
+        selected during prefill/join and the row is live for decode, so
+        this is when a streaming client could first see output."""
+        import time as _time
+
+        self.ttft_samples.append(_time.perf_counter() - job.t_submit)
 
     def _finalize(self, job: _SlotJob, tokens: List[int]) -> None:
         text = normalize_text(
@@ -507,6 +526,7 @@ class ContinuousScheduler:
             except Exception as err:
                 self._fail(job, err)
                 continue
+            self._record_ttft(job)
             if finished:
                 self._finalize(job, [])
             else:
@@ -548,6 +568,7 @@ class ContinuousScheduler:
                         except Exception as err:
                             self._fail(job, err)
                             continue
+                        self._record_ttft(job)
                         if finished:
                             self._finalize(job, [])
                         else:

@@ -1,0 +1,120 @@
+"""Deadline-aware bench capture (r4): the graded artifact must parse
+even when the tunnel eats most of the wall budget.
+
+The r3 graded run died rc=124 with zero output (VERDICT r3 #1): bench
+printed its single JSON line only after probe + init + warmup + all reps
++ batch1, so a 911 s wedge recovery starved the driver's timeout. These
+tests run bench.py in tiny mode (CPU, random tiny config) as a
+subprocess and pin the new contract:
+
+  * a parseable JSON line is emitted after EVERY completed phase (the
+    driver takes the LAST line);
+  * a simulated 900 s stall (BENCH_SIM_ELAPSED) still produces a final
+    parseable line, and the plan shrinks (full-size reps are skipped
+    when the projected time exceeds the remaining wall budget);
+  * the stale-capture floor (bench_logs/last_capture.json replay,
+    flagged "stale": true) prints FIRST so an unrecoverable mid-run
+    wedge still leaves a parseable artifact.
+
+Reference contract: parseable bench artifacts are the product
+(/root/reference/benchsuite/schemas.py:7-84).
+"""
+
+import json
+import os
+import pathlib
+import subprocess
+import sys
+
+import pytest
+
+REPO = pathlib.Path(__file__).resolve().parents[1]
+
+
+def run_bench(tmp_path, extra_env, timeout=600):
+    env = dict(os.environ)
+    env.update(
+        {
+            "BENCH_TINY": "1",
+            "BENCH_REQUESTS": "6",
+            "BENCH_SLOTS": "2",
+            "BENCH_MAX_NEW_TOKENS": "8",
+            "BENCH_REPS": "2",
+            "BENCH_CHUNK": "4",
+            "BENCH_BATCH1": "0",
+            "JAX_COMPILATION_CACHE_DIR": str(tmp_path / "jaxcache"),
+            "DSOCR_INIT_CACHE": str(tmp_path / "initcache"),
+        }
+    )
+    env.update(extra_env)
+    proc = subprocess.run(
+        [sys.executable, str(REPO / "bench.py")],
+        capture_output=True,
+        text=True,
+        env=env,
+        timeout=timeout,
+        cwd=str(REPO),
+    )
+    assert proc.returncode == 0, proc.stderr[-3000:]
+    lines = [
+        json.loads(l)
+        for l in proc.stdout.splitlines()
+        if l.startswith("{")
+    ]
+    return lines, proc.stderr
+
+
+def test_incremental_emission_and_final_line(tmp_path):
+    lines, _ = run_bench(tmp_path, {})
+    assert len(lines) >= 2, "warmup + at least one timed rep must emit"
+    phases = [l.get("phase") for l in lines]
+    assert phases[0] == "warmup" and lines[0]["includes_compile"]
+    final = lines[-1]
+    assert final["metric"] == "deepseek_ocr_serving_pages_per_sec"
+    assert final["value"] > 0
+    assert final["phase"] == "serving"
+    assert "ttft_p50_s" in final and final["ttft_p50_s"] > 0
+    assert "ttft_p95_s" in final and final["ttft_p95_s"] >= final["ttft_p50_s"]
+    assert not final.get("stale")
+
+
+def test_simulated_stall_shrinks_plan_but_still_captures(tmp_path):
+    # 900 s already "gone" from a 960 s budget: after warmup + the first
+    # timed rep the projection check must refuse further full-size reps
+    # yet the final line still parses with a fresh (non-stale) value.
+    lines, stderr = run_bench(
+        tmp_path,
+        {
+            "BENCH_SIM_ELAPSED": "900",
+            "BENCH_WALL_BUDGET": "960",
+            "BENCH_REQUESTS": "64",  # full-size reps would NOT fit
+        },
+    )
+    final = lines[-1]
+    assert final["value"] > 0 and not final.get("stale")
+    serving = [l for l in lines if l.get("phase") == "serving"]
+    assert serving, "the shrunken plan must still produce a timed rep"
+    # the full-size (64-request) rep must have been skipped
+    assert all(n <= 32 for l in serving for n in l.get("rep_sizes", [])), (
+        stderr[-2000:]
+    )
+    assert "skipping" in stderr
+
+
+def test_stale_floor_prints_first(tmp_path):
+    fixture = tmp_path / "last_capture.json"
+    fixture.write_text(
+        json.dumps(
+            {
+                "metric": "deepseek_ocr_serving_pages_per_sec",
+                "value": 2.2483,
+                "unit": "pages/sec (96 reqs x 16 slots)",
+                "vs_baseline": 67.62,
+            }
+        )
+    )
+    lines, _ = run_bench(tmp_path, {"BENCH_LAST_CAPTURE": str(fixture)})
+    assert lines[0].get("stale") is True
+    assert "REPLAY" in lines[0]["unit"]
+    # fresh lines overwrite the floor (last line wins)
+    assert not lines[-1].get("stale")
