@@ -1304,15 +1304,24 @@ class DeepseekOcrEngine:
         pf_t.finish(rows=len(out), waves=len(groups))
         return out
 
-    def prefill_for_slot(self, tokenizer, prompt, images, vision):
+    def prefill_for_slot(self, tokenizer, prompt, images, vision, extra_tokens=None):
         """Vision + prompt + single-row prefill, producing the row KV block
         and last-position logits for SlotRunner.join. pos0 = prompt_len
-        (deepseek positions are plain token indices)."""
+        (deepseek positions are plain token indices).
+
+        `extra_tokens` (continuation): already-generated token ids
+        appended after the prompt so a request interrupted by a device
+        fault can be re-admitted from its host-side record — the
+        packet's last-position logits then select the NEXT token after
+        the continuation (scheduler._recover_device_failure)."""
         vision_inputs = [
             self.prepare_vision_input(np.asarray(img), vision) for img in images
         ]
         embeddings = [self.compute_image_embedding(v) for v in vision_inputs]
-        return self._prefill_row(tokenizer, prompt, vision_inputs, embeddings, vision)
+        return self._prefill_row(
+            tokenizer, prompt, vision_inputs, embeddings, vision,
+            extra_tokens=extra_tokens,
+        )
 
     def _row_embeds(self, tokens, image_mask, embeddings):
         """Per-row prefill embeddings [s_pad, H] (single-row path; the
@@ -1348,10 +1357,16 @@ class DeepseekOcrEngine:
             )
         return cache
 
-    def _prefill_row(self, tokenizer, prompt, vision_inputs, embeddings, vision):
+    def _prefill_row(
+        self, tokenizer, prompt, vision_inputs, embeddings, vision,
+        extra_tokens=None,
+    ):
         tokens, image_mask = self.build_prompt_tokens(
             tokenizer, prompt, vision_inputs, embeddings, vision
         )
+        if extra_tokens:
+            tokens = list(tokens) + list(extra_tokens)
+            image_mask = list(image_mask) + [False] * len(extra_tokens)
         return self._prefill_single(
             tokens, self._row_embeds(tokens, image_mask, embeddings)
         )

@@ -149,6 +149,10 @@ async def metrics(request: web.Request) -> web.Response:
         if spec is not None:
             lines.append("# TYPE dsocr_speculated_chunks_total counter")
             lines.append(f"dsocr_speculated_chunks_total {spec}")
+        rec = getattr(sched, "recoveries", None)
+        if rec is not None:
+            lines.append("# TYPE dsocr_device_fault_recoveries_total counter")
+            lines.append(f"dsocr_device_fault_recoveries_total {rec}")
     ttft = getattr(sched, "ttft_samples", None)
     if ttft:
         import numpy as _np

@@ -611,3 +611,121 @@ def test_prefill_wave_crash_fails_futures(slot_engine, monkeypatch):
     for out in outs:
         assert isinstance(out, RuntimeError)
         assert "synthetic wave crash" in str(out)
+
+
+def _flaky_runner(sched, fail_on_calls):
+    """Wrap the scheduler's runner.run_chunk_snap to raise a synthetic
+    transient device fault on the given call numbers (1-based)."""
+    sched._ensure_state()
+    orig = sched._runner.run_chunk_snap
+    calls = {"n": 0}
+
+    def flaky(params, state, chunk):
+        calls["n"] += 1
+        if calls["n"] in fail_on_calls:
+            raise RuntimeError("INVALID_ARGUMENT: TPU backend error (synthetic)")
+        return orig(params, state, chunk)
+
+    sched._runner.run_chunk_snap = flaky
+    return calls
+
+
+def test_chunk_fault_recovery_completes_all_requests(slot_engine):
+    """A transient device fault mid-serve (the sporadic INVALID_ARGUMENT
+    pattern) must not fail any request: the scheduler rebuilds its slot
+    state, re-admits in-flight rows from their host-side token records
+    (continuation prefill), and every output matches the fault-free
+    greedy run (VERDICT r3 #3)."""
+    tok = SlotTokenizer()
+    params = DecodeParameters(max_new_tokens=12, no_repeat_ngram_size=None)
+    imgs = [_img(60 + i) for i in range(3)]
+    solos = [
+        slot_engine.decode(tok, f"<image>req{i}", [imgs[i]], VS, params)
+        for i in range(3)
+    ]
+
+    async def go():
+        sched = ContinuousScheduler(slot_engine, tok, n_slots=2, max_len=256,
+                                    chunk_steps=3, prefill_batch=2)
+        # fail the 3rd chunk: some rows already harvested tokens, so the
+        # continuation path (prefix re-prefill) is exercised
+        _flaky_runner(sched, {3})
+        outs = await asyncio.gather(
+            *(sched.submit(f"<image>req{i}", [imgs[i]], VS, params)
+              for i in range(3))
+        )
+        return outs, sched
+
+    outs, sched = asyncio.run(go())
+    assert sched.recoveries == 1
+    for out, solo in zip(outs, solos):
+        assert out.generated_tokens == solo.generated_tokens
+        assert out.text == solo.text
+
+
+def test_chunk_fault_first_chunk_recovery(slot_engine):
+    """Fault on the FIRST chunk (no tokens harvested yet): rows restart
+    from scratch and still complete."""
+    tok = SlotTokenizer()
+    params = DecodeParameters(max_new_tokens=6, no_repeat_ngram_size=None)
+    img = _img(70)
+    solo = slot_engine.decode(tok, "<image>fault0", [img], VS, params)
+
+    async def go():
+        sched = ContinuousScheduler(slot_engine, tok, n_slots=2, max_len=256,
+                                    chunk_steps=2)
+        _flaky_runner(sched, {1})
+        out = await sched.submit("<image>fault0", [img], VS, params)
+        return out, sched
+
+    out, sched = asyncio.run(go())
+    assert sched.recoveries == 1
+    assert out.generated_tokens == solo.generated_tokens
+
+
+def test_persistent_fault_gives_up_and_fails_futures(slot_engine):
+    """A fault that never clears must not loop forever: after the
+    consecutive-recovery cap the in-flight futures fail with the device
+    error."""
+    tok = SlotTokenizer()
+    params = DecodeParameters(max_new_tokens=6, no_repeat_ngram_size=None)
+    img = _img(71)
+
+    async def go():
+        sched = ContinuousScheduler(slot_engine, tok, n_slots=2, max_len=256,
+                                    chunk_steps=2)
+        _flaky_runner(sched, set(range(1, 100)))
+        return await asyncio.gather(
+            sched.submit("<image>dead", [img], VS, params),
+            return_exceptions=True,
+        )
+
+    outs = asyncio.run(go())
+    assert isinstance(outs[0], RuntimeError)
+    assert "INVALID_ARGUMENT" in str(outs[0])
+
+
+def test_streamed_tokens_stay_consistent_across_recovery(slot_engine):
+    """Streaming callbacks across a recovery must keep emitting the FULL
+    monotonically-growing token list (prefix + regenerated tokens)."""
+    tok = SlotTokenizer()
+    params = DecodeParameters(max_new_tokens=10, no_repeat_ngram_size=None)
+    img = _img(72)
+    solo = slot_engine.decode(tok, "<image>stream-fault", [img], VS, params)
+    seen = []
+
+    async def go():
+        sched = ContinuousScheduler(slot_engine, tok, n_slots=1, max_len=256,
+                                    chunk_steps=2, stream_chunk_steps=2)
+        _flaky_runner(sched, {2})
+        return await sched.submit(
+            "<image>stream-fault", [img], VS, params,
+            stream_cb=lambda n, toks: seen.append(list(toks)),
+        ), sched
+
+    out, sched = asyncio.run(go())
+    assert sched.recoveries == 1
+    assert out.generated_tokens == solo.generated_tokens
+    for a, b in zip(seen, seen[1:]):
+        assert b[: len(a)] == a  # prefixes grow monotonically
+    assert seen[-1] == out.generated_tokens
