@@ -167,13 +167,14 @@ class DeepseekOcrEngine:
             params = dict(params)
             params["decoder"] = fuse_decoder_params(params["decoder"])
         if quantize:
-            if mesh is not None and (not ep or quantize != "q8_0"):
+            if mesh is not None and not ep:
                 raise NotImplementedError(
                     "quantized serving under a mesh is expert-parallel "
-                    "Q8_0 only (pass ep=True with quantize='q8_0'): the "
-                    "packed gather kernels run per-expert-shard via "
-                    "shard_map (ops.moe EP dispatch); attention/shared "
-                    "projections stay replicated"
+                    "only (pass ep=True): the packed gather kernels "
+                    "(q8_0 int8 / q4_k / q6_k plane-decoded) run "
+                    "per-expert-shard via shard_map (ops.moe EP "
+                    "dispatch); attention/shared projections stay "
+                    "replicated"
                 )
             from ...utils.init_cache import cached_quant_init
             from .quantize import EXPERT_KEYS, quantize_decoder_params

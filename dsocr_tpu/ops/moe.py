@@ -766,7 +766,10 @@ def moe_apply_q8_fused(tokens, topk_weights, topk_indices, gateup_q, down_q):
 def _ep_spec():
     from jax.sharding import PartitionSpec as P
 
-    return P(None, "mp", None, None)  # [L, E, ...] stacks: E over mp
+    # [L, E, ...] stacks: E over mp. A rank-2 PREFIX spec (trailing dims
+    # replicated) so the same spec covers q8 codes/scales (rank 4) AND
+    # every k-quant plane rank (pack_q4_k/q6_k_inmajor dicts).
+    return P(None, "mp")
 
 
 def expert_stack_sharding(mesh, ndim: int = 4):
@@ -785,50 +788,80 @@ def _ep_localize(topk_weights, topk_indices, e_local):
     return w, safe
 
 
+def _ep_view_parts(q):
+    """Split a Layered* view into (pytree-of-arrays, rebuild) where the
+    arrays are the E-shardable [L, E, ...] stacks and rebuild(arrays,
+    layer) reconstructs the per-shard view inside shard_map."""
+    if isinstance(q, LayeredQ8):
+        return (
+            {"codes": q.codes, "scales": q.scales},
+            lambda a, layer: LayeredQ8(a["codes"], a["scales"], layer),
+        )
+    method = q.method
+    return (
+        dict(q.arrays),
+        lambda a, layer: LayeredKQuant(a, layer, method),
+    )
+
+
+def _ep_local_experts(arrays) -> int:
+    """Local (per-shard) expert count of a stack-arrays dict: every plane
+    is [L, E_local, ...] inside shard_map."""
+    if "codes" in arrays:
+        return arrays["codes"].shape[1]
+    key = "packed" if "packed" in arrays else "ql_a"
+    return arrays[key].shape[1]
+
+
 def moe_apply_quant_ep_fused(tokens, topk_weights, topk_indices, gateup, down, mesh):
-    """EP decode dispatch for fused gate+up packed-Q8 stacks
-    (LayeredQ8 views over [L, E, in, out])."""
+    """EP decode dispatch for fused gate+up packed stacks — LayeredQ8
+    (q8_0) or LayeredKQuant (q4_k/q6_k) views over [L, E, ...]."""
     from jax import shard_map
     from jax.sharding import PartitionSpec as P
 
-    def local(tokens, w, idx, layer, gu_c, gu_s, d_c, d_s):
-        w, safe = _ep_localize(w, idx, gu_c.shape[1])
+    gu_arrays, gu_build = _ep_view_parts(gateup)
+    d_arrays, d_build = _ep_view_parts(down)
+
+    def local(tokens, w, idx, layer, gu_a, d_a):
+        w, safe = _ep_localize(w, idx, _ep_local_experts(gu_a))
         out = moe_apply_quant_fused(
-            tokens, w, safe, LayeredQ8(gu_c, gu_s, layer), LayeredQ8(d_c, d_s, layer)
+            tokens, w, safe, gu_build(gu_a, layer), d_build(d_a, layer)
         )
         return jax.lax.psum(out.astype(jnp.float32), "mp")
 
     es = _ep_spec()
     out = shard_map(
         local, mesh=mesh,
-        in_specs=(P(), P(), P(), P(), es, es, es, es),
+        in_specs=(P(), P(), P(), P(), es, es),  # es is a pytree-prefix spec
         out_specs=P(),
         check_vma=False,  # pallas out_shape carries no vma
-    )(tokens, topk_weights, topk_indices, gateup.layer,
-      gateup.codes, gateup.scales, down.codes, down.scales)
+    )(tokens, topk_weights, topk_indices, gateup.layer, gu_arrays, d_arrays)
     return out.astype(tokens.dtype)
 
 
 def moe_apply_quant_ep(tokens, topk_weights, topk_indices, gate, up, down, mesh):
-    """EP decode dispatch for split gate/up/down packed-Q8 stacks."""
+    """EP decode dispatch for split gate/up/down packed stacks (q8_0 or
+    k-quant Layered views)."""
     from jax import shard_map
     from jax.sharding import PartitionSpec as P
 
-    def local(tokens, w, idx, layer, g_c, g_s, u_c, u_s, d_c, d_s):
-        w, safe = _ep_localize(w, idx, g_c.shape[1])
+    g_arrays, g_build = _ep_view_parts(gate)
+    u_arrays, u_build = _ep_view_parts(up)
+    d_arrays, d_build = _ep_view_parts(down)
+
+    def local(tokens, w, idx, layer, g_a, u_a, d_a):
+        w, safe = _ep_localize(w, idx, _ep_local_experts(g_a))
         out = moe_apply_quant(
             tokens, w, safe,
-            LayeredQ8(g_c, g_s, layer), LayeredQ8(u_c, u_s, layer),
-            LayeredQ8(d_c, d_s, layer),
+            g_build(g_a, layer), u_build(u_a, layer), d_build(d_a, layer),
         )
         return jax.lax.psum(out.astype(jnp.float32), "mp")
 
     es = _ep_spec()
     out = shard_map(
         local, mesh=mesh,
-        in_specs=(P(), P(), P(), P(), es, es, es, es, es, es),
+        in_specs=(P(), P(), P(), P(), es, es, es),
         out_specs=P(),
         check_vma=False,  # pallas out_shape carries no vma
-    )(tokens, topk_weights, topk_indices, gate.layer,
-      gate.codes, gate.scales, up.codes, up.scales, down.codes, down.scales)
+    )(tokens, topk_weights, topk_indices, gate.layer, g_arrays, u_arrays, d_arrays)
     return out.astype(tokens.dtype)

@@ -590,3 +590,65 @@ def test_ep_q8_mesh_slot_serving_with_kernel(monkeypatch):
     ))
     for a, b in zip(solo, ep):
         assert a.generated_tokens == b.generated_tokens
+
+
+@pytest.mark.parametrize("method", ["q4_k", "q6_k"])
+def test_kquant_ep_engine_decode_matches_single_device(method):
+    """k-quant (Q4_K/Q6_K) serving under an EP mesh: the plane-packed
+    expert stacks shard over E (every plane is [L, E, ...]; the EP spec
+    is a rank-2 pytree-prefix) and the k-quant gather kernels run
+    per-shard via shard_map. Greedy decode must match the single-device
+    k-quant engine token-for-token (VERDICT r3 #4: the quant x mesh gate
+    was Q8_0-only; the reference treats all three DSQ dtypes uniformly,
+    dsq-runtime/src/lib.rs:316-369)."""
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    from dsocr_tpu.core import DecodeParameters, VisionSettings
+    from dsocr_tpu.models.deepseek import DeepseekOcrEngine
+    from dsocr_tpu.models.deepseek.config import tiny_deepseek_config
+
+    class FakeTokenizer:
+        def encode(self, text):
+            return [ord(c) % 100 for c in text]
+
+        def decode(self, ids, skip_special_tokens=True):
+            return "".join(chr(97 + (i % 26)) for i in ids)
+
+        def token_to_id(self, token):
+            return 127 if token == "<image>" else None
+
+    # every decoder contraction dim % 256 so the k-quant path actually
+    # engages (ineligible in_dims fall back to q8_0)
+    base = tiny_deepseek_config()
+    lang = dataclasses.replace(
+        base.language,
+        hidden_size=256,
+        intermediate_size=256,
+        moe_intermediate_size=256,
+        num_attention_heads=4,
+        qk_rope_head_dim=None,
+    )
+    qcfg = dataclasses.replace(base, language=lang, projector_n_embed=256)
+
+    image = np.random.default_rng(33).integers(0, 256, (50, 50, 3), dtype=np.uint8)
+    settings = VisionSettings(64, 64, False)
+    params = DecodeParameters(max_new_tokens=4, no_repeat_ngram_size=None)
+
+    solo = DeepseekOcrEngine(
+        qcfg, dtype=jnp.float32, max_seq_len=512, seed=3, quantize=method
+    )
+    out_solo = solo.decode(FakeTokenizer(), "<image>k", [image], settings, params)
+
+    mesh = make_mesh(8, dp=2)  # mp=4 divides the 4 experts
+    ep_engine = DeepseekOcrEngine(
+        qcfg, dtype=jnp.float32, max_seq_len=512, seed=3,
+        quantize=method, mesh=mesh, ep=True,
+    )
+    # k-quant expert planes really sharded over E
+    eg = ep_engine.params["decoder"]["moe_layers"]["experts_gate"]
+    plane = eg["packed"] if "packed" in eg else eg["ql_a"]
+    assert "mp" in str(plane.sharding.spec)
+    out_ep = ep_engine.decode(FakeTokenizer(), "<image>k", [image], settings, params)
+    assert out_ep.generated_tokens == out_solo.generated_tokens
