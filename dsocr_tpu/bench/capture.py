@@ -41,6 +41,9 @@ class TeacherResult:
     goldens: Dict[str, np.ndarray] = dataclasses.field(default_factory=dict)
     load_time_s: float = 0.0
     infer_time_s: float = 0.0
+    # reproducibility breadcrumbs (e.g. transformers version), written
+    # into baseline.json under "extra"
+    extra: Dict[str, Any] = dataclasses.field(default_factory=dict)
 
 
 class Teacher(Protocol):
@@ -238,6 +241,8 @@ def capture_baseline(
             "decode.generate": result.infer_time_s * 1e3,
         },
     }
+    if result.extra:
+        payload["extra"] = result.extra
     baseline_path = out_dir / "baseline.json"
     baseline_path.write_text(json.dumps(payload, indent=2))
     for name, arr in result.goldens.items():
