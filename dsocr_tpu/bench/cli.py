@@ -111,6 +111,51 @@ def cmd_perf(args) -> int:
 
     from .perf import compare_history, run_perf_matrix, save_history
 
+    # incremental save: a wedged/failed later cell must not lose the
+    # cells already measured in this session (merge by matrix key with
+    # any prior history entries not re-run here)
+    on_entry = None
+    prior_history = None
+    if args.history:
+        _hpath = pathlib.Path(args.history)
+        if _hpath.exists():
+            # snapshot BEFORE the run: on_entry overwrites the file, and
+            # the end-of-run regression compare must be vs the previous
+            # session, not this one
+            import shutil
+            import tempfile
+
+            prior_history = pathlib.Path(
+                tempfile.NamedTemporaryFile(suffix=".json", delete=False).name
+            )
+            shutil.copy(_hpath, prior_history)
+
+        def on_entry(entries_so_far):
+            from .perf import save_history as _save
+
+            path = pathlib.Path(args.history)
+            merged = {}
+            if path.exists():
+                try:
+                    for e in json.loads(path.read_text()).get("entries", []):
+                        merged[
+                            (e["model"], e["dtype"], e.get("quant", ""),
+                             e.get("mode", "single"))
+                        ] = e
+                except Exception:
+                    merged = {}
+            import dataclasses as _dc
+
+            for e in entries_so_far:
+                merged[(e.model, e.dtype, e.quant, e.mode)] = _dc.asdict(e)
+            path.write_text(
+                json.dumps(
+                    {"recorded_at": __import__("time").time(),
+                     "entries": list(merged.values())},
+                    indent=2,
+                )
+            )
+
     entries = run_perf_matrix(
         models=args.models.split(","),
         dtypes=args.dtypes.split(","),
@@ -120,6 +165,7 @@ def cmd_perf(args) -> int:
         modes=args.modes.split(",") if args.modes is not None else None,
         n_requests=args.requests,
         warmup=not args.no_warmup,
+        on_entry=on_entry,
     )
     for e in entries:
         label = "/".join(filter(None, (e.model, e.dtype, e.quant, e.mode)))
@@ -131,9 +177,14 @@ def cmd_perf(args) -> int:
             print(f"    {stage:30s} {ms:10.1f} ms")
     if args.history:
         history_path = pathlib.Path(args.history)
-        report = compare_history(entries, history_path)
+        report = compare_history(
+            entries, prior_history if prior_history is not None else history_path
+        )
         print(json.dumps(report, indent=2))
-        save_history(entries, history_path)
+        if on_entry is not None and entries:
+            on_entry(entries)  # final merged save
+        elif entries:
+            save_history(entries, history_path)
         if report.get("regressions") and args.fail_on_regression:
             return 1
     return 0

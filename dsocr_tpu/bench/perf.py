@@ -77,6 +77,8 @@ def run_perf_matrix(
     modes: Optional[List[str]] = None,  # single | serve
     n_requests: int = 4,
     warmup: bool = True,
+    on_entry=None,  # callback(entries_so_far) after each cell (incremental save)
+    skip_failures: bool = True,  # a wedged cell must not lose the session
 ) -> List[PerfEntry]:
     """Run the model × dtype × quant × serving-mode matrix in-process
     with random-init weights (no weights ship with this machine);
@@ -119,9 +121,21 @@ def run_perf_matrix(
             for quant in quants:
                 if quant and model == "glm-ocr":
                     continue  # no GLM DSQ adapter (matches the reference)
-                engine = load_engine(
-                    kind_of[model], dtype=dtype, quantize=quant or None
-                )
+                try:
+                    engine = load_engine(
+                        kind_of[model], dtype=dtype, quantize=quant or None
+                    )
+                except Exception as err:
+                    if not skip_failures:
+                        raise
+                    import sys
+
+                    print(
+                        f"[perf] engine {model}/{dtype}/{quant} failed to "
+                        f"load ({type(err).__name__}: {err}); skipping",
+                        file=sys.stderr,
+                    )
+                    continue
                 params = DecodeParameters(max_new_tokens=max_new_tokens)
                 if model == "glm-ocr":
                     settings = VisionSettings(336, 336, False)
@@ -160,15 +174,28 @@ def run_perf_matrix(
                             tokens, pages = out.response_tokens, 1
                         return tokens, pages, time.perf_counter() - t0
 
-                    if warmup:
-                        # untimed pass: compiles (minutes-long on the
-                        # tunneled TPU, even with the disk cache on a
-                        # first run) must not pollute the history — the
-                        # matrix tracks steady-state regressions
-                        run_cell()
-                    recorder = BenchRecorder()
-                    set_recorder(recorder)
-                    tokens, pages, wall = run_cell()
+                    try:
+                        if warmup:
+                            # untimed pass: compiles (minutes-long on the
+                            # tunneled TPU, even with the disk cache on a
+                            # first run) must not pollute the history —
+                            # the matrix tracks steady-state regressions
+                            run_cell()
+                        recorder = BenchRecorder()
+                        set_recorder(recorder)
+                        tokens, pages, wall = run_cell()
+                    except Exception as err:
+                        set_recorder(None)
+                        if not skip_failures:
+                            raise
+                        import sys
+
+                        print(
+                            f"[perf] cell {model}/{dtype}/{quant}/{mode} "
+                            f"failed ({type(err).__name__}: {err}); skipping",
+                            file=sys.stderr,
+                        )
+                        continue
                     set_recorder(None)
                     entries.append(
                         PerfEntry(
@@ -182,4 +209,19 @@ def run_perf_matrix(
                             pages_per_sec=pages / wall if wall else 0.0,
                         )
                     )
+                    if on_entry is not None:
+                        on_entry(list(entries))
+                # free HBM before the next family loads: drop the params
+                # AND the jitted executables holding buffer references
+                # (glm OOM'd behind three resident families otherwise)
+                del engine
+                import gc
+
+                gc.collect()
+                try:
+                    import jax
+
+                    jax.clear_caches()
+                except Exception:
+                    pass
     return entries

@@ -1029,7 +1029,11 @@ class DeepseekOcrEngine:
             )
         lengths = jnp.zeros((n_slots,), jnp.int32)
         if self.mesh is not None:
-            from ...parallel import cache_sharding, replicated, scale_sharding
+            from ...parallel import (
+                replicated,
+                slot_cache_sharding,
+                slot_scale_sharding,
+            )
 
             if self.quantize_:
                 # EP-quantized serving replicates attention compute —
@@ -1038,8 +1042,15 @@ class DeepseekOcrEngine:
                 cs = replicated(self.mesh)
                 ss = replicated(self.mesh)
             else:
-                cs = cache_sharding(self.mesh, self.cfg.language.resolved_kv_heads)
-                ss = scale_sharding(self.mesh, self.cfg.language.resolved_kv_heads)
+                # axis-divisibility-aware: dp > n_slots or mp ∤ kv_heads
+                # fall back to replicating that axis (an unshardable
+                # device_put raises, r4 found it as a worker deadlock)
+                cs = slot_cache_sharding(
+                    self.mesh, self.cfg.language.resolved_kv_heads, n_slots
+                )
+                ss = slot_scale_sharding(
+                    self.mesh, self.cfg.language.resolved_kv_heads, n_slots
+                )
             base = base._replace(
                 k=jax.device_put(base.k, cs), v=jax.device_put(base.v, cs)
             )

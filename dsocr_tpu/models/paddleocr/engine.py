@@ -60,9 +60,21 @@ class PaddleOcrEngine:
         seed: int = 0,
         quantize: Optional[str] = None,
         kv_quant: Optional[str] = None,
+        mesh=None,
     ):
         self.cfg = cfg
         self.dtype_ = dtype
+        # dp-oriented mesh serving for the dense Ernie decoder: params
+        # replicate; the slot KV cache shards rows over dp (heads over mp
+        # when they divide — cache_sharding) so the batched decode step
+        # data-parallelizes across chips. The reference has no
+        # parallelism anywhere (server/src/state.rs:22 mutex).
+        if mesh is not None and quantize:
+            raise NotImplementedError(
+                "quantized paddle serving under a mesh is not supported "
+                "(deepseek has the quantized EP mesh path)"
+            )
+        self.mesh = mesh
         import os as _os
 
         if quantize is None:
@@ -110,6 +122,13 @@ class PaddleOcrEngine:
                 return jnp.asarray(x)
 
             params["decoder"] = jax.tree_util.tree_map(_upload, quantized)
+        if mesh is not None:
+            from ...parallel import replicated
+
+            rep = replicated(mesh)
+            params = jax.tree_util.tree_map(
+                lambda x: jax.device_put(x, rep), params
+            )
         self.params = params
         self._generator_cache = {}
         self._prefill_jit = jax.jit(
@@ -282,8 +301,20 @@ class PaddleOcrEngine:
                 self.cfg.num_hidden_layers, n_slots,
                 self.cfg.resolved_num_key_value_heads, max_len,
             )
+        k, v = base.k, base.v
+        if self.mesh is not None:
+            from ...parallel import slot_cache_sharding, slot_scale_sharding
+
+            kvh = self.cfg.resolved_num_key_value_heads
+            cs = slot_cache_sharding(self.mesh, kvh, n_slots)
+            k = jax.device_put(k, cs)
+            v = jax.device_put(v, cs)
+            if k_scale is not None:
+                ss = slot_scale_sharding(self.mesh, kvh, n_slots)
+                k_scale = jax.device_put(k_scale, ss)
+                v_scale = jax.device_put(v_scale, ss)
         return SlotCache(
-            k=base.k, v=base.v, lengths=jnp.zeros((n_slots,), jnp.int32),
+            k=k, v=v, lengths=jnp.zeros((n_slots,), jnp.int32),
             k_scale=k_scale, v_scale=v_scale,
         )
 

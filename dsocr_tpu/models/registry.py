@@ -117,10 +117,11 @@ def load_engine(
             ep=ep,
             kv_quant=kv_quant,
         )
-    if kind is not ModelKind.DEEPSEEK and mesh is not None:
+    if kind not in (ModelKind.DEEPSEEK, ModelKind.PADDLE_OCR_VL) and mesh is not None:
         raise NotImplementedError(
-            "mesh sharding is deepseek-only today (the serving-throughput "
-            "path); paddle/dots engines run single-chip"
+            "mesh sharding covers deepseek (TP/EP/DP + quantized EP) and "
+            "paddle (dp slot serving) today; dots/glm engines run "
+            "single-chip"
         )
     if kind is ModelKind.PADDLE_OCR_VL:
         from .paddleocr import PaddleConfig, PaddleOcrEngine
@@ -135,7 +136,7 @@ def load_engine(
             )
         return PaddleOcrEngine(
             cfg, params=params, dtype=jdtype, max_seq_len=max_seq_len,
-            quantize=quantize, kv_quant=kv_quant,
+            quantize=quantize, kv_quant=kv_quant, mesh=mesh,
         )
     if kind is ModelKind.DOTS_OCR:
         from .dots import DotsConfig, DotsOcrEngine

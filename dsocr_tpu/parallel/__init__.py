@@ -14,6 +14,8 @@ from .mesh import (
     replicated,
     cache_sharding,
     scale_sharding,
+    slot_cache_sharding,
+    slot_scale_sharding,
     row_cache_sharding,
     pool_sharding,
     pool_scale_sharding,
@@ -28,5 +30,7 @@ __all__ = [
     "replicated",
     "cache_sharding",
     "scale_sharding",
+    "slot_cache_sharding",
+    "slot_scale_sharding",
     "row_cache_sharding",
 ]

@@ -50,6 +50,27 @@ def cache_sharding(mesh: Mesh, num_kv_heads: int) -> NamedSharding:
     return NamedSharding(mesh, P(None, "dp", None, None, None))
 
 
+def slot_cache_sharding(
+    mesh: Mesh, num_kv_heads: int, n_slots: int
+) -> NamedSharding:
+    """Slot KV cache [L, B, H_kv, S, D]: like cache_sharding but each
+    axis shards only when it actually divides — a dp larger than the
+    slot count must fall back to replicating B (device_put raises
+    otherwise, which r4 found as a prefill-worker deadlock)."""
+    b = "dp" if n_slots % mesh.shape["dp"] == 0 else None
+    h = "mp" if num_kv_heads % mesh.shape["mp"] == 0 else None
+    return NamedSharding(mesh, P(None, b, h, None, None))
+
+
+def slot_scale_sharding(
+    mesh: Mesh, num_kv_heads: int, n_slots: int
+) -> NamedSharding:
+    """int8 KV scale planes [L, B, H_kv, S] matching slot_cache_sharding."""
+    b = "dp" if n_slots % mesh.shape["dp"] == 0 else None
+    h = "mp" if num_kv_heads % mesh.shape["mp"] == 0 else None
+    return NamedSharding(mesh, P(None, b, h, None))
+
+
 def scale_sharding(mesh: Mesh, num_kv_heads: int) -> NamedSharding:
     """int8 KV scale planes [L, B, H_kv, S]: same layout as the cache
     they describe (heads over mp, batch over dp), minus the D dim."""

@@ -498,7 +498,17 @@ class ContinuousScheduler:
                 jobs = self._grab_wave()
                 if not jobs:
                     return
-                self._ensure_state()
+                try:
+                    self._ensure_state()
+                except Exception as err:
+                    # runner/state construction failure (e.g. an invalid
+                    # mesh/slot sharding): fail THIS wave's futures and
+                    # keep draining — an exception escaping the worker
+                    # here left every submit() awaiting forever (r4)
+                    logger.exception("slot state construction failed")
+                    for job in jobs:
+                        self._fail(job, err)
+                    continue
                 _trace("wave_grab", n=len(jobs))
                 prepare_fut = loop.run_in_executor(
                     None, self._prepare_jobs, jobs
@@ -609,6 +619,25 @@ class ContinuousScheduler:
                 except Exception as err:
                     if not await self._recover_device_failure(loop, err):
                         raise
+        except Exception as err:
+            # the decode worker must never die leaving futures stranded:
+            # fail every in-flight row and every prefilled packet still
+            # queued for admission (their submit()s await forever
+            # otherwise), then re-raise for the task's own record
+            for row, job in enumerate(self._rows):
+                if job is not None:
+                    self._fail(job, err)
+                    self._rows[row] = None
+            while True:
+                try:
+                    job, _pre = self._ready_q.get_nowait()
+                except asyncio.QueueEmpty:
+                    break
+                self._fail(job, err)
+            for job, _pre in self._deferred:
+                self._fail(job, err)
+            self._deferred = []
+            raise
         finally:
             self._worker_task = None
 

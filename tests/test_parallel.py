@@ -652,3 +652,66 @@ def test_kquant_ep_engine_decode_matches_single_device(method):
     assert "mp" in str(plane.sharding.spec)
     out_ep = ep_engine.decode(FakeTokenizer(), "<image>k", [image], settings, params)
     assert out_ep.generated_tokens == out_solo.generated_tokens
+
+
+def test_paddle_mesh_slot_serving_matches_single_device():
+    """PaddleOCR-VL dp mesh serving (VERDICT r3 #8): params replicate,
+    slot KV rows shard over dp (cache_sharding), the dense Ernie decode
+    step data-parallelizes under GSPMD. Tokens must match the
+    single-device paddle engine through the real scheduler."""
+    import asyncio
+
+    import jax.numpy as jnp
+
+    from dsocr_tpu.core import DecodeParameters, VisionSettings
+    from dsocr_tpu.models.paddleocr import PaddleOcrEngine
+    from dsocr_tpu.models.paddleocr.config import tiny_paddle_config
+    from dsocr_tpu.server.scheduler import ContinuousScheduler
+
+    class FakeTokenizer:
+        def encode(self, text):
+            return [ord(c) % 100 for c in text]
+
+        def decode(self, ids, skip_special_tokens=True):
+            return "".join(chr(97 + (i % 26)) for i in ids)
+
+        def token_to_id(self, token):
+            return None
+
+    vset = VisionSettings(base_size=28, image_size=56, crop_mode=False)
+    params = DecodeParameters(max_new_tokens=6, no_repeat_ngram_size=None)
+    rng = np.random.default_rng(91)
+    imgs = [
+        rng.integers(0, 256, (28, 56, 3), dtype=np.uint8),
+        rng.integers(0, 256, (28, 28, 3), dtype=np.uint8),
+    ]
+
+    def serve(eng):
+        eng.prep_overrides = {"min_pixels": 1, "max_pixels": 28 * 56}
+
+        async def go():
+            sched = ContinuousScheduler(eng, FakeTokenizer(), n_slots=2,
+                                        max_len=256, chunk_steps=2)
+            return await asyncio.gather(
+                sched.submit("<image>\nOCR:", [imgs[0]], vset, params),
+                sched.submit("<image>\nTable:", [imgs[1]], vset, params),
+            )
+
+        return asyncio.run(go())
+
+    plain = serve(
+        PaddleOcrEngine(tiny_paddle_config(), dtype=jnp.float32,
+                        max_seq_len=512, seed=3)
+    )
+    mesh = make_mesh(8, dp=4)
+    meshed = serve(
+        PaddleOcrEngine(tiny_paddle_config(), dtype=jnp.float32,
+                        max_seq_len=512, seed=3, mesh=mesh)
+    )
+    for a, b in zip(plain, meshed):
+        assert a.generated_tokens == b.generated_tokens
+
+    # quantized paddle x mesh stays a clear error (deepseek owns that path)
+    with pytest.raises(NotImplementedError):
+        PaddleOcrEngine(tiny_paddle_config(), dtype=jnp.float32,
+                        max_seq_len=512, quantize="q8_0", mesh=mesh)

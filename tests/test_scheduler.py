@@ -729,3 +729,31 @@ def test_streamed_tokens_stay_consistent_across_recovery(slot_engine):
     for a, b in zip(seen, seen[1:]):
         assert b[: len(a)] == a  # prefixes grow monotonically
     assert seen[-1] == out.generated_tokens
+
+
+def test_state_construction_failure_fails_futures(slot_engine, monkeypatch):
+    """An exception from slot state construction (e.g. an invalid
+    mesh/slot sharding) must fail the submitted futures — r4 found it
+    killed the prefill worker silently and every submit() hung forever."""
+    tok = SlotTokenizer()
+    params = DecodeParameters(max_new_tokens=4, no_repeat_ngram_size=None)
+
+    sched = ContinuousScheduler(slot_engine, tok, n_slots=2, max_len=256)
+
+    def boom(*a, **k):
+        raise ValueError("synthetic state construction failure")
+
+    monkeypatch.setattr(sched, "_ensure_state", boom)
+
+    async def go():
+        return await asyncio.gather(
+            sched.submit("<image>x", [_img(80)], VS, params),
+            sched.submit("<image>y", [_img(81)], VS, params),
+            return_exceptions=True,
+        )
+
+    outs = asyncio.run(asyncio.wait_for(go(), timeout=60))
+    assert len(outs) == 2
+    for out in outs:
+        assert isinstance(out, ValueError)
+        assert "synthetic state construction" in str(out)
