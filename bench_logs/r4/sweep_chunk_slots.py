@@ -36,12 +36,15 @@ from dsocr_tpu.models.deepseek import DeepseekOcrEngine
 from dsocr_tpu.models.deepseek.config import DeepseekOcrConfig
 from dsocr_tpu.server.scheduler import ContinuousScheduler
 
-REQS = int(os.environ.get("SWEEP_REQUESTS", "96"))
 MAX_NEW = int(os.environ.get("SWEEP_MAX_NEW", "512"))
 REPS = int(sys.argv[1]) if len(sys.argv) > 1 else 2
-CONFIGS = [  # (label, n_slots, chunk)
-    ("chunk128", 16, 128),
-    ("chunk256", 16, 256),
+# (label, n_slots, chunk, n_requests): r3's request sweep measured 96 >
+# 32 (waves amortize the first wave's unoverlapped prepare; marginal
+# steady-state ~2.7 pages/s) — 192 probes further down that asymptote.
+CONFIGS = [
+    ("c128_r96", 16, 128, 96),
+    ("c256_r96", 16, 256, 96),
+    ("c128_r192", 16, 128, 192),
 ]
 
 
@@ -67,13 +70,14 @@ def main():
     max_len = min(engine.max_seq_len, ((s_pad + MAX_NEW + 511) // 512) * 512)
     del vin, emb
 
-    scheds = {
-        label: ContinuousScheduler(
-            engine, tokenizer, n_slots=slots, max_len=max_len,
-            chunk_steps=chunk, prefill_batch=slots,
-        )
-        for label, slots, chunk in CONFIGS
-    }
+    scheds = {}
+    for label, slots, chunk, _reqs in CONFIGS:
+        key = (slots, chunk)
+        if key not in scheds:
+            scheds[key] = ContinuousScheduler(
+                engine, tokenizer, n_slots=slots, max_len=max_len,
+                chunk_steps=chunk, prefill_batch=slots,
+            )
 
     async def serve(sched, n):
         t0 = time.perf_counter()
@@ -84,32 +88,32 @@ def main():
         dt = time.perf_counter() - t0
         return dt, sum(o.response_tokens for o in outs)
 
-    # warm every config (compiles) with a 2-wave pass
-    for label, slots, _ in CONFIGS:
+    # warm every scheduler (compiles) with a 2-wave pass
+    for (slots, chunk), sched in scheds.items():
         t0 = time.perf_counter()
-        asyncio.run(serve(scheds[label], 2 * slots))
-        print(f"[sweep] warm {label}: {time.perf_counter() - t0:.1f}s", flush=True)
+        asyncio.run(serve(sched, 2 * slots))
+        print(f"[sweep] warm c{chunk}: {time.perf_counter() - t0:.1f}s", flush=True)
 
-    results = {label: [] for label, _, _ in CONFIGS}
+    results = {label: [] for label, _, _, _ in CONFIGS}
     for rep in range(REPS):
-        for label, slots, chunk in CONFIGS:
+        for label, slots, chunk, reqs in CONFIGS:
             for attempt in range(3):
                 try:
-                    dt, toks = asyncio.run(serve(scheds[label], REQS))
+                    dt, toks = asyncio.run(serve(scheds[(slots, chunk)], reqs))
                     break
                 except Exception as err:
                     print(f"[sweep] {label} rep failed ({err}); retry", flush=True)
-            results[label].append(dt)
+            results[label].append((dt, reqs))
             print(
                 f"[sweep] rep{rep} {label}: {dt:.2f}s "
-                f"({REQS / dt:.3f} pages/s, {toks / dt:.0f} tok/s)",
+                f"({reqs / dt:.3f} pages/s, {toks / dt:.0f} tok/s)",
                 flush=True,
             )
     for label, times in results.items():
-        best = min(times)
+        best = min(t / r for t, r in [(t, r) for t, r in times])
         print(
-            f"[sweep] BEST {label}: {best:.2f}s = {REQS / best:.4f} pages/s "
-            f"(all: {[round(t, 2) for t in times]})",
+            f"[sweep] BEST {label}: {1.0 / best:.4f} pages/s "
+            f"(reps: {[(round(t, 2), r) for t, r in times]})",
             flush=True,
         )
 
