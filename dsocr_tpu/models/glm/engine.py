@@ -262,10 +262,39 @@ class GlmOcrEngine:
             per_req_grids.append(grids)
         embeddings = None
         if all_patches:
-            packed = jnp.asarray(np.concatenate(all_patches), self.dtype_)
-            embeddings = glm_vision_forward(
-                self.params["vision"], cfg.vision,
-                packed, [g for gs in per_req_grids for g in gs],
+            # Pool images into vision calls bounded by a patch budget:
+            # one native-res page is ~26k patches, and the eager block
+            # MLP (f32, intermediate 10944) spikes ~70 KB/patch of
+            # transient HBM — pooling two pages into one packed call
+            # OOM'd a 16 GB chip (r4 perf matrix). Groups stay in
+            # request order so the embedding cursor math is unchanged.
+            import os
+
+            budget = int(os.environ.get("DSOCR_GLM_VISION_POOL", "32768"))
+            flat_grids = [g for gs in per_req_grids for g in gs]
+            groups: List[Tuple[int, int]] = []  # (start_img, end_img)
+            start_img = 0
+            acc = 0
+            for i, p in enumerate(all_patches):
+                rows = p.shape[0]
+                if acc and acc + rows > budget:
+                    groups.append((start_img, i))
+                    start_img, acc = i, 0
+                acc += rows
+            groups.append((start_img, len(all_patches)))
+            parts = []
+            for lo, hi in groups:
+                packed = jnp.asarray(
+                    np.concatenate(all_patches[lo:hi]), self.dtype_
+                )
+                parts.append(
+                    glm_vision_forward(
+                        self.params["vision"], cfg.vision,
+                        packed, flat_grids[lo:hi],
+                    )
+                )
+            embeddings = (
+                parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=0)
             )
         merge_area = cfg.vision.spatial_merge_size ** 2
         rows_in = []

@@ -194,17 +194,22 @@ def glm_vision_forward(
 
 
 _QUERY_CHUNK = 1024  # ref chunks vision attention queries (vision.rs:740)
+_KEY_CHUNK = 1024  # r4: keys block too (online softmax) — bounded HBM
 
 
 def _frame_attention(q, k, v):
     """Full attention over the packed vision sequence, chunked over
-    queries: at large pixel budgets S reaches ~24k tokens and the full
-    [heads, S, S] f32 score tensor (28 GB) cannot exist in HBM — each
-    chunk's scores stay transient (ref chunked path, vision.rs:740)."""
+    queries AND keys: at large pixel budgets S reaches ~24k tokens, so
+    neither the full [heads, S, S] f32 score tensor (28 GB) nor even one
+    query chunk's [b, h, 1024, S] scores (~2 GB at S~14k, b=2 — the r4
+    GLM serve OOM) can live in HBM. Each (q-chunk, k-chunk) block's
+    scores stay transient; the softmax is the standard online/running-
+    max accumulation in f32 (identical up to f32 summation order to the
+    reference's full-row softmax, vision.rs:740)."""
     scale = 1.0 / (q.shape[-1] ** 0.5)
     s = q.shape[2]
 
-    def attend(q_chunk):
+    def attend_small(q_chunk):
         scores = (
             jnp.einsum(
                 "bhqd,bhkd->bhqk", q_chunk, k, preferred_element_type=jnp.float32
@@ -218,13 +223,57 @@ def _frame_attention(q, k, v):
         ).astype(q.dtype)
 
     if s <= _QUERY_CHUNK:
-        return attend(q)
-    # pad S to a chunk multiple, scan over chunks, crop
-    n_chunks = -(-s // _QUERY_CHUNK)
-    pad = n_chunks * _QUERY_CHUNK - s
-    q_pad = jnp.pad(q, ((0, 0), (0, 0), (0, pad), (0, 0)))
+        return attend_small(q)
+
+    n_q = -(-s // _QUERY_CHUNK)
+    q_pad = jnp.pad(q, ((0, 0), (0, 0), (0, n_q * _QUERY_CHUNK - s), (0, 0)))
     b, h, _, d = q_pad.shape
-    chunks = q_pad.reshape(b, h, n_chunks, _QUERY_CHUNK, d).transpose(2, 0, 1, 3, 4)
-    out = jax.lax.map(attend, chunks)  # [n_chunks, b, h, CHUNK, d]
-    out = out.transpose(1, 2, 0, 3, 4).reshape(b, h, n_chunks * _QUERY_CHUNK, d)
+    n_k = -(-s // _KEY_CHUNK)
+    k_pad = jnp.pad(k, ((0, 0), (0, 0), (0, n_k * _KEY_CHUNK - s), (0, 0)))
+    v_pad = jnp.pad(v, ((0, 0), (0, 0), (0, n_k * _KEY_CHUNK - s), (0, 0)))
+    k_blocks = k_pad.reshape(b, h, n_k, _KEY_CHUNK, d).transpose(2, 0, 1, 3, 4)
+    v_blocks = v_pad.reshape(b, h, n_k, _KEY_CHUNK, d).transpose(2, 0, 1, 3, 4)
+    # padded keys are masked out of every softmax row
+    key_valid = (
+        jnp.arange(n_k * _KEY_CHUNK) < s
+    ).reshape(n_k, _KEY_CHUNK)
+
+    def attend(q_chunk):  # [b, h, QC, d]
+        acc0 = jnp.zeros((b, h, _QUERY_CHUNK, d), jnp.float32)
+        m0 = jnp.full((b, h, _QUERY_CHUNK), -jnp.inf, jnp.float32)
+        l0 = jnp.zeros((b, h, _QUERY_CHUNK), jnp.float32)
+
+        def body(carry, xs):
+            acc, m, l = carry
+            k_blk, v_blk, valid = xs
+            scores = (
+                jnp.einsum(
+                    "bhqd,bhkd->bhqk", q_chunk, k_blk,
+                    preferred_element_type=jnp.float32,
+                ).astype(jnp.float32)
+                * scale
+            )
+            scores = jnp.where(valid[None, None, None, :], scores, -jnp.inf)
+            m_new = jnp.maximum(m, jnp.max(scores, axis=-1))
+            # fully-masked rows keep m=-inf; guard the exp shift
+            shift = jnp.where(jnp.isfinite(m_new), m_new, 0.0)
+            p = jnp.exp(scores - shift[..., None])
+            correction = jnp.where(
+                jnp.isfinite(m), jnp.exp(m - shift), 0.0
+            )
+            acc = acc * correction[..., None] + jnp.einsum(
+                "bhqk,bhkd->bhqd", p, v_blk.astype(jnp.float32),
+                preferred_element_type=jnp.float32,
+            )
+            l = l * correction + jnp.sum(p, axis=-1)
+            return (acc, m_new, l), None
+
+        (acc, _, l), _ = jax.lax.scan(
+            body, (acc0, m0, l0), (k_blocks, v_blocks, key_valid)
+        )
+        return (acc / jnp.maximum(l, 1e-30)[..., None]).astype(q.dtype)
+
+    chunks = q_pad.reshape(b, h, n_q, _QUERY_CHUNK, d).transpose(2, 0, 1, 3, 4)
+    out = jax.lax.map(attend, chunks)  # [n_q, b, h, QC, d]
+    out = out.transpose(1, 2, 0, 3, 4).reshape(b, h, n_q * _QUERY_CHUNK, d)
     return out[:, :, :s]

@@ -179,10 +179,15 @@ def test_frame_attention_chunked_matches_unchunked():
     k = jnp.asarray(rng.normal(size=(B, H, S, D)).astype(np.float32))
     v = jnp.asarray(rng.normal(size=(B, H, S, D)).astype(np.float32))
     ref = np.asarray(gv._frame_attention(q, k, v))
-    old = gv._QUERY_CHUNK
+    old_q, old_k = gv._QUERY_CHUNK, gv._KEY_CHUNK
     gv._QUERY_CHUNK = 16  # force the chunked path with a ragged tail
     try:
         out = np.asarray(gv._frame_attention(q, k, v))
+        # r4: keys block too (online softmax, GLM serve OOM fix) —
+        # a ragged key tail must mask its padding out of every row
+        gv._KEY_CHUNK = 16
+        out_kb = np.asarray(gv._frame_attention(q, k, v))
     finally:
-        gv._QUERY_CHUNK = old
+        gv._QUERY_CHUNK, gv._KEY_CHUNK = old_q, old_k
     np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(out_kb, ref, rtol=1e-5, atol=1e-5)
