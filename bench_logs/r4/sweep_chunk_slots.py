@@ -97,12 +97,16 @@ def main():
     results = {label: [] for label, _, _, _ in CONFIGS}
     for rep in range(REPS):
         for label, slots, chunk, reqs in CONFIGS:
+            dt = toks = None
             for attempt in range(3):
                 try:
                     dt, toks = asyncio.run(serve(scheds[(slots, chunk)], reqs))
                     break
                 except Exception as err:
                     print(f"[sweep] {label} rep failed ({err}); retry", flush=True)
+            if dt is None:
+                print(f"[sweep] {label} rep abandoned after 3 failures", flush=True)
+                continue
             results[label].append((dt, reqs))
             print(
                 f"[sweep] rep{rep} {label}: {dt:.2f}s "
@@ -110,7 +114,10 @@ def main():
                 flush=True,
             )
     for label, times in results.items():
-        best = min(t / r for t, r in [(t, r) for t, r in times])
+        if not times:
+            print(f"[sweep] BEST {label}: no completed reps", flush=True)
+            continue
+        best = min(t / r for t, r in times)
         print(
             f"[sweep] BEST {label}: {1.0 / best:.4f} pages/s "
             f"(reps: {[(round(t, 2), r) for t, r in times]})",

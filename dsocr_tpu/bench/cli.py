@@ -177,10 +177,18 @@ def cmd_perf(args) -> int:
             print(f"    {stage:30s} {ms:10.1f} ms")
     if args.history:
         history_path = pathlib.Path(args.history)
-        report = compare_history(
-            entries, prior_history if prior_history is not None else history_path
-        )
+        if prior_history is not None:
+            compare_against = prior_history
+        else:
+            # no pre-run history existed; on_entry has been writing the
+            # file DURING the run, so comparing against history_path now
+            # would compare the session to itself — report the honest
+            # "no baseline" note instead
+            compare_against = history_path.with_suffix(".absent")
+        report = compare_history(entries, compare_against)
         print(json.dumps(report, indent=2))
+        if prior_history is not None:
+            prior_history.unlink(missing_ok=True)
         if on_entry is not None and entries:
             on_entry(entries)  # final merged save
         elif entries:

@@ -772,8 +772,10 @@ def _ep_spec():
     return P(None, "mp")
 
 
-def expert_stack_sharding(mesh, ndim: int = 4):
-    """NamedSharding for a packed [L, E, ...] expert stack under EP."""
+def expert_stack_sharding(mesh):
+    """NamedSharding for a packed [L, E, ...] expert stack under EP (a
+    rank-2 prefix spec — trailing dims replicate, so one spec covers
+    every plane rank)."""
     from jax.sharding import NamedSharding
 
     return NamedSharding(mesh, _ep_spec())

@@ -157,7 +157,7 @@ async def metrics(request: web.Request) -> web.Response:
     if ttft:
         import numpy as _np
 
-        p50, p95 = _np.percentile(ttft, [50, 95])
+        p50, p95 = _np.percentile(list(ttft), [50, 95])
         lines.append("# TYPE dsocr_ttft_seconds_p50 gauge")
         lines.append(f"dsocr_ttft_seconds_p50 {p50:.4f}")
         lines.append("# TYPE dsocr_ttft_seconds_p95 gauge")

@@ -162,9 +162,15 @@ class ContinuousScheduler:
         # per-request time-to-first-token samples (seconds, submit → the
         # request's first generated token is selected and its row is live
         # in the decode batch). BASELINE.json's metric line names p50
-        # TTFT per page — bench.py and /metrics both report percentiles
-        # of this list.
-        self.ttft_samples: List[float] = []
+        # TTFT per page — bench.py and /metrics both report percentiles.
+        # Bounded: a long-lived server must not grow one float per
+        # request forever, and /metrics should reflect RECENT latency,
+        # not the lifetime median.
+        import collections
+
+        self.ttft_samples: "collections.deque[float]" = collections.deque(
+            maxlen=4096
+        )
         # device-fault recovery (sporadic `INVALID_ARGUMENT: TPU backend
         # error` under sustained serving — CLAUDE.md): on a chunk/harvest
         # failure the worker rebuilds the slot state and re-admits every
@@ -561,6 +567,12 @@ class ContinuousScheduler:
                 continue
             self._record_ttft(job)
             if finished:
+                # the join allocated row resources (paged: pool pages)
+                # even though the row never decodes — release them, and
+                # do it before resolving the future (see _process_harvest)
+                self._state = await loop.run_in_executor(
+                    None, self._runner.release, self._state, row
+                )
                 self._finalize(job, [])
             else:
                 self._rows[row] = job
@@ -603,6 +615,9 @@ class ContinuousScheduler:
                             continue
                         self._record_ttft(job)
                         if finished:
+                            self._state = await loop.run_in_executor(
+                                None, self._runner.release, self._state, row
+                            )
                             self._finalize(job, [])
                         else:
                             self._rows[row] = job
@@ -720,6 +735,13 @@ class ContinuousScheduler:
             for _, job in inflight:
                 self._fail(job, err)
             self._rows = [None] * self.n_slots
+            # the failed chunk DONATED the state's buffers — drop it so
+            # requests submitted after the fault clears rebuild instead
+            # of hitting deleted buffers forever, and let them attempt
+            # recovery afresh
+            self._state = None
+            self._runner = None  # paged: orphaned page allocations too
+            self._consecutive_failures = 0
             return False
         logger.warning(
             "device chunk failed (%s: %s); rebuilding slot state and "
@@ -729,6 +751,17 @@ class ContinuousScheduler:
         self.recoveries += 1
         self._rows = [None] * self.n_slots
         self._state = None
+        # paged runner: the host-side page allocator still records the
+        # crashed rows' pages (their release() never ran) — free every
+        # row's pages before re-admission; a leaked pool exhausts after
+        # a few recoveries otherwise. (Contiguous runners have no
+        # host-side allocation state.)
+        allocator = getattr(self._runner, "allocator", None)
+        row_pages = getattr(self._runner, "_row_pages", None)
+        if allocator is not None and row_pages is not None:
+            for pages in list(row_pages.values()):
+                allocator.release(pages)
+            row_pages.clear()
         self._stale_rows.clear()
         try:
             self._ensure_state()
@@ -753,7 +786,22 @@ class ContinuousScheduler:
                 self._finalize(job, prefix)
                 continue
             if not supports_continuation:
-                prefix = []  # restart from scratch (greedy → same output)
+                if job.stream_cb is not None and job.emitted > 0:
+                    # a restart would stream a token list that is NOT an
+                    # extension of what the client already received —
+                    # fail loudly rather than silently diverge
+                    self._fail(
+                        job,
+                        RuntimeError(
+                            "device fault interrupted a streamed request "
+                            "and this engine cannot resume from the "
+                            "generated prefix (no continuation prefill)"
+                        ),
+                    )
+                    continue
+                # restart from scratch: greedy regenerates identically;
+                # sampled output is nondeterministic to the client anyway
+                prefix = []
                 remaining = job.max_new
             try:
                 if prefix:
@@ -789,6 +837,9 @@ class ContinuousScheduler:
                 self._fail(job, err2)
                 continue
             if finished:
+                self._state = await loop.run_in_executor(
+                    None, self._runner.release, self._state, row
+                )
                 self._finalize(job, prefix)
             else:
                 self._rows[row] = job
@@ -807,12 +858,17 @@ class ContinuousScheduler:
                     pass
             job.emitted = len(tokens)
             if not harvest.active[row]:
-                self._finalize(job, tokens)
+                # release BEFORE resolving the future: once the last
+                # future resolves, asyncio.run can tear the loop down
+                # and a release scheduled after it silently never runs —
+                # harmless for contiguous KV (fresh state rebuilds) but
+                # it leaked paged pool pages across loops (r4)
                 self._rows[row] = None
                 with Timer("slot.release"):
                     self._state = await loop.run_in_executor(
                         None, self._runner.release, self._state, row
                     )
+                self._finalize(job, tokens)
 
 
 class BatchScheduler:

@@ -18,19 +18,26 @@ Expected layout (same schema as the reference's baselines/):
 """
 
 import json
-import os
 import pathlib
 
 import numpy as np
 import pytest
 
-# Parity fixtures compare against HF goldens at tight tolerances: pin
-# the canonical full-canvas upload path. Content-only upload rebuilds
-# pixel-exact canvases but shifts tower numerics within ~2e-5 (XLA pad-
-# into-conv fusion), enough to flip a greedy near-tie (ADVICE r3).
-os.environ["DSOCR_CONTENT_UPLOAD"] = "0"
-
 BASELINE_DIR = pathlib.Path(__file__).resolve().parents[1] / "baselines" / "sample"
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _full_canvas_upload():
+    """Parity fixtures compare against HF goldens at tight tolerances:
+    pin the canonical full-canvas upload path. Content-only upload
+    rebuilds pixel-exact canvases but shifts tower numerics within
+    ~2e-5 (XLA pad-into-conv fusion), enough to flip a greedy near-tie
+    (ADVICE r3). Scoped so the rest of the suite keeps covering the
+    production-default content-upload path."""
+    mp = pytest.MonkeyPatch()
+    mp.setenv("DSOCR_CONTENT_UPLOAD", "0")
+    yield
+    mp.undo()
 
 pytestmark = pytest.mark.skipif(
     not (BASELINE_DIR / "baseline.json").exists(),

@@ -182,3 +182,48 @@ def test_paged_int8_kv_under_mesh_matches_plain():
     served = _serve(eng, prompts, imgs, params, env={"DSOCR_PAGED_KV": "1"})
     for a, b in zip(base, served):
         assert a.generated_tokens == b.generated_tokens
+
+
+def test_paged_recovery_releases_pages(engine):
+    """Device-fault recovery under paged KV must release the crashed
+    rows' pages (r4 review: the allocator leaked them — every recovery
+    permanently shrank the pool until joins raised MemoryError)."""
+    import os
+
+    prompts = ["<image>ra", "<image>rbb", "<image>rc"]
+    imgs = [_img(30 + i) for i in range(3)]
+    params = DecodeParameters(max_new_tokens=8, no_repeat_ngram_size=None)
+    base = _serve(engine, prompts, imgs, params)
+
+    os.environ["DSOCR_PAGED_KV"] = "1"
+    try:
+        async def go():
+            sched = ContinuousScheduler(engine, Tok(), n_slots=2,
+                                        max_len=256, chunk_steps=3)
+            sched._ensure_state()
+            allocator = sched._runner.allocator
+            total = allocator.free_count  # nothing allocated yet
+            orig = sched._runner.run_chunk_snap
+            calls = {"n": 0}
+
+            def flaky(p, st, chunk):
+                calls["n"] += 1
+                if calls["n"] == 2:
+                    raise RuntimeError("INVALID_ARGUMENT: synthetic fault")
+                return orig(p, st, chunk)
+
+            sched._runner.run_chunk_snap = flaky
+            outs = await asyncio.gather(
+                *(sched.submit(p, [im], VS, params)
+                  for p, im in zip(prompts, imgs))
+            )
+            return outs, sched, allocator, total
+
+        outs, sched, allocator, total = asyncio.run(go())
+    finally:
+        os.environ.pop("DSOCR_PAGED_KV", None)
+    assert sched.recoveries == 1
+    for a, b in zip(base, outs):
+        assert a.generated_tokens == b.generated_tokens
+    # every page returned to the pool once all rows finished
+    assert allocator.free_count == total
