@@ -37,9 +37,19 @@ class DotsOcrEngine:
         seed: int = 0,
         quantize: Optional[str] = None,
         kv_quant: Optional[str] = None,
+        mesh=None,
     ):
         self.cfg = cfg
         self.dtype_ = dtype
+        # dp slot serving for the dense Qwen2 decoder (same design as
+        # paddle): params replicate, slot KV rows shard over dp, GSPMD
+        # data-parallelizes the batched decode step.
+        if mesh is not None and quantize:
+            raise NotImplementedError(
+                "quantized dots serving under a mesh is not supported "
+                "(deepseek has the quantized EP mesh path)"
+            )
+        self.mesh = mesh
         import os as _os
 
         if quantize is None:
@@ -87,6 +97,13 @@ class DotsOcrEngine:
                 return jnp.asarray(x)
 
             params["decoder"] = jax.tree_util.tree_map(_upload, quantized)
+        if mesh is not None:
+            from ...parallel import replicated
+
+            rep = replicated(mesh)
+            params = jax.tree_util.tree_map(
+                lambda x: jax.device_put(x, rep), params
+            )
         self.params = params
         self._generator_cache = {}
         self._rope = build_qwen2_rope(cfg.text, max_seq_len)
@@ -227,8 +244,19 @@ class DotsOcrEngine:
                 self.cfg.text.num_hidden_layers, n_slots,
                 self.cfg.text.num_key_value_heads, max_len,
             )
+        k, v = base.k, base.v
+        if self.mesh is not None:
+            from ...parallel import slot_cache_sharding, slot_scale_sharding
+
+            kvh = self.cfg.text.num_key_value_heads
+            k = jax.device_put(k, slot_cache_sharding(self.mesh, kvh, n_slots))
+            v = jax.device_put(v, slot_cache_sharding(self.mesh, kvh, n_slots))
+            if k_scale is not None:
+                ss = slot_scale_sharding(self.mesh, kvh, n_slots)
+                k_scale = jax.device_put(k_scale, ss)
+                v_scale = jax.device_put(v_scale, ss)
         return SlotCache(
-            k=base.k, v=base.v, lengths=jnp.zeros((n_slots,), jnp.int32),
+            k=k, v=v, lengths=jnp.zeros((n_slots,), jnp.int32),
             k_scale=k_scale, v_scale=v_scale,
         )
 

@@ -103,9 +103,13 @@ class GlmOcrEngine:
         max_seq_len: int = 16384,
         seed: int = 0,
         kv_quant: Optional[str] = None,
+        mesh=None,
     ):
         self.cfg = cfg
         self.dtype_ = dtype
+        # dp slot serving (same design as paddle/dots): params
+        # replicate, slot KV rows shard over dp.
+        self.mesh = mesh
         self.max_seq_len = max_seq_len
         import os as _os
 
@@ -119,6 +123,13 @@ class GlmOcrEngine:
                 "vision": init_glm_vision_params(cfg.vision, kv),
                 "decoder": init_glm_text_params(cfg.text, kd, dtype),
             }
+        if mesh is not None:
+            from ...parallel import replicated
+
+            rep = replicated(mesh)
+            params = jax.tree_util.tree_map(
+                lambda x: jax.device_put(x, rep), params
+            )
         self.params = params
         self._generator_cache = {}
         self._prefill_jit = jax.jit(self._prefill_impl, static_argnames=("seq_len",))
@@ -228,8 +239,19 @@ class GlmOcrEngine:
                 self.cfg.text.num_hidden_layers, n_slots,
                 self.cfg.text.num_key_value_heads, max_len,
             )
+        k, v = base.k, base.v
+        if self.mesh is not None:
+            from ...parallel import slot_cache_sharding, slot_scale_sharding
+
+            kvh = self.cfg.text.num_key_value_heads
+            k = jax.device_put(k, slot_cache_sharding(self.mesh, kvh, n_slots))
+            v = jax.device_put(v, slot_cache_sharding(self.mesh, kvh, n_slots))
+            if k_scale is not None:
+                ss = slot_scale_sharding(self.mesh, kvh, n_slots)
+                k_scale = jax.device_put(k_scale, ss)
+                v_scale = jax.device_put(v_scale, ss)
         return SlotCache(
-            k=base.k, v=base.v, lengths=jnp.zeros((n_slots,), jnp.int32),
+            k=k, v=v, lengths=jnp.zeros((n_slots,), jnp.int32),
             k_scale=k_scale, v_scale=v_scale,
         )
 

@@ -117,12 +117,6 @@ def load_engine(
             ep=ep,
             kv_quant=kv_quant,
         )
-    if kind not in (ModelKind.DEEPSEEK, ModelKind.PADDLE_OCR_VL) and mesh is not None:
-        raise NotImplementedError(
-            "mesh sharding covers deepseek (TP/EP/DP + quantized EP) and "
-            "paddle (dp slot serving) today; dots/glm engines run "
-            "single-chip"
-        )
     if kind is ModelKind.PADDLE_OCR_VL:
         from .paddleocr import PaddleConfig, PaddleOcrEngine
         from .paddleocr.loader import load_paddle_params
@@ -151,7 +145,7 @@ def load_engine(
             )
         return DotsOcrEngine(
             cfg, params=params, dtype=jdtype, max_seq_len=max_seq_len,
-            quantize=quantize, kv_quant=kv_quant,
+            quantize=quantize, kv_quant=kv_quant, mesh=mesh,
         )
     if kind is ModelKind.GLM_OCR:
         from .glm import GlmConfig, GlmOcrEngine
@@ -165,6 +159,6 @@ def load_engine(
             )
         return GlmOcrEngine(
             cfg, params=params, dtype=jdtype, max_seq_len=max_seq_len,
-            kv_quant=kv_quant,
+            kv_quant=kv_quant, mesh=mesh,
         )
     raise ValueError(f"unsupported model kind {kind}")

@@ -715,3 +715,72 @@ def test_paddle_mesh_slot_serving_matches_single_device():
     with pytest.raises(NotImplementedError):
         PaddleOcrEngine(tiny_paddle_config(), dtype=jnp.float32,
                         max_seq_len=512, quantize="q8_0", mesh=mesh)
+
+
+@pytest.mark.parametrize("family", ["dots", "glm"])
+def test_dense_family_mesh_slot_serving_matches_single_device(family):
+    """dots/glm dp mesh serving (same design as paddle: params replicate,
+    slot KV rows shard over dp). Tokens must match the single-device
+    engine through the real scheduler — the mesh story now covers every
+    family (the reference has none, server/src/state.rs:22 mutex)."""
+    import asyncio
+
+    import jax.numpy as jnp
+
+    from dsocr_tpu.core import DecodeParameters, VisionSettings
+    from dsocr_tpu.server.scheduler import ContinuousScheduler
+
+    class FakeTokenizer:
+        def encode(self, text):
+            return [ord(c) % 100 for c in text]
+
+        def decode(self, ids, skip_special_tokens=True):
+            return "".join(chr(97 + (i % 26)) for i in ids)
+
+        def token_to_id(self, token):
+            return None
+
+    rng = np.random.default_rng(93)
+    params = DecodeParameters(max_new_tokens=6, no_repeat_ngram_size=None)
+    if family == "dots":
+        from dsocr_tpu.models.dots import DotsOcrEngine
+        from dsocr_tpu.models.dots.config import tiny_dots_config
+
+        def make(mesh=None):
+            eng = DotsOcrEngine(tiny_dots_config(), dtype=jnp.float32,
+                                max_seq_len=512, seed=3, mesh=mesh)
+            eng.prep_overrides = {"min_pixels": 1, "max_pixels": 28 * 56}
+            return eng
+
+        vset = VisionSettings(28, 56, False)
+        imgs = [rng.integers(0, 256, (28, 56, 3), dtype=np.uint8),
+                rng.integers(0, 256, (28, 28, 3), dtype=np.uint8)]
+        prompts = ["<image>\nExtract.", "<image>\nLayout."]
+    else:
+        from dsocr_tpu.models.glm import GlmOcrEngine
+        from dsocr_tpu.models.glm.config import tiny_glm_config
+
+        def make(mesh=None):
+            return GlmOcrEngine(tiny_glm_config(), dtype=jnp.float32,
+                                max_seq_len=512, seed=3, mesh=mesh)
+
+        vset = VisionSettings(336, 336, False)
+        imgs = [rng.integers(0, 256, (40, 60, 3), dtype=np.uint8),
+                rng.integers(0, 256, (30, 30, 3), dtype=np.uint8)]
+        prompts = ["<image>ocr", "<image>more"]
+
+    def serve(eng):
+        async def go():
+            sched = ContinuousScheduler(eng, FakeTokenizer(), n_slots=2,
+                                        max_len=256, chunk_steps=2)
+            return await asyncio.gather(
+                *(sched.submit(p, [im], vset, params)
+                  for p, im in zip(prompts, imgs))
+            )
+
+        return asyncio.run(go())
+
+    plain = serve(make())
+    meshed = serve(make(mesh=make_mesh(8, dp=2)))
+    for a, b in zip(plain, meshed):
+        assert a.generated_tokens == b.generated_tokens
