@@ -757,3 +757,51 @@ def test_state_construction_failure_fails_futures(slot_engine, monkeypatch):
     for out in outs:
         assert isinstance(out, ValueError)
         assert "synthetic state construction" in str(out)
+
+
+def test_streamed_restart_without_continuation_fails_loudly(slot_engine, monkeypatch):
+    """An engine WITHOUT continuation prefill cannot resume a streamed
+    request after a device fault — the job must fail with a clear error
+    instead of silently streaming a non-extension token list (r4
+    review). Non-streaming jobs on the same engine restart fine."""
+    import inspect
+
+    tok = SlotTokenizer()
+    params = DecodeParameters(max_new_tokens=10, no_repeat_ngram_size=None)
+    img = _img(90)
+    solo = slot_engine.decode(tok, "<image>nostream", [img], VS, params)
+
+    # hide the engine's continuation support from the scheduler
+    real = slot_engine.prefill_for_slot
+
+    def no_continuation(tokenizer, prompt, images, vision):
+        return real(tokenizer, prompt, images, vision)
+
+    monkeypatch.setattr(slot_engine, "prefill_for_slot", no_continuation)
+    assert "extra_tokens" not in inspect.signature(
+        slot_engine.prefill_for_slot
+    ).parameters
+
+    seen = []
+
+    async def go():
+        sched = ContinuousScheduler(slot_engine, tok, n_slots=2, max_len=256,
+                                    chunk_steps=2, stream_chunk_steps=2)
+        _flaky_runner(sched, {2})
+        stream_task = asyncio.create_task(
+            sched.submit("<image>stream-nc", [img], VS, params,
+                         stream_cb=lambda n, toks: seen.append(n))
+        )
+        plain_task = asyncio.create_task(
+            sched.submit("<image>nostream", [img], VS, params)
+        )
+        return await asyncio.gather(stream_task, plain_task,
+                                    return_exceptions=True)
+
+    streamed, plain = asyncio.run(go())
+    # the streamed job with emitted tokens fails loudly...
+    assert isinstance(streamed, RuntimeError)
+    assert "cannot resume" in str(streamed)
+    # ...while the non-streaming greedy job restarts and matches solo
+    assert not isinstance(plain, Exception)
+    assert plain.generated_tokens == solo.generated_tokens
