@@ -73,6 +73,20 @@ def _bucket_margins(
     return new_lo, max(0, new_hi)
 
 
+class _SplitUpload:
+    """Future-like over n piece uploads; result() re-concatenates on
+    device (one cheap HBM copy) so the tower sees the original chunk."""
+
+    __slots__ = ("futs",)
+
+    def __init__(self, futs):
+        self.futs = futs
+
+    def result(self):
+        parts = [f.result() for f in self.futs]
+        return parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=0)
+
+
 @dataclasses.dataclass
 class VisionInput:
     global_pixels: np.ndarray  # [1, 3, G, G] uint8
@@ -592,7 +606,16 @@ class DeepseekOcrEngine:
         """Pad a view chunk to a power-of-2 bucket (×mesh size) — exact
         final-chunk shapes caused a fresh ~minutes-long remote tower
         compile for every distinct pooled batch — and submit its upload
-        on the transfer pool. Returns (future, n_pad_rows, pad_geom)."""
+        on the transfer pool. Returns (future, n_pad_rows, pad_geom).
+
+        DSOCR_UPLOAD_SPLIT=n (>1): submit the chunk as n pieces and
+        re-concatenate on device at consume time. A 16-tile chunk is
+        ~20 MB — head-of-line blocking behind it delays the serving
+        pipeline's small critical-path transfers (joins, prefill
+        dispatches, first-token pulls) by ~0.5 s on the ~40 MB/s
+        tunnel; pieces let those interleave between them."""
+        import os
+
         mesh_n = 1 if self.mesh is None else self.mesh.devices.size
         target = min(
             vb,
@@ -602,6 +625,13 @@ class DeepseekOcrEngine:
         if chunk.shape[0] != target:
             pad = target - chunk.shape[0]
             chunk = np.concatenate([chunk, chunk[-1:].repeat(pad, 0)])
+        split = int(os.environ.get("DSOCR_UPLOAD_SPLIT", "1"))
+        if split > 1 and chunk.shape[0] >= split and self.mesh is None:
+            futs = [
+                self._transfer_pool.submit(put, piece)
+                for piece in np.array_split(chunk, split)
+            ]
+            return (_SplitUpload(futs), pad, pad_geom)
         return (self._transfer_pool.submit(put, chunk), pad, pad_geom)
 
     def _submit_global_chunk(self, group: Sequence[VisionInput], vb: int, put):
