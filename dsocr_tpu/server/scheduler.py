@@ -132,6 +132,16 @@ class ContinuousScheduler:
         # prefill wave size: bigger waves pool the vision towers better
         # (throughput); smaller waves admit sooner (latency)
         self.prefill_batch = prefill_batch or max(2, self.n_slots // 2)
+        # first-wave ramp: the FIRST wave of a cold pipeline is fully
+        # serial (prepare → upload → towers → prefill before any decode
+        # exists to overlap) — a smaller first wave starts decode sooner
+        # and the full-size waves behind it overlap it. Measured (r4,
+        # interleaved A/B at 96x16): +3-5% pages/sec and -20% TTFT p50
+        # in both reps. DSOCR_FIRST_WAVE=0 disables.
+        self._first_wave_batch = int(
+            os.environ.get("DSOCR_FIRST_WAVE", "4")
+        ) or None
+        self._ramped = False  # becomes True once the first wave shipped
         self.queue: asyncio.Queue = asyncio.Queue()
         # prefilled packets awaiting a free slot; bounded so at most a
         # wave of prefill KV blocks sits in HBM while slots are busy
@@ -481,12 +491,17 @@ class ContinuousScheduler:
         return pre
 
     def _grab_wave(self) -> List[_SlotJob]:
+        limit = self.prefill_batch
+        if not self._ramped and self._first_wave_batch:
+            limit = min(limit, self._first_wave_batch)
         jobs: List[_SlotJob] = []
-        while len(jobs) < self.prefill_batch:
+        while len(jobs) < limit:
             try:
                 jobs.append(self.queue.get_nowait())
             except asyncio.QueueEmpty:
                 break
+        if jobs:
+            self._ramped = True
         return jobs
 
     async def _prefill_worker(self):
@@ -591,6 +606,9 @@ class ContinuousScheduler:
                 active_jobs = [j for j in self._rows if j is not None]
                 if not active_jobs:
                     if self._inflight == 0:
+                        # pipeline drained: the next burst is cold again,
+                        # so the first-wave ramp re-arms
+                        self._ramped = False
                         return
                     # prefills in flight: block on the ready queue instead
                     # of poll-spinning (the single host core is what the

@@ -79,14 +79,16 @@ def test_incremental_emission_and_final_line(tmp_path):
 
 
 def test_simulated_stall_shrinks_plan_but_still_captures(tmp_path):
-    # 900 s already "gone" from a 960 s budget: after warmup + the first
+    # 900 s already "gone" from a 935 s budget: after warmup + the first
     # timed rep the projection check must refuse further full-size reps
-    # yet the final line still parses with a fresh (non-stale) value.
+    # (the projection carries a fixed +30 s slack, so remaining must be
+    # strictly under it regardless of how fast the tiny run goes) yet
+    # the final line still parses with a fresh (non-stale) value.
     lines, stderr = run_bench(
         tmp_path,
         {
             "BENCH_SIM_ELAPSED": "900",
-            "BENCH_WALL_BUDGET": "960",
+            "BENCH_WALL_BUDGET": "935",
             "BENCH_REQUESTS": "64",  # full-size reps would NOT fit
         },
     )
