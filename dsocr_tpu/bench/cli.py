@@ -131,7 +131,8 @@ def cmd_perf(args) -> int:
             shutil.copy(_hpath, prior_history)
 
         def on_entry(entries_so_far):
-            from .perf import save_history as _save
+            import dataclasses as _dc
+            import time as _time
 
             path = pathlib.Path(args.history)
             merged = {}
@@ -144,13 +145,11 @@ def cmd_perf(args) -> int:
                         ] = e
                 except Exception:
                     merged = {}
-            import dataclasses as _dc
-
             for e in entries_so_far:
                 merged[(e.model, e.dtype, e.quant, e.mode)] = _dc.asdict(e)
             path.write_text(
                 json.dumps(
-                    {"recorded_at": __import__("time").time(),
+                    {"recorded_at": _time.time(),
                      "entries": list(merged.values())},
                     indent=2,
                 )

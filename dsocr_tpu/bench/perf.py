@@ -86,6 +86,9 @@ def run_perf_matrix(
     (orchestrator.py:199-254). 'serve' drives the continuous-batching
     scheduler with n_requests concurrent pages — the axis the
     mutex-serialized reference cannot measure."""
+    import gc
+    import sys
+
     import numpy as np
     from PIL import Image
 
@@ -128,8 +131,6 @@ def run_perf_matrix(
                 except Exception as err:
                     if not skip_failures:
                         raise
-                    import sys
-
                     print(
                         f"[perf] engine {model}/{dtype}/{quant} failed to "
                         f"load ({type(err).__name__}: {err}); skipping",
@@ -188,8 +189,6 @@ def run_perf_matrix(
                         set_recorder(None)
                         if not skip_failures:
                             raise
-                        import sys
-
                         print(
                             f"[perf] cell {model}/{dtype}/{quant}/{mode} "
                             f"failed ({type(err).__name__}: {err}); skipping",
@@ -215,8 +214,6 @@ def run_perf_matrix(
                 # AND the jitted executables holding buffer references
                 # (glm OOM'd behind three resident families otherwise)
                 del engine
-                import gc
-
                 gc.collect()
                 try:
                     import jax

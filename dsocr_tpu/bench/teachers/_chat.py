@@ -10,7 +10,7 @@ from __future__ import annotations
 
 import pathlib
 import time
-from typing import Any, Dict, Optional
+from typing import Any, Dict
 
 import numpy as np
 

@@ -20,6 +20,7 @@ import dataclasses
 import functools
 import logging
 import os
+import time
 from typing import Any, Callable, List, Optional, Tuple, Union
 
 from ..core import DecodeOutcome, DecodeParameters, VisionSettings
@@ -41,9 +42,7 @@ _trace_t0: List[float] = []
 def _trace(event: str, **fields):
     if not _TRACE:
         return
-    import time as _time
-
-    now = _time.perf_counter()
+    now = time.perf_counter()
     if not _trace_t0:
         _trace_t0.append(now)
     kv = " ".join(f"{k}={v}" for k, v in fields.items())
@@ -230,10 +229,8 @@ class ContinuousScheduler:
                 self._state = None
                 self._stale_rows.clear()
             self._loop = loop
-        import time as _time
-
         job = _SlotJob(prompt, images, vision, params, loop.create_future(), stream_cb)
-        job.t_submit = _time.perf_counter()
+        job.t_submit = time.perf_counter()
         self._inflight += 1
         await self.queue.put(job)
         self._ensure_workers()
@@ -357,9 +354,17 @@ class ContinuousScheduler:
         """Sample TTFT at join success — the request's first token is
         selected during prefill/join and the row is live for decode, so
         this is when a streaming client could first see output."""
-        import time as _time
+        self.ttft_samples.append(time.perf_counter() - job.t_submit)
 
-        self.ttft_samples.append(_time.perf_counter() - job.t_submit)
+    async def _release_row_and_finalize(self, loop, row, job, tokens) -> None:
+        """Release the row's resources, THEN resolve the future: once the
+        last future resolves, asyncio.run can tear the loop down and a
+        release scheduled after it silently never runs — harmless for
+        contiguous KV but it leaked paged pool pages (r4)."""
+        self._state = await loop.run_in_executor(
+            None, self._runner.release, self._state, row
+        )
+        self._finalize(job, tokens)
 
     def _finalize(self, job: _SlotJob, tokens: List[int]) -> None:
         text = normalize_text(
@@ -583,12 +588,8 @@ class ContinuousScheduler:
             self._record_ttft(job)
             if finished:
                 # the join allocated row resources (paged: pool pages)
-                # even though the row never decodes — release them, and
-                # do it before resolving the future (see _process_harvest)
-                self._state = await loop.run_in_executor(
-                    None, self._runner.release, self._state, row
-                )
-                self._finalize(job, [])
+                # even though the row never decodes
+                await self._release_row_and_finalize(loop, row, job, [])
             else:
                 self._rows[row] = job
 
@@ -633,10 +634,9 @@ class ContinuousScheduler:
                             continue
                         self._record_ttft(job)
                         if finished:
-                            self._state = await loop.run_in_executor(
-                                None, self._runner.release, self._state, row
+                            await self._release_row_and_finalize(
+                                loop, row, job, []
                             )
-                            self._finalize(job, [])
                         else:
                             self._rows[row] = job
                     continue
@@ -855,10 +855,7 @@ class ContinuousScheduler:
                 self._fail(job, err2)
                 continue
             if finished:
-                self._state = await loop.run_in_executor(
-                    None, self._runner.release, self._state, row
-                )
-                self._finalize(job, prefix)
+                await self._release_row_and_finalize(loop, row, job, prefix)
             else:
                 self._rows[row] = job
         return True
@@ -876,17 +873,9 @@ class ContinuousScheduler:
                     pass
             job.emitted = len(tokens)
             if not harvest.active[row]:
-                # release BEFORE resolving the future: once the last
-                # future resolves, asyncio.run can tear the loop down
-                # and a release scheduled after it silently never runs —
-                # harmless for contiguous KV (fresh state rebuilds) but
-                # it leaked paged pool pages across loops (r4)
                 self._rows[row] = None
                 with Timer("slot.release"):
-                    self._state = await loop.run_in_executor(
-                        None, self._runner.release, self._state, row
-                    )
-                self._finalize(job, tokens)
+                    await self._release_row_and_finalize(loop, row, job, tokens)
 
 
 class BatchScheduler:
