@@ -84,6 +84,7 @@ class HFDeepseekTeacher:
         image_size: int = 640,
         crop_mode: bool = True,
         capture_goldens: bool = True,
+        trust_remote_code: bool = False,
     ):
         self.model_dir = pathlib.Path(model_dir)
         self.model_id = model_id
@@ -91,6 +92,9 @@ class HFDeepseekTeacher:
         self.image_size = image_size
         self.crop_mode = crop_mode
         self.capture_goldens = capture_goldens
+        # executes arbitrary code from model_dir when True — the teachers
+        # CLI gates it behind an explicit --trust-remote-code (r4 advisor)
+        self.trust_remote_code = trust_remote_code
 
     def run(
         self, image: pathlib.Path, prompt: str, max_new_tokens: int
@@ -105,11 +109,12 @@ class HFDeepseekTeacher:
         np.random.seed(0)
 
         t0 = time.perf_counter()
+        trc = self.trust_remote_code
         tokenizer = AutoTokenizer.from_pretrained(
-            str(self.model_dir), trust_remote_code=True
+            str(self.model_dir), trust_remote_code=trc
         )
         model = AutoModel.from_pretrained(
-            str(self.model_dir), trust_remote_code=True, use_safetensors=True
+            str(self.model_dir), trust_remote_code=trc, use_safetensors=True
         )
         model = model.to(torch.float32).eval().to(torch.device("cpu"))
         load_time_s = time.perf_counter() - t0

@@ -35,6 +35,13 @@ def main(argv=None) -> int:
         action="store_true",
         help="also run our engine on the case and strict-gate the tokens",
     )
+    ap.add_argument(
+        "--trust-remote-code",
+        action="store_true",
+        help="allow transformers to execute code shipped inside "
+        "--model-dir (the DeepSeek-OCR / dots.ocr HF repos require it; "
+        "off by default because it runs arbitrary downloaded code)",
+    )
     args = ap.parse_args(argv)
 
     if args.family not in STRICT_FAMILIES:
@@ -44,7 +51,10 @@ def main(argv=None) -> int:
             "best-effort",
             file=sys.stderr,
         )
-    teacher = TEACHERS[args.family](pathlib.Path(args.model_dir))
+    teacher = TEACHERS[args.family](
+        pathlib.Path(args.model_dir),
+        trust_remote_code=args.trust_remote_code,
+    )
     if args.gate:
         result = capture_and_gate(
             teacher,

@@ -26,11 +26,15 @@ class ChatTemplateTeacher:
     reference glm.py:64-91)."""
 
     model_id = "chat-template"
-    trust_remote_code = True
     use_fast_processor = False
 
-    def __init__(self, model_dir: pathlib.Path):
+    def __init__(
+        self, model_dir: pathlib.Path, trust_remote_code: bool = False
+    ):
         self.model_dir = pathlib.Path(model_dir)
+        # executes arbitrary code from model_dir when True — the teachers
+        # CLI gates it behind an explicit --trust-remote-code (r4 advisor)
+        self.trust_remote_code = trust_remote_code
 
     # -- hooks ----------------------------------------------------------------
 

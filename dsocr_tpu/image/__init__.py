@@ -23,6 +23,7 @@ from .smart_resize import (
     smart_resize,
     preprocess_patches,
 )
+from .sparse_code import SparseViews, encode_views, decode_views
 
 __all__ = [
     "resize_bicubic",
@@ -38,4 +39,7 @@ __all__ = [
     "ImagePatches",
     "smart_resize",
     "preprocess_patches",
+    "SparseViews",
+    "encode_views",
+    "decode_views",
 ]

@@ -87,6 +87,46 @@ class _SplitUpload:
         return parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=0)
 
 
+class _SparseUpload:
+    """Future-like over a sparse-coded chunk upload (image/sparse_code):
+    the transfer-pool task encodes host-side and ships the coded planes
+    (bitmask + exception values, 2-4x fewer bytes on document pages);
+    result() runs the tiny device decode jit, yielding a pixel tensor
+    BIT-EXACT equal to the raw upload. Non-document chunks (encode
+    returns None) fall back to the raw put inside the same task."""
+
+    __slots__ = ("engine", "fut")
+
+    def __init__(self, engine, chunk, put):
+        self.engine = engine
+        self.fut = engine._transfer_pool.submit(self._encode_and_put, chunk, put)
+
+    @staticmethod
+    def _encode_and_put(chunk, put):
+        from ...image.sparse_code import encode_views
+
+        sp = encode_views(chunk)
+        if sp is None:
+            return ("raw", put(chunk))
+        # coded planes are small; sparse upload is gated to mesh=None so
+        # plain single-device puts are correct here
+        return (
+            "sparse",
+            (
+                jax.device_put(sp.mask_bits),
+                jax.device_put(sp.values),
+                jax.device_put(sp.bg),
+                sp.shape,
+            ),
+        )
+
+    def result(self):
+        kind, payload = self.fut.result()
+        if kind == "raw":
+            return payload
+        return self.engine._sparse_decode(*payload)
+
+
 @dataclasses.dataclass
 class VisionInput:
     global_pixels: np.ndarray  # [1, 3, G, G] uint8
@@ -539,6 +579,19 @@ class DeepseekOcrEngine:
             self._tower_jit = jax.jit(self._tower, static_argnames=("pad",))
         return self._tower_jit(self.params, pixels, pad=pad)
 
+    def _sparse_decode(self, mask_bits, values, bg, shape):
+        """Device decode of a sparse-coded view chunk (_SparseUpload) —
+        a SEPARATE small jit feeding the unchanged tower jit, so the K
+        buckets don't multiply the tower's (minutes-long remote) compile
+        keys; the decode graph itself compiles in seconds."""
+        if not hasattr(self, "_sparse_decode_jit"):
+            from ...image.sparse_code import decode_views
+
+            self._sparse_decode_jit = jax.jit(
+                decode_views, static_argnames=("shape",)
+            )
+        return self._sparse_decode_jit(mask_bits, values, bg, shape=shape)
+
     def _prefetch_views(self, vins: Sequence[VisionInput]) -> dict:
         """Chunk a wave's views and submit their pixel uploads on the
         transfer pool (OCR1 view batching); returns upload futures the
@@ -625,6 +678,16 @@ class DeepseekOcrEngine:
         if chunk.shape[0] != target:
             pad = target - chunk.shape[0]
             chunk = np.concatenate([chunk, chunk[-1:].repeat(pad, 0)])
+        # sparse document coding (image/sparse_code.py): ~2-4x fewer
+        # bytes over the link for background-dominated pages, decoded
+        # bit-exactly by a small device jit at consume time. Gated to
+        # mesh=None (the coded planes would need their own shardings);
+        # DSOCR_SPARSE_UPLOAD=0 reverts to raw pixel uploads.
+        if (
+            self.mesh is None
+            and os.environ.get("DSOCR_SPARSE_UPLOAD", "1") != "0"
+        ):
+            return (_SparseUpload(self, chunk, put), pad, pad_geom)
         split = int(os.environ.get("DSOCR_UPLOAD_SPLIT", "1"))
         if split > 1 and chunk.shape[0] >= split and self.mesh is None:
             futs = [

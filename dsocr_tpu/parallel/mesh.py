@@ -50,6 +50,26 @@ def cache_sharding(mesh: Mesh, num_kv_heads: int) -> NamedSharding:
     return NamedSharding(mesh, P(None, "dp", None, None, None))
 
 
+_warned_fallbacks: set = set()
+
+
+def _warn_replicated(axis: str, dim: str, n: int, size: int) -> None:
+    """One-time visibility when a requested mesh axis silently falls back
+    to replication (r4 advisor: a user asking for dp must see in the
+    serving log that they got none)."""
+    key = (axis, dim, n, size)
+    if key in _warned_fallbacks:
+        return
+    _warned_fallbacks.add(key)
+    import logging
+
+    logging.getLogger("dsocr.mesh").warning(
+        "mesh axis %r (size %d) does not divide %s=%d; replicating that "
+        "dimension instead — no %s parallelism for the slot KV cache",
+        axis, size, dim, n, axis,
+    )
+
+
 def slot_cache_sharding(
     mesh: Mesh, num_kv_heads: int, n_slots: int
 ) -> NamedSharding:
@@ -59,6 +79,10 @@ def slot_cache_sharding(
     otherwise, which r4 found as a prefill-worker deadlock)."""
     b = "dp" if n_slots % mesh.shape["dp"] == 0 else None
     h = "mp" if num_kv_heads % mesh.shape["mp"] == 0 else None
+    if b is None and mesh.shape["dp"] > 1:
+        _warn_replicated("dp", "n_slots", n_slots, mesh.shape["dp"])
+    if h is None and mesh.shape["mp"] > 1:
+        _warn_replicated("mp", "num_kv_heads", num_kv_heads, mesh.shape["mp"])
     return NamedSharding(mesh, P(None, b, h, None, None))
 
 

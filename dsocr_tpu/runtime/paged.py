@@ -280,6 +280,14 @@ class PagedSlotRunner(SlotRunner):
         if pages:
             self.allocator.release(pages)
 
+    def release_all_rows(self) -> None:
+        """Free every row's pool pages. Public surface for the scheduler's
+        device-fault recovery: crashed rows' release() never ran, and a
+        leaked pool exhausts after a few recoveries (r4 advisor: the
+        recovery path must not poke _row_pages/allocator directly)."""
+        for row in list(self._row_pages):
+            self._release_row_pages(row)
+
     def release(self, state, row: int):
         self._release_row_pages(row)
         return super().release(state, row)

@@ -773,13 +773,10 @@ class ContinuousScheduler:
         # crashed rows' pages (their release() never ran) — free every
         # row's pages before re-admission; a leaked pool exhausts after
         # a few recoveries otherwise. (Contiguous runners have no
-        # host-side allocation state.)
-        allocator = getattr(self._runner, "allocator", None)
-        row_pages = getattr(self._runner, "_row_pages", None)
-        if allocator is not None and row_pages is not None:
-            for pages in list(row_pages.values()):
-                allocator.release(pages)
-            row_pages.clear()
+        # host-side allocation state and no release_all_rows.)
+        release_all = getattr(self._runner, "release_all_rows", None)
+        if release_all is not None:
+            release_all()
         self._stale_rows.clear()
         try:
             self._ensure_state()

@@ -121,8 +121,11 @@ def test_teacher_cli_writes_artifact(png, tmp_path, monkeypatch):
     import dsocr_tpu.bench.teachers as teachers_pkg
     from dsocr_tpu.bench.teachers.__main__ import main
 
+    seen_kw = {}
     monkeypatch.setitem(
-        teachers_pkg.TEACHERS, "deepseek", lambda model_dir: StubChatTeacher(model_dir)
+        teachers_pkg.TEACHERS,
+        "deepseek",
+        lambda model_dir, **kw: (seen_kw.update(kw), StubChatTeacher(model_dir))[1],
     )
     out = tmp_path / "artifact"
     rc = main(
@@ -136,6 +139,8 @@ def test_teacher_cli_writes_artifact(png, tmp_path, monkeypatch):
         ]
     )
     assert rc == 0
+    # remote-code execution is opt-in (r4 advisor): default must be off
+    assert seen_kw == {"trust_remote_code": False}
     payload = json.loads((out / "baseline.json").read_text())
     assert payload["generated_tokens"] == [100, 101, 102, 103]
 
