@@ -141,12 +141,14 @@ def cmd_perf(args) -> int:
                     for e in json.loads(path.read_text()).get("entries", []):
                         merged[
                             (e["model"], e["dtype"], e.get("quant", ""),
-                             e.get("mode", "single"))
+                             e.get("mode", "single"), e.get("kv_quant", ""))
                         ] = e
                 except Exception:
                     merged = {}
             for e in entries_so_far:
-                merged[(e.model, e.dtype, e.quant, e.mode)] = _dc.asdict(e)
+                merged[
+                    (e.model, e.dtype, e.quant, e.mode, e.kv_quant)
+                ] = _dc.asdict(e)
             path.write_text(
                 json.dumps(
                     {"recorded_at": _time.time(),
@@ -162,12 +164,17 @@ def cmd_perf(args) -> int:
         max_new_tokens=args.max_new_tokens,
         quants=args.quants.split(",") if args.quants is not None else None,
         modes=args.modes.split(",") if args.modes is not None else None,
+        kv_quants=(
+            args.kv_quants.split(",") if args.kv_quants is not None else None
+        ),
         n_requests=args.requests,
         warmup=not args.no_warmup,
         on_entry=on_entry,
     )
     for e in entries:
-        label = "/".join(filter(None, (e.model, e.dtype, e.quant, e.mode)))
+        label = "/".join(
+            filter(None, (e.model, e.dtype, e.quant, e.kv_quant, e.mode))
+        )
         print(
             f"{label}: wall {e.wall_s:.2f}s, "
             f"{e.tokens_per_sec:.1f} tok/s, {e.pages_per_sec:.2f} pages/s"
@@ -270,6 +277,11 @@ def main(argv=None) -> int:
     p.add_argument(
         "--modes", default=None,
         help="comma list of single, serve (continuous batching)",
+    )
+    p.add_argument(
+        "--kv-quants", dest="kv_quants", default=None,
+        help="comma list of '', int8 (KV-cache quantization axis — the "
+        "headline serving config is q8_0+int8)",
     )
     p.add_argument("--requests", type=int, default=4, help="pages in serve mode")
     p.add_argument(

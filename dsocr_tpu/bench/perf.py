@@ -25,6 +25,20 @@ class PerfEntry:
     quant: str = ""  # '' (dense) | q8_0 | q4_k | q6_k
     mode: str = "single"  # single | serve (continuous batching)
     pages_per_sec: float = 0.0
+    kv_quant: str = ""  # '' (dense KV) | int8
+
+
+def _norm_stages(stages: Dict[str, float]) -> Dict[str, float]:
+    """Fold renamed/split stages into comparable totals: the streamed
+    prefill path books host prep under `slot.prepare_inputs.overlapped`
+    while `slot.prepare_inputs` reads ~0 (r3 rename, ADVICE r3 #3) —
+    history entries recorded before/after the rename would otherwise
+    show a spurious regression/improvement pair."""
+    out = dict(stages)
+    ov = out.pop("slot.prepare_inputs.overlapped", 0.0)
+    if ov:
+        out["slot.prepare_inputs"] = out.get("slot.prepare_inputs", 0.0) + ov
+    return out
 
 
 def compare_history(
@@ -37,17 +51,26 @@ def compare_history(
         return report
     history = json.loads(pathlib.Path(history_path).read_text())
     prev = {
-        (e["model"], e["dtype"], e.get("quant", ""), e.get("mode", "single")): e
+        (
+            e["model"], e["dtype"], e.get("quant", ""),
+            e.get("mode", "single"), e.get("kv_quant", ""),
+        ): e
         for e in history.get("entries", [])
     }
     for entry in current:
-        key = (entry.model, entry.dtype, entry.quant, entry.mode)
+        key = (entry.model, entry.dtype, entry.quant, entry.mode, entry.kv_quant)
         if key not in prev:
             report["new"].append(f"{entry.model}/{entry.dtype}")
             continue
-        label = "/".join(filter(None, (entry.model, entry.dtype, entry.quant, entry.mode)))
-        for stage, value in entry.stage_totals.items():
-            old = prev[key].get("stage_totals", {}).get(stage)
+        label = "/".join(
+            filter(
+                None,
+                (entry.model, entry.dtype, entry.quant, entry.kv_quant, entry.mode),
+            )
+        )
+        old_stages = _norm_stages(prev[key].get("stage_totals", {}))
+        for stage, value in _norm_stages(entry.stage_totals).items():
+            old = old_stages.get(stage)
             if old is None or old <= 0:
                 continue
             ratio = value / old
@@ -75,6 +98,7 @@ def run_perf_matrix(
     max_new_tokens: int = 64,
     quants: Optional[List[str]] = None,  # '' | q8_0 | q4_k | q6_k
     modes: Optional[List[str]] = None,  # single | serve
+    kv_quants: Optional[List[str]] = None,  # '' | int8
     n_requests: int = 4,
     warmup: bool = True,
     on_entry=None,  # callback(entries_so_far) after each cell (incremental save)
@@ -106,6 +130,7 @@ def run_perf_matrix(
     }
     quants = [""] if quants is None else quants
     modes = ["single"] if modes is None else modes
+    kv_quants = [""] if kv_quants is None else kv_quants
 
     class _Tok:
         def encode(self, t):
@@ -121,19 +146,22 @@ def run_perf_matrix(
     entries = []
     for model in models:
         for dtype in dtypes:
-            for quant in quants:
+            for quant, kvq in [
+                (q, kv) for q in quants for kv in kv_quants
+            ]:
                 if quant and model == "glm-ocr":
                     continue  # no GLM DSQ adapter (matches the reference)
                 try:
                     engine = load_engine(
-                        kind_of[model], dtype=dtype, quantize=quant or None
+                        kind_of[model], dtype=dtype, quantize=quant or None,
+                        kv_quant=kvq or None,
                     )
                 except Exception as err:
                     if not skip_failures:
                         raise
                     print(
-                        f"[perf] engine {model}/{dtype}/{quant} failed to "
-                        f"load ({type(err).__name__}: {err}); skipping",
+                        f"[perf] engine {model}/{dtype}/{quant}/{kvq} failed "
+                        f"to load ({type(err).__name__}: {err}); skipping",
                         file=sys.stderr,
                     )
                     continue
@@ -190,8 +218,9 @@ def run_perf_matrix(
                         if not skip_failures:
                             raise
                         print(
-                            f"[perf] cell {model}/{dtype}/{quant}/{mode} "
-                            f"failed ({type(err).__name__}: {err}); skipping",
+                            f"[perf] cell {model}/{dtype}/{quant}/{kvq}/"
+                            f"{mode} failed ({type(err).__name__}: {err}); "
+                            "skipping",
                             file=sys.stderr,
                         )
                         continue
@@ -201,6 +230,7 @@ def run_perf_matrix(
                             model=model,
                             dtype=dtype,
                             quant=quant,
+                            kv_quant=kvq,
                             mode=mode,
                             stage_totals=recorder.stage_totals(),
                             wall_s=wall,

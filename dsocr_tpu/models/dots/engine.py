@@ -124,6 +124,55 @@ class DotsOcrEngine:
 
     # -- vision -----------------------------------------------------------------
 
+    def _vision_forward(self, patches_np: np.ndarray, layout) -> jnp.ndarray:
+        """Packed DotsVision pass: jitted padded-bucket path by default
+        (one dispatch + one compile per quarter-octave length bucket —
+        the r4 attribution found dots single-page at 16.7 s/page with
+        the tower dispatching eagerly over the ~20 ms-latency tunnel and
+        recompiling per exact grid). DSOCR_DOTS_VISION_JIT=0 reverts to
+        the eager reference path."""
+        import os
+
+        cfg = self.cfg.vision
+        if os.environ.get("DSOCR_DOTS_VISION_JIT", "1") == "0":
+            packed = jnp.asarray(patches_np, self.dtype_)
+            return dots_vision_forward(self.params["vision"], cfg, packed, layout)
+        from ...ops.packed_attention import bucket_tokens
+        from .vision import build_2d_rope_np, dots_vision_forward_packed
+
+        merge2 = cfg.spatial_merge_size ** 2
+        n = patches_np.shape[0]
+        n_pad = bucket_tokens(n, merge2)
+        pad = n_pad - n
+        patches = np.asarray(patches_np, np.float32)
+        cos, sin = build_2d_rope_np(layout.positions, cfg.head_dim)
+        seg_parts = [
+            np.full(length, fid, np.int32)
+            for fid, (_, length) in enumerate(layout.frames)
+        ]
+        if pad:
+            patches = np.concatenate(
+                [patches, np.zeros((pad,) + patches.shape[1:], np.float32)]
+            )
+            cos = np.concatenate([cos, np.ones((pad, cos.shape[1]), np.float32)])
+            sin = np.concatenate([sin, np.zeros((pad, sin.shape[1]), np.float32)])
+            seg_parts.append(np.full(pad, -1, np.int32))
+        seg = np.concatenate(seg_parts) if seg_parts else np.zeros(0, np.int32)
+        if not hasattr(self, "_vision_jit"):
+            import functools
+
+            self._vision_jit = jax.jit(
+                functools.partial(dots_vision_forward_packed, cfg=cfg)
+            )
+        out = self._vision_jit(
+            self.params["vision"],
+            jnp.asarray(patches, self.dtype_),
+            jnp.asarray(cos),
+            jnp.asarray(sin),
+            jnp.asarray(seg),
+        )
+        return out[: layout.merge_groups]
+
     def encode_images(
         self, images: Sequence[np.ndarray], vision: VisionSettings
     ) -> Tuple[List[jnp.ndarray], List[Tuple[int, int, int]]]:
@@ -142,11 +191,8 @@ class DotsOcrEngine:
             p = preprocess_patches(np.asarray(image), prep)
             all_patches.append(p.patches)
             grids.append(p.grid_thw)
-        packed = jnp.asarray(np.concatenate(all_patches), self.dtype_)
         layout = SequenceLayout.from_grid(grids, self.cfg.vision.spatial_merge_size)
-        merged = dots_vision_forward(
-            self.params["vision"], self.cfg.vision, packed, layout
-        )
+        merged = self._vision_forward(np.concatenate(all_patches), layout)
         merge_area = self.cfg.vision.spatial_merge_size**2
         outputs = []
         offset = 0

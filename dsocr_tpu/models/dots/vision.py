@@ -129,16 +129,8 @@ def _linear(x, p):
 def build_2d_rope(positions: np.ndarray, head_dim: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """[N, head_dim] (cos, sin): angles are [h·f..., w·f...] duplicated
     (ref VisionRotaryEmbedding + apply_rotary, dots_vit.rs:696-733,507-554)."""
-    rope_dim = head_dim // 2
-    axis_dim = rope_dim // 2
-    inv_freq = 1.0 / np.power(
-        10000.0, (2 * np.arange(axis_dim, dtype=np.float32)) / rope_dim
-    )
-    h_angles = positions[:, 0:1].astype(np.float32) * inv_freq
-    w_angles = positions[:, 1:2].astype(np.float32) * inv_freq
-    half = np.concatenate([h_angles, w_angles], axis=1)  # [N, rope_dim]
-    full = np.concatenate([half, half], axis=1)  # [N, head_dim]
-    return jnp.asarray(np.cos(full)), jnp.asarray(np.sin(full))
+    cos, sin = build_2d_rope_np(positions, head_dim)
+    return jnp.asarray(cos), jnp.asarray(sin)
 
 
 def _rope_apply(x, cos, sin):
@@ -146,13 +138,9 @@ def _rope_apply(x, cos, sin):
     return (x32 * cos[:, None] + rotate_half(x32) * sin[:, None]).astype(x.dtype)
 
 
-def dots_vision_forward(
-    params: Dict,
-    cfg: DotsVisionConfig,
-    patches: jnp.ndarray,  # [N, C, p, p]
-    layout: SequenceLayout,
-) -> jnp.ndarray:
-    """Returns [merge_groups, hidden_size] merged vision tokens."""
+def _trunk_and_merge(params, cfg: DotsVisionConfig, patches, cos, sin, attn_fn):
+    """Shared trunk: patch embed → blocks (attention via `attn_fn`) →
+    optional post norm → PatchMerger. Returns [n/merge², hidden]."""
     n = patches.shape[0]
     E = cfg.embed_dim
     NH = cfg.num_attention_heads
@@ -165,33 +153,13 @@ def dots_vision_forward(
     x = (x + params["patch_embed"]["b"].astype(jnp.float32)).astype(patches.dtype)
     x = rms_norm(x, params["patch_embed"]["norm"], cfg.rms_norm_eps)
 
-    cos, sin = build_2d_rope(layout.positions, D)
-
-    frame_len = layout.uniform_frame_len
     for blk in params["blocks"]:
         normed = rms_norm(x, blk["norm1"], cfg.rms_norm_eps)
         qkv = _linear(normed, blk["qkv"]).reshape(n, 3, NH, D)
         q = _rope_apply(qkv[:, 0], cos, sin)
         k = _rope_apply(qkv[:, 1], cos, sin)
         v = qkv[:, 2]
-        if frame_len is not None:
-            nf = n // frame_len
-            qf = q.reshape(nf, frame_len, NH, D).transpose(0, 2, 1, 3)
-            kf = k.reshape(nf, frame_len, NH, D).transpose(0, 2, 1, 3)
-            vf = v.reshape(nf, frame_len, NH, D).transpose(0, 2, 1, 3)
-            ctx = _frame_attention(qf, kf, vf)
-            ctx = ctx.transpose(0, 2, 1, 3).reshape(n, NH * D)
-        else:
-            parts = []
-            for start, length in layout.frames:
-                if length == 0:
-                    continue
-                qf = q[start : start + length].transpose(1, 0, 2)[None]
-                kf = k[start : start + length].transpose(1, 0, 2)[None]
-                vf = v[start : start + length].transpose(1, 0, 2)[None]
-                ctx = _frame_attention(qf, kf, vf)
-                parts.append(ctx[0].transpose(1, 0, 2).reshape(length, NH * D))
-            ctx = jnp.concatenate(parts, axis=0)
+        ctx = attn_fn(q, k, v)
         x = (x.astype(jnp.float32) + _linear(ctx, blk["proj"]).astype(jnp.float32)).astype(x.dtype)
 
         normed = rms_norm(x, blk["norm2"], cfg.rms_norm_eps)
@@ -207,11 +175,89 @@ def dots_vision_forward(
     # Tensor::gelu) → linear
     m = params["merger"]
     normed = layer_norm(x, m["ln_q"]["w"], m["ln_q"]["b"], eps=1e-6)
-    grouped = normed.reshape(layout.merge_groups, E * cfg.spatial_merge_size**2)
+    grouped = normed.reshape(
+        n // cfg.spatial_merge_size**2, E * cfg.spatial_merge_size**2
+    )
     h = jax.nn.gelu(
         _linear(grouped, m["mlp_in"]).astype(jnp.float32), approximate=True
     ).astype(x.dtype)
     return _linear(h, m["mlp_out"])
+
+
+def dots_vision_forward(
+    params: Dict,
+    cfg: DotsVisionConfig,
+    patches: jnp.ndarray,  # [N, C, p, p]
+    layout: SequenceLayout,
+) -> jnp.ndarray:
+    """Returns [merge_groups, hidden_size] merged vision tokens (eager
+    reference path; serving uses the jitted dots_vision_forward_packed)."""
+    n = patches.shape[0]
+    NH = cfg.num_attention_heads
+    D = cfg.head_dim
+    cos, sin = build_2d_rope(layout.positions, D)
+    frame_len = layout.uniform_frame_len
+
+    def attn_fn(q, k, v):
+        if frame_len is not None:
+            nf = n // frame_len
+            qf = q.reshape(nf, frame_len, NH, D).transpose(0, 2, 1, 3)
+            kf = k.reshape(nf, frame_len, NH, D).transpose(0, 2, 1, 3)
+            vf = v.reshape(nf, frame_len, NH, D).transpose(0, 2, 1, 3)
+            ctx = _frame_attention(qf, kf, vf)
+            return ctx.transpose(0, 2, 1, 3).reshape(n, NH * D)
+        parts = []
+        for start, length in layout.frames:
+            if length == 0:
+                continue
+            qf = q[start : start + length].transpose(1, 0, 2)[None]
+            kf = k[start : start + length].transpose(1, 0, 2)[None]
+            vf = v[start : start + length].transpose(1, 0, 2)[None]
+            ctx = _frame_attention(qf, kf, vf)
+            parts.append(ctx[0].transpose(1, 0, 2).reshape(length, NH * D))
+        return jnp.concatenate(parts, axis=0)
+
+    return _trunk_and_merge(params, cfg, patches, cos, sin, attn_fn)
+
+
+def dots_vision_forward_packed(
+    params: Dict,
+    patches: jnp.ndarray,  # [N_pad, C, p, p], zero-padded
+    cos: jnp.ndarray,  # [N_pad, head_dim]
+    sin: jnp.ndarray,
+    seg: jnp.ndarray,  # [N_pad] int32 frame id, -1 for padding
+    *,
+    cfg: DotsVisionConfig,
+) -> jnp.ndarray:
+    """Jittable packed-sequence tower (one compile per padded-length
+    bucket; frame isolation via ops/packed_attention.segment_attention —
+    the same fix that took GLM's tower from eager op-by-op dispatch to
+    one engine pass). Returns [N_pad/merge², hidden]; callers slice
+    [:layout.merge_groups]."""
+    NH = cfg.num_attention_heads
+    D = cfg.head_dim
+    n = patches.shape[0]
+
+    from ...ops.packed_attention import segment_attention
+
+    def attn_fn(q, k, v):
+        return segment_attention(q, k, v, seg).reshape(n, NH * D)
+
+    return _trunk_and_merge(params, cfg, patches, cos, sin, attn_fn)
+
+
+def build_2d_rope_np(positions: np.ndarray, head_dim: int) -> Tuple[np.ndarray, np.ndarray]:
+    """Numpy (cos, sin) for the packed path (padded host-side)."""
+    rope_dim = head_dim // 2
+    axis_dim = rope_dim // 2
+    inv_freq = 1.0 / np.power(
+        10000.0, (2 * np.arange(axis_dim, dtype=np.float32)) / rope_dim
+    )
+    h_angles = positions[:, 0:1].astype(np.float32) * inv_freq
+    w_angles = positions[:, 1:2].astype(np.float32) * inv_freq
+    half = np.concatenate([h_angles, w_angles], axis=1)
+    full = np.concatenate([half, half], axis=1)
+    return np.cos(full), np.sin(full)
 
 
 def _frame_attention(q, k, v):

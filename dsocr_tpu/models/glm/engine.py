@@ -35,7 +35,13 @@ from .decoder import (
     init_glm_text_params,
     new_cache,
 )
-from .vision import glm_vision_forward, init_glm_vision_params
+from .vision import (
+    bucket_tokens,
+    build_rotary_np,
+    glm_vision_forward,
+    glm_vision_forward_packed,
+    init_glm_vision_params,
+)
 
 
 def _round_up(x: int, m: int) -> int:
@@ -145,6 +151,59 @@ class GlmOcrEngine:
 
     def weights_path(self):
         return None
+
+    # -- vision ---------------------------------------------------------------
+
+    def _vision_forward(self, patches_np: np.ndarray, grids) -> jnp.ndarray:
+        """Pooled GLM tower over packed patches [N, C·tps·ps·ps].
+
+        Default: the jitted padded-bucket path (glm_vision_forward_packed
+        — ONE dispatch per page instead of an eager op-by-op walk paying
+        ~20 ms tunnel latency per op, the r4 GLM serve wall). Padded
+        lengths bucket quarter-octave so compile keys stay bounded.
+        DSOCR_GLM_VISION_JIT=0 reverts to the eager reference path."""
+        import os
+
+        cfg = self.cfg
+        if os.environ.get("DSOCR_GLM_VISION_JIT", "1") == "0":
+            packed = jnp.asarray(patches_np, self.dtype_)
+            return glm_vision_forward(
+                self.params["vision"], cfg.vision, packed, grids
+            )
+        merge2 = cfg.vision.spatial_merge_size ** 2
+        n = patches_np.shape[0]
+        n_pad = bucket_tokens(n, merge2)
+        pad = n_pad - n
+        patches = np.asarray(patches_np, np.float32)
+        cos, sin = build_rotary_np(grids, cfg.vision)
+        seg_parts = []
+        fid = 0
+        for t, h, w in grids:
+            for _ in range(t):
+                seg_parts.append(np.full(h * w, fid, np.int32))
+                fid += 1
+        if pad:
+            patches = np.concatenate(
+                [patches, np.zeros((pad, patches.shape[1]), np.float32)]
+            )
+            cos = np.concatenate([cos, np.ones((pad, cos.shape[1]), np.float32)])
+            sin = np.concatenate([sin, np.zeros((pad, sin.shape[1]), np.float32)])
+            seg_parts.append(np.full(pad, -1, np.int32))
+        seg = np.concatenate(seg_parts)
+        if not hasattr(self, "_vision_jit"):
+            import functools
+
+            self._vision_jit = jax.jit(
+                functools.partial(glm_vision_forward_packed, cfg=cfg.vision)
+            )
+        out = self._vision_jit(
+            self.params["vision"],
+            jnp.asarray(patches, self.dtype_),
+            jnp.asarray(cos),
+            jnp.asarray(sin),
+            jnp.asarray(seg),
+        )
+        return out[: n // merge2]
 
     # -- prompt (ref model.rs:119-163) -------------------------------------------
 
@@ -306,13 +365,9 @@ class GlmOcrEngine:
             groups.append((start_img, len(all_patches)))
             parts = []
             for lo, hi in groups:
-                packed = jnp.asarray(
-                    np.concatenate(all_patches[lo:hi]), self.dtype_
-                )
                 parts.append(
-                    glm_vision_forward(
-                        self.params["vision"], cfg.vision,
-                        packed, flat_grids[lo:hi],
+                    self._vision_forward(
+                        np.concatenate(all_patches[lo:hi]), flat_grids[lo:hi]
                     )
                 )
             embeddings = (
@@ -438,9 +493,8 @@ class GlmOcrEngine:
             grids.append(grid)
         embeddings = None
         if patch_arrays:
-            packed = jnp.asarray(np.concatenate(patch_arrays), self.dtype_)
-            embeddings = glm_vision_forward(
-                self.params["vision"], cfg.vision, packed, grids
+            embeddings = self._vision_forward(
+                np.concatenate(patch_arrays), grids
             )
         return self._prefill_row(tokenizer, prompt, grids, embeddings)
 
@@ -511,9 +565,8 @@ class GlmOcrEngine:
             grids.append(grid)
         embeddings = None
         if patch_arrays:
-            packed = jnp.asarray(np.concatenate(patch_arrays), self.dtype_)
-            embeddings = glm_vision_forward(
-                self.params["vision"], cfg.vision, packed, grids
+            embeddings = self._vision_forward(
+                np.concatenate(patch_arrays), grids
             )
         vtimer.finish(images=len(images))
 

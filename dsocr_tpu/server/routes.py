@@ -27,6 +27,7 @@ from .messages import (
     convert_messages,
     prompt_missing_image,
 )
+from .scheduler import QueueDepthExceeded
 from .state import AppState
 from .stream import ChatStream, ResponsesStream, new_id, now, sse
 
@@ -153,6 +154,10 @@ async def metrics(request: web.Request) -> web.Response:
         if rec is not None:
             lines.append("# TYPE dsocr_device_fault_recoveries_total counter")
             lines.append(f"dsocr_device_fault_recoveries_total {rec}")
+    shed = getattr(sched, "shed_requests", None)
+    if shed is not None:
+        lines.append("# TYPE dsocr_shed_requests_total counter")
+        lines.append(f"dsocr_shed_requests_total {shed}")
     ttft = getattr(sched, "ttft_samples", None)
     if ttft:
         import numpy as _np
@@ -384,6 +389,15 @@ async def error_middleware(request: web.Request, handler):
         return await handler(request)
     except ApiError as err:
         return web.json_response(err.body(), status=err.status)
+    except QueueDepthExceeded as err:
+        # tail-TTFT load shedding (DSOCR_MAX_INFLIGHT): waiting moves
+        # upstream where clients can retry/back off instead of inflating
+        # in-server queue wait
+        return web.json_response(
+            {"error": {"message": str(err), "type": "overloaded_error"}},
+            status=503,
+            headers={"Retry-After": str(int(err.retry_after_s))},
+        )
     except web.HTTPException:
         raise
     except ValueError as err:

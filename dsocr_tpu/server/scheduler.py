@@ -49,6 +49,27 @@ def _trace(event: str, **fields):
     print(f"[sched {now - _trace_t0[0]:8.3f}] {event} {kv}", flush=True)
 
 
+class QueueDepthExceeded(RuntimeError):
+    """Admission rejected: the scheduler's in-flight depth cap is full.
+
+    TTFT at a deep burst is QUEUE WAIT, not scheduling: with uniform
+    512-token jobs at ~2.3 pages/sec, the 95th of 96 requests must wait
+    ~40 s for capacity no matter how admission is ordered (sum of waits
+    is conserved by any non-preemptive reordering; r4 measured p95 39-48 s
+    at 96-deep). The production lever is bounding the accepted queue —
+    load shedding — so waiting happens upstream where clients can retry,
+    balance, or back off. The server maps this to HTTP 503 + Retry-After."""
+
+    def __init__(self, depth: int, cap: int, retry_after_s: float):
+        super().__init__(
+            f"serving queue full ({depth} in flight >= cap {cap}); "
+            f"retry after ~{retry_after_s:.0f}s"
+        )
+        self.depth = depth
+        self.cap = cap
+        self.retry_after_s = retry_after_s
+
+
 @dataclasses.dataclass
 class _Job:
     prompt: str
@@ -113,6 +134,7 @@ class ContinuousScheduler:
         stream_chunk_steps: int = 16,
         prefill_batch: Optional[int] = None,
         prefix_cache: Optional[int] = None,
+        max_inflight: Optional[int] = None,
     ):
         self.engine = engine
         self.tokenizer = tokenizer
@@ -193,6 +215,15 @@ class ContinuousScheduler:
         self._max_consecutive_failures = int(
             os.environ.get("DSOCR_SCHED_MAX_RECOVERIES", "3")
         )
+        # tail-TTFT admission cap (0 = unbounded, the default): reject
+        # submits beyond this in-flight depth with QueueDepthExceeded →
+        # HTTP 503 + Retry-After (see the exception's docstring for why
+        # load shedding is the right TTFT lever). `shed_requests` counts
+        # rejections for /metrics.
+        if max_inflight is None:
+            max_inflight = int(os.environ.get("DSOCR_MAX_INFLIGHT", "0"))
+        self.max_inflight = max_inflight or None
+        self.shed_requests = 0
 
     # -- public API ----------------------------------------------------------
 
@@ -229,6 +260,15 @@ class ContinuousScheduler:
                 self._state = None
                 self._stale_rows.clear()
             self._loop = loop
+        if self.max_inflight and self._inflight >= self.max_inflight:
+            self.shed_requests += 1
+            # Retry-After estimate: one wave's worth of decode at the
+            # recent TTFT pace, floored at a few seconds
+            recent = list(self.ttft_samples)[-self.n_slots :]
+            pace = (sum(recent) / len(recent)) if recent else 5.0
+            raise QueueDepthExceeded(
+                self._inflight, self.max_inflight, max(2.0, pace)
+            )
         job = _SlotJob(prompt, images, vision, params, loop.create_future(), stream_cb)
         job.t_submit = time.perf_counter()
         self._inflight += 1

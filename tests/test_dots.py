@@ -284,3 +284,49 @@ def test_dots_loader_roundtrip(tmp_path):
         DecodeParameters(max_new_tokens=2, no_repeat_ngram_size=None),
     )
     assert out.response_tokens > 0
+
+
+def test_vision_jit_matches_eager(tiny_engine, monkeypatch):
+    """The padded-bucket jitted tower (segment-mask packed attention)
+    must reproduce the eager per-frame path on a multi-image pack with
+    unequal grids."""
+    from dsocr_tpu.image import SmartResizeConfig, preprocess_patches
+    from dsocr_tpu.models.dots.vision import SequenceLayout
+
+    rng = np.random.default_rng(21)
+    images = [
+        rng.integers(0, 256, (28, 56, 3), dtype=np.uint8),
+        rng.integers(0, 256, (56, 28, 3), dtype=np.uint8),
+    ]
+    prep = SmartResizeConfig(
+        patch_size=tiny_engine.cfg.vision.patch_size,
+        merge_size=tiny_engine.cfg.vision.spatial_merge_size,
+        **tiny_engine.prep_overrides,
+    )
+    patches, grids = [], []
+    for im in images:
+        p = preprocess_patches(im, prep)
+        patches.append(p.patches)
+        grids.append(p.grid_thw)
+    layout = SequenceLayout.from_grid(
+        grids, tiny_engine.cfg.vision.spatial_merge_size
+    )
+    packed = np.concatenate(patches)
+    monkeypatch.setenv("DSOCR_DOTS_VISION_JIT", "0")
+    eager = np.asarray(tiny_engine._vision_forward(packed, layout))
+    monkeypatch.setenv("DSOCR_DOTS_VISION_JIT", "1")
+    jitted = np.asarray(tiny_engine._vision_forward(packed, layout))
+    assert eager.shape == jitted.shape
+    np.testing.assert_allclose(jitted, eager, rtol=2e-5, atol=2e-5)
+
+
+def test_engine_decode_tokens_jit_vs_eager(tiny_engine, monkeypatch):
+    rng = np.random.default_rng(22)
+    image = rng.integers(0, 256, (28, 56, 3), dtype=np.uint8)
+    params = DecodeParameters(max_new_tokens=4, no_repeat_ngram_size=None)
+    settings = VisionSettings(28, 56, False)
+    monkeypatch.setenv("DSOCR_DOTS_VISION_JIT", "0")
+    eager = tiny_engine.decode(FakeTokenizer(), "<image>x", [image], settings, params)
+    monkeypatch.setenv("DSOCR_DOTS_VISION_JIT", "1")
+    jitted = tiny_engine.decode(FakeTokenizer(), "<image>x", [image], settings, params)
+    assert eager.generated_tokens == jitted.generated_tokens

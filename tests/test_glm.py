@@ -191,3 +191,95 @@ def test_frame_attention_chunked_matches_unchunked():
         gv._QUERY_CHUNK, gv._KEY_CHUNK = old_q, old_k
     np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-5)
     np.testing.assert_allclose(out_kb, ref, rtol=1e-5, atol=1e-5)
+
+
+def test_segment_attention_matches_frame_attention():
+    """_segment_attention (jitted packed tower) must match per-frame
+    _frame_attention on real rows, for both the small single-softmax
+    path and the chunked online path, with q/k padding masked."""
+    import dsocr_tpu.models.glm.vision as gv
+
+    rng = np.random.default_rng(7)
+    NH, D = 2, 8
+    lens = [23, 41]
+    n = sum(lens)
+    q = jnp.asarray(rng.normal(size=(n, NH, D)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(n, NH, D)).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=(n, NH, D)).astype(np.float32))
+    ref_parts = []
+    start = 0
+    for length in lens:
+        ctx = gv._frame_attention(
+            q[start : start + length].transpose(1, 0, 2)[None],
+            k[start : start + length].transpose(1, 0, 2)[None],
+            v[start : start + length].transpose(1, 0, 2)[None],
+        )
+        ref_parts.append(np.asarray(ctx[0].transpose(1, 0, 2)))
+        start += length
+    ref = np.concatenate(ref_parts)
+
+    pad = 16
+    qp = jnp.concatenate([q, jnp.zeros((pad, NH, D), q.dtype)])
+    kp = jnp.concatenate([k, jnp.zeros((pad, NH, D), k.dtype)])
+    vp = jnp.concatenate([v, jnp.zeros((pad, NH, D), v.dtype)])
+    seg = jnp.asarray(
+        np.concatenate(
+            [np.full(lens[0], 0), np.full(lens[1], 1), np.full(pad, -1)]
+        ).astype(np.int32)
+    )
+    small = np.asarray(gv._segment_attention(qp, kp, vp, seg))[:n]
+    np.testing.assert_allclose(small, ref, rtol=1e-5, atol=1e-5)
+
+    old_q, old_k = gv._QUERY_CHUNK, gv._KEY_CHUNK
+    gv._QUERY_CHUNK = gv._KEY_CHUNK = 16  # force the online path
+    try:
+        chunked = np.asarray(gv._segment_attention(qp, kp, vp, seg))[:n]
+    finally:
+        gv._QUERY_CHUNK, gv._KEY_CHUNK = old_q, old_k
+    np.testing.assert_allclose(chunked, ref, rtol=1e-5, atol=1e-5)
+
+
+def test_bucket_tokens_bounds_keys():
+    from dsocr_tpu.models.glm.vision import bucket_tokens
+
+    buckets = {bucket_tokens(nn, 4) for nn in range(1, 40000, 37)}
+    assert len(buckets) <= 4 * 17
+    for nn in range(1, 40000, 997):
+        b = bucket_tokens(nn, 4)
+        assert b >= nn and b % 4 == 0 and (b - nn) <= max(1024, nn // 3)
+
+
+def test_vision_jit_matches_eager(tiny_engine, monkeypatch):
+    """The padded-bucket jitted tower must reproduce the eager path on a
+    multi-image pack with unequal grids (segment mask + padding)."""
+    from dsocr_tpu.models.glm.engine import preprocess_glm_image
+
+    rng = np.random.default_rng(11)
+    images = [
+        rng.integers(0, 256, (40, 60, 3), dtype=np.uint8),
+        rng.integers(0, 256, (52, 36, 3), dtype=np.uint8),
+    ]
+    patches, grids = [], []
+    for im in images:
+        p, g = preprocess_glm_image(im, tiny_engine.cfg)
+        patches.append(p)
+        grids.append(g)
+    packed = np.concatenate(patches)
+    monkeypatch.setenv("DSOCR_GLM_VISION_JIT", "0")
+    eager = np.asarray(tiny_engine._vision_forward(packed, grids))
+    monkeypatch.setenv("DSOCR_GLM_VISION_JIT", "1")
+    jitted = np.asarray(tiny_engine._vision_forward(packed, grids))
+    assert eager.shape == jitted.shape
+    np.testing.assert_allclose(jitted, eager, rtol=2e-5, atol=2e-5)
+
+
+def test_engine_decode_tokens_jit_vs_eager(tiny_engine, monkeypatch):
+    rng = np.random.default_rng(12)
+    image = rng.integers(0, 256, (40, 60, 3), dtype=np.uint8)
+    params = DecodeParameters(max_new_tokens=4, no_repeat_ngram_size=None)
+    settings = VisionSettings(336, 336, False)
+    monkeypatch.setenv("DSOCR_GLM_VISION_JIT", "0")
+    eager = tiny_engine.decode(FakeTokenizer(), "<image>go", [image], settings, params)
+    monkeypatch.setenv("DSOCR_GLM_VISION_JIT", "1")
+    jitted = tiny_engine.decode(FakeTokenizer(), "<image>go", [image], settings, params)
+    assert eager.generated_tokens == jitted.generated_tokens

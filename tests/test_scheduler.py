@@ -805,3 +805,41 @@ def test_streamed_restart_without_continuation_fails_loudly(slot_engine, monkeyp
     # ...while the non-streaming greedy job restarts and matches solo
     assert not isinstance(plain, Exception)
     assert plain.generated_tokens == solo.generated_tokens
+
+
+def test_continuous_admission_cap_sheds(slot_engine):
+    """DSOCR_MAX_INFLIGHT load shedding: submits beyond the cap raise
+    QueueDepthExceeded (→ HTTP 503 upstream); capped submits and later
+    retries still complete. The tail-TTFT lever is bounding the accepted
+    queue, not reordering it (queue-wait conservation)."""
+    from dsocr_tpu.server.scheduler import QueueDepthExceeded
+
+    tok = SlotTokenizer()
+    params = DecodeParameters(max_new_tokens=4, no_repeat_ngram_size=None)
+
+    async def go():
+        sched = ContinuousScheduler(
+            slot_engine, tok, n_slots=2, max_len=256, chunk_steps=2,
+            max_inflight=2,
+        )
+        first = [
+            asyncio.ensure_future(
+                sched.submit("<image>q", [_img(40 + i)], VS, params)
+            )
+            for i in range(2)
+        ]
+        await asyncio.sleep(0)  # both submits enqueue before the probe
+        try:
+            await sched.submit("<image>q", [_img(43)], VS, params)
+            shed = None
+        except QueueDepthExceeded as err:
+            shed = err
+        outs = await asyncio.gather(*first)
+        retry = await sched.submit("<image>q", [_img(43)], VS, params)
+        return shed, outs, retry, sched
+
+    shed, outs, retry, sched = asyncio.run(go())
+    assert shed is not None and shed.retry_after_s >= 2.0
+    assert sched.shed_requests == 1
+    assert all(o.response_tokens > 0 for o in outs)
+    assert retry.response_tokens > 0
