@@ -136,6 +136,27 @@ from ...ops.linear import project as _proj  # noqa: E402
 def qwen2_forward(
     params: Dict,
     cfg: DotsTextConfig,
+    embeds: jnp.ndarray,
+    positions: jnp.ndarray,
+    cache: KVCache,
+    rope_tables,
+    *,
+    mesh=None,
+    **kw,
+) -> Tuple[jnp.ndarray, KVCache]:
+    """Qwen2 decoder pass; `mesh` activates row-sharded quant matmuls
+    (ops/linear.quant_partition) for quantized serving under a dp mesh."""
+    from ...ops.linear import quant_partition
+
+    with quant_partition(mesh, "dp"):
+        return _qwen2_forward_body(
+            params, cfg, embeds, positions, cache, rope_tables, **kw
+        )
+
+
+def _qwen2_forward_body(
+    params: Dict,
+    cfg: DotsTextConfig,
     embeds: jnp.ndarray,  # [B, S, H]
     positions: jnp.ndarray,  # [B, S] int32
     cache: KVCache,

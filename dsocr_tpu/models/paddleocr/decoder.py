@@ -174,6 +174,26 @@ def _apply_mrope(x: jnp.ndarray, cos: jnp.ndarray, sin: jnp.ndarray) -> jnp.ndar
 def ernie_forward(
     params: Dict,
     cfg: PaddleConfig,
+    embeds: jnp.ndarray,
+    position_ids: jnp.ndarray,
+    cache: KVCache,
+    *,
+    mesh=None,
+    **kw,
+) -> Tuple[jnp.ndarray, KVCache]:
+    """Ernie decoder pass; `mesh` activates row-sharded quant matmuls
+    (ops/linear.quant_partition) for quantized serving under a dp mesh."""
+    from ...ops.linear import quant_partition
+
+    with quant_partition(mesh, "dp"):
+        return _ernie_forward_body(
+            params, cfg, embeds, position_ids, cache, **kw
+        )
+
+
+def _ernie_forward_body(
+    params: Dict,
+    cfg: PaddleConfig,
     embeds: jnp.ndarray,  # [B, S, H]
     position_ids: jnp.ndarray,  # [3, B, S] int32
     cache: KVCache,
