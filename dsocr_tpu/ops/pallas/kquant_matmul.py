@@ -852,9 +852,23 @@ def q4k_dense_experts_layered(
     )
 
 
+
+def _dense_tile_env(m: int) -> int:
+    """DSOCR_KQ_DENSE_TILE: out-tile override for the dense all-expert
+    k-quant kernels (VERDICT r4 #6 — the default _gather_tile picks 128
+    for m=896, so the VPU-bound plane decode runs in many small grid
+    cells; larger tiles amortize DMA + x loads). 0 or non-dividing
+    values fall back to the default."""
+    import os
+
+    t = int(os.environ.get("DSOCR_KQ_DENSE_TILE", "0"))
+    return t if t and m % t == 0 else 0
+
+
 def q4k_dense_experts_layered_auto(x, w, layer):
     return q4k_dense_experts_layered(
-        x, w, layer, interpret=jax.default_backend() != "tpu"
+        x, w, layer, interpret=jax.default_backend() != "tpu",
+        tile=_dense_tile_env(w["packed"].shape[-1]),
     )
 
 
@@ -895,7 +909,8 @@ def q4k_dense_experts_perx_layered(
 
 def q4k_dense_experts_perx_layered_auto(x, w, layer):
     return q4k_dense_experts_perx_layered(
-        x, w, layer, interpret=jax.default_backend() != "tpu"
+        x, w, layer, interpret=jax.default_backend() != "tpu",
+        tile=_dense_tile_env(w["packed"].shape[-1]),
     )
 
 
@@ -969,7 +984,8 @@ def q6k_dense_experts_layered(
 
 def q6k_dense_experts_layered_auto(x, w, layer):
     return q6k_dense_experts_layered(
-        x, w, layer, interpret=jax.default_backend() != "tpu"
+        x, w, layer, interpret=jax.default_backend() != "tpu",
+        tile=_dense_tile_env(w["ql_a"].shape[-1]),
     )
 
 
@@ -1011,7 +1027,8 @@ def q6k_dense_experts_perx_layered(
 
 def q6k_dense_experts_perx_layered_auto(x, w, layer):
     return q6k_dense_experts_perx_layered(
-        x, w, layer, interpret=jax.default_backend() != "tpu"
+        x, w, layer, interpret=jax.default_backend() != "tpu",
+        tile=_dense_tile_env(w["ql_a"].shape[-1]),
     )
 
 
