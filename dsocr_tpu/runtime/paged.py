@@ -136,6 +136,9 @@ def new_page_pool(
 
 
 class PagedSlotRunner(SlotRunner):
+    # join() allocates pool pages host-side per row — the batched
+    # wave-join fast path does not apply
+    supports_join_many = False
     """SlotRunner whose KV lives in a shared page pool.
 
     join() allocates pages for the row's prompt + generation budget,

@@ -378,6 +378,107 @@ class SlotRunner:
         )
         return state, finished, int(first)
 
+    # A whole admission wave in ONE dispatch (scheduler._admit_ready):
+    # 16 sequential join dispatches at a wave boundary stall the decode
+    # loop on per-call tunnel latency; the batched insert scans
+    # _join_impl over the stacked rows inside one jit. Paged runners
+    # override join() with host-side page allocation, so they keep the
+    # per-row path.
+    supports_join_many = True
+
+    def _join_many_impl(
+        self, state: SlotState, rows, row_k, row_v, prompt_rows,
+        prompt_lens, pos0s, firsts, actives, budgets, samp,
+    ) -> SlotState:
+        def body(st, xs):
+            (row, rk, rv, prow, plen, p0, ft, act, bud,
+             s_t, s_tp, s_tk, s_rp, s_ds, s_ng) = xs
+            samp1 = SlotSamplingParams(
+                temperature=s_t[None], top_p=s_tp[None], top_k=s_tk[None],
+                repetition_penalty=s_rp[None], do_sample=s_ds[None],
+                ngram=s_ng[None],
+            )
+            return (
+                self._join_impl(
+                    st, row, rk, rv, prow, plen, p0, ft, act, bud, samp1
+                ),
+                None,
+            )
+
+        xs = (
+            rows, row_k, row_v, prompt_rows, prompt_lens, pos0s, firsts,
+            actives, budgets, samp.temperature, samp.top_p, samp.top_k,
+            samp.repetition_penalty, samp.do_sample, samp.ngram,
+        )
+        state, _ = jax.lax.scan(body, state, xs)
+        return state
+
+    def join_many(
+        self,
+        state: SlotState,
+        rows: Sequence[int],
+        packets: Sequence[dict],
+        params_list: Sequence[Any],
+        max_news: Sequence[int],
+        firsts: Sequence[Optional[int]],
+    ) -> Tuple[SlotState, List[bool], List[int]]:
+        """Insert R same-s_pad prefilled requests in one jitted call.
+
+        Compile keys: (R, s_pad) — the scheduler's waves are full-slot
+        sized and prompts bucket to 128-multiples, so both stay few.
+        Returns (state, finished per row, first token per row)."""
+        C = state.context.shape[1]
+        R = len(rows)
+        firsts_out: List[int] = []
+        finished: List[bool] = []
+        prompt_rows = np.zeros((R, C), np.int32)
+        for i, (pre, params, max_new, first) in enumerate(
+            zip(packets, params_list, max_news, firsts)
+        ):
+            prompt_ids = pre["prompt_ids"]
+            n = len(prompt_ids)
+            if n > C:
+                raise ValueError(
+                    f"prompt ({n} tokens) exceeds context buffer {C}"
+                )
+            if first is None:
+                rng = np.random.default_rng(params.seed or 0)
+                first = select_token_id_host(
+                    np.asarray(pre["logits"], np.float32), params,
+                    list(prompt_ids), rng,
+                )
+            firsts_out.append(int(first))
+            finished.append(first in self.eos_ids or max_new <= 0)
+        prompt_lens = [len(p["prompt_ids"]) for p in packets]
+        pos0s = [
+            p.get("pos0") if p.get("pos0") is not None else prompt_lens[i]
+            for i, p in enumerate(packets)
+        ]
+        for i, (ids, n) in enumerate(zip(packets, prompt_lens)):
+            prompt_rows[i, :n] = ids["prompt_ids"]
+        samps = [SlotSamplingParams.full(1, p) for p in params_list]
+        samp = SlotSamplingParams(
+            *(jnp.concatenate(f) for f in zip(*samps))
+        )
+        if not hasattr(self, "_join_many_jit"):
+            self._join_many_jit = jax.jit(
+                self._join_many_impl, donate_argnums=(0,)
+            )
+        state = self._join_many_jit(
+            state,
+            jnp.asarray(np.asarray(rows, np.int32)),
+            jnp.stack([p["row_k"] for p in packets]),
+            jnp.stack([p["row_v"] for p in packets]),
+            jnp.asarray(prompt_rows),
+            jnp.asarray(np.asarray(prompt_lens, np.int32)),
+            jnp.asarray(np.asarray(pos0s, np.int32)),
+            jnp.asarray(np.asarray(firsts_out, np.int32)),
+            jnp.asarray(np.asarray([not f for f in finished], np.bool_)),
+            jnp.asarray(np.asarray(max_news, np.int32)),
+            samp,
+        )
+        return state, finished, firsts_out
+
     def select_first_tokens(
         self,
         packets: Sequence[dict],  # each with prompt_ids + logits ([V])

@@ -601,37 +601,109 @@ class ContinuousScheduler:
         finally:
             self._prefill_task = None
 
+    async def _admit_one(self, loop, row, job, pre) -> bool:
+        """Admit one packet into `row`. Returns False when admission must
+        pause (paged pool exhausted — the item was re-deferred)."""
+        try:
+            finished = await loop.run_in_executor(
+                None, self._join_ready, row, job, pre
+            )
+        except MemoryError as err:
+            # paged pool temporarily exhausted: defer until active
+            # rows release pages; fail only if nothing will ever free
+            if any(j is not None for j in self._rows):
+                self._deferred.append((job, pre))
+                return False
+            self._fail(job, err)
+            return True
+        except Exception as err:
+            self._fail(job, err)
+            return True
+        self._record_ttft(job)
+        if finished:
+            # the join allocated row resources (paged: pool pages)
+            # even though the row never decodes
+            await self._release_row_and_finalize(loop, row, job, [])
+        else:
+            self._rows[row] = job
+        return True
+
+    def _join_many_blocking(self, rows, jobs, pres):
+        _trace("join_many", rows=len(rows))
+        with Timer("slot.join"):
+            state, finished, firsts = self._runner.join_many(
+                self._state, rows, pres,
+                [j.params for j in jobs],
+                [j.max_new for j in jobs],
+                [j.first for j in jobs],
+            )
+        self._state = state
+        return finished
+
     async def _admit_ready(self, loop) -> None:
-        for row in self._free_rows():
+        free = self._free_rows()
+        items: List[Tuple] = []
+        while len(items) < len(free):
             if self._deferred:
-                job, pre = self._deferred.pop(0)
+                items.append(self._deferred.pop(0))
             else:
                 try:
-                    job, pre = self._ready_q.get_nowait()
+                    items.append(self._ready_q.get_nowait())
                 except asyncio.QueueEmpty:
-                    return
-            try:
-                finished = await loop.run_in_executor(
-                    None, self._join_ready, row, job, pre
-                )
-            except MemoryError as err:
-                # paged pool temporarily exhausted: defer until active
-                # rows release pages; fail only if nothing will ever free
-                if any(j is not None for j in self._rows):
-                    self._deferred.append((job, pre))
-                    return
-                self._fail(job, err)
-                continue
-            except Exception as err:
-                self._fail(job, err)
-                continue
-            self._record_ttft(job)
-            if finished:
-                # the join allocated row resources (paged: pool pages)
-                # even though the row never decodes
-                await self._release_row_and_finalize(loop, row, job, [])
-            else:
-                self._rows[row] = job
+                    break
+        if not items:
+            return
+        # Batched wave join: one jitted insert per same-s_pad group
+        # instead of a per-row dispatch each — 16 sequential join
+        # dispatches at a wave boundary stall the decode loop on tunnel
+        # latency. DSOCR_BATCH_JOIN=0 reverts to per-row admission.
+        use_batch = (
+            len(items) > 1
+            and self._runner is not None
+            and getattr(self._runner, "supports_join_many", False)
+            and os.environ.get("DSOCR_BATCH_JOIN", "1") != "0"
+        )
+        if use_batch:
+            groups: dict = {}
+            for (job, pre), row in zip(items, free):
+                key = pre["row_k"].shape[3]
+                groups.setdefault(key, []).append((row, job, pre))
+            for entries in groups.values():
+                if len(entries) == 1:
+                    row, job, pre = entries[0]
+                    await self._admit_one(loop, row, job, pre)
+                    continue
+                rows = [r for r, _, _ in entries]
+                jobs = [j for _, j, _ in entries]
+                pres = [p for _, _, p in entries]
+                try:
+                    finished = await loop.run_in_executor(
+                        None, self._join_many_blocking, rows, jobs, pres
+                    )
+                except Exception:
+                    # isolate failures per request on the fallback path
+                    # (a donated-state failure is caught by the worker's
+                    # recovery like any chunk fault)
+                    logger.warning(
+                        "batched join of %d rows failed; retrying per-row",
+                        len(rows), exc_info=True,
+                    )
+                    for row, job, pre in entries:
+                        await self._admit_one(loop, row, job, pre)
+                    continue
+                for (row, job, _), fin in zip(entries, finished):
+                    self._record_ttft(job)
+                    if fin:
+                        await self._release_row_and_finalize(loop, row, job, [])
+                    else:
+                        self._rows[row] = job
+            return
+        for i, ((job, pre), row) in enumerate(zip(items, free)):
+            if not await self._admit_one(loop, row, job, pre):
+                # admission paused (pool exhausted): keep the untried
+                # items queued in order behind the re-deferred one
+                self._deferred.extend(items[i + 1 :])
+                return
 
     async def _worker(self):
         loop = asyncio.get_running_loop()

@@ -843,3 +843,35 @@ def test_continuous_admission_cap_sheds(slot_engine):
     assert sched.shed_requests == 1
     assert all(o.response_tokens > 0 for o in outs)
     assert retry.response_tokens > 0
+
+
+def test_continuous_batched_join_matches_per_row(slot_engine, monkeypatch):
+    """DSOCR_BATCH_JOIN: the one-dispatch wave join must produce the
+    same tokens as per-row joins for a wave of mixed-params requests."""
+    tok = SlotTokenizer()
+    reqs = [
+        ("<image>aa", _img(70), DecodeParameters(max_new_tokens=5,
+                                                 no_repeat_ngram_size=None)),
+        ("<image>bbb", _img(71), DecodeParameters(max_new_tokens=8,
+                                                  repetition_penalty=1.5,
+                                                  no_repeat_ngram_size=3)),
+        ("<image>c", _img(72, 60, 40), DecodeParameters(max_new_tokens=6,
+                                                        no_repeat_ngram_size=None)),
+    ]
+
+    def serve():
+        async def go():
+            sched = ContinuousScheduler(slot_engine, tok, n_slots=3,
+                                        max_len=256, chunk_steps=3)
+            return await asyncio.gather(
+                *(sched.submit(p, [im], VS, pr) for p, im, pr in reqs)
+            )
+
+        return asyncio.run(go())
+
+    monkeypatch.setenv("DSOCR_BATCH_JOIN", "0")
+    per_row = serve()
+    monkeypatch.setenv("DSOCR_BATCH_JOIN", "1")
+    batched = serve()
+    for a, b in zip(per_row, batched):
+        assert a.generated_tokens == b.generated_tokens
