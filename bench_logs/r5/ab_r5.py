@@ -46,8 +46,10 @@ def main():
     )
     configs = []
     for part in cfg_spec.split(","):
-        name, slots, prefill, sparse = part.split(":")
-        configs.append((name, int(slots), int(prefill), sparse))
+        fields = part.split(":")
+        name, slots, prefill, sparse = fields[:4]
+        batch_join = fields[4] if len(fields) > 4 else "1"
+        configs.append((name, int(slots), int(prefill), sparse, batch_join))
 
     print(f"[ab] probe...", flush=True)
     t = probe_tunnel(3000.0, tag="ab_r5")
@@ -73,8 +75,9 @@ def main():
     max_len = min(engine.max_seq_len, ((s_pad + max_new + 511) // 512) * 512)
     del emb, probe_vin
 
-    def run_rep(name, slots, prefill, sparse, n):
+    def run_rep(name, slots, prefill, sparse, n, batch_join="1"):
         os.environ["DSOCR_SPARSE_UPLOAD"] = sparse
+        os.environ["DSOCR_BATCH_JOIN"] = batch_join
         sched = ContinuousScheduler(
             engine, tok, n_slots=slots, max_len=max_len,
             chunk_steps=128, prefill_batch=prefill,
@@ -111,15 +114,15 @@ def main():
         return rec
 
     # warmup each config once (compiles: 24-row chunk, sparse decode jits)
-    for name, slots, prefill, sparse in configs:
+    for name, slots, prefill, sparse, bj in configs:
         t0 = time.perf_counter()
-        run_rep("warm_" + name, slots, prefill, sparse, min(n_req, 2 * slots))
+        run_rep("warm_" + name, slots, prefill, sparse, min(n_req, 2 * slots), bj)
         print(f"[ab] warm {name} {time.perf_counter()-t0:.0f}s", flush=True)
 
     results = {}
     for r in range(rounds):
-        for name, slots, prefill, sparse in configs:
-            rec = run_rep(name, slots, prefill, sparse, n_req)
+        for name, slots, prefill, sparse, bj in configs:
+            rec = run_rep(name, slots, prefill, sparse, n_req, bj)
             results.setdefault(name, []).append(rec["pages_per_sec"])
     print(json.dumps({"summary": {k: v for k, v in results.items()}}), flush=True)
 
