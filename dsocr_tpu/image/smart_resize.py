@@ -51,7 +51,7 @@ class SmartResizeConfig:
 
 @dataclasses.dataclass
 class ImagePatches:
-    patches: np.ndarray  # [T*Hp*Wp, 3, patch, patch] float32
+    patches: np.ndarray  # [T*Hp*Wp, 3, patch, patch] f32 (uint8 from _raw)
     grid_thw: Tuple[int, int, int]
     height: int
     width: int
@@ -99,8 +99,35 @@ def smart_resize(
     return int(h_bar), int(w_bar)
 
 
+def norm_table(config: SmartResizeConfig) -> np.ndarray:
+    """[3, 256] f32 per-channel normalization lookup: entry [c, v] is
+    exactly ``(v f32 * rescale - mean[c]) / std[c]`` — the same per-value
+    f32 ops preprocess_patches applies to the whole image, so a LUT
+    lookup (host OR device) is bit-exact vs normalizing the image. Lets
+    serving ship RAW uint8 patches (4x fewer bytes over a slow
+    host↔device link) and normalize on device."""
+    mean = np.asarray(config.image_mean, dtype=np.float32)
+    std = np.asarray(config.image_std, dtype=np.float32)
+    v = np.arange(256, dtype=np.float32) * config.rescale_factor
+    return (v[None, :].astype(np.float32) - mean[:, None]) / std[:, None]
+
+
+def preprocess_patches_raw(
+    image: np.ndarray, config: SmartResizeConfig
+) -> ImagePatches:
+    """Like preprocess_patches but `patches` stays RAW uint8 (pre-
+    normalization); combine with norm_table for the exact f32 values."""
+    return _preprocess_patches(image, config, raw=True)
+
+
 def preprocess_patches(image: np.ndarray, config: SmartResizeConfig) -> ImagePatches:
     """RGB uint8 [H, W, 3] → normalized patch stack + grid metadata."""
+    return _preprocess_patches(image, config, raw=False)
+
+
+def _preprocess_patches(
+    image: np.ndarray, config: SmartResizeConfig, raw: bool
+) -> ImagePatches:
     orig_h, orig_w = image.shape[:2]
     resized_h, resized_w = smart_resize(
         orig_h, orig_w, config.factor, config.min_pixels, config.max_pixels
@@ -108,9 +135,13 @@ def preprocess_patches(image: np.ndarray, config: SmartResizeConfig) -> ImagePat
     if (orig_h, orig_w) != (resized_h, resized_w):
         image = resize_bicubic(image, resized_w, resized_h)
 
-    mean = np.asarray(config.image_mean, dtype=np.float32)
-    std = np.asarray(config.image_std, dtype=np.float32)
-    normalized = (image.astype(np.float32) * config.rescale_factor - mean) / std
+    if raw:
+        normalized = image  # uint8; LUT normalization happens later
+    else:
+        table = norm_table(config)
+        normalized = table[
+            np.arange(3)[None, None, :], image.astype(np.int64)
+        ]  # == (image f32 * rescale - mean) / std, per-value exact
 
     patch = config.patch_size
     if resized_h % patch or resized_w % patch:

@@ -15,7 +15,11 @@ import numpy as np
 from ...core import DecodeOutcome, DecodeParameters, ModelKind, VisionSettings
 from ...core.benchmark import Timer
 from ...core.text import normalize_text
-from ...image.smart_resize import SmartResizeConfig, preprocess_patches
+from ...image.smart_resize import (
+    SmartResizeConfig,
+    preprocess_patches,
+    preprocess_patches_raw,
+)
 from ...runtime import GenerateParams, Generator, clamp_new_tokens
 from ...runtime.kv_cache import bump_length, reset
 from .config import DotsConfig
@@ -121,18 +125,30 @@ class DotsOcrEngine:
 
     # -- vision -----------------------------------------------------------------
 
-    def _vision_forward(self, patches_np: np.ndarray, layout) -> jnp.ndarray:
-        """Packed DotsVision pass: jitted padded-bucket path by default
-        (one dispatch + one compile per quarter-octave length bucket —
-        the r4 attribution found dots single-page at 16.7 s/page with
-        the tower dispatching eagerly over the ~20 ms-latency tunnel and
-        recompiling per exact grid). DSOCR_DOTS_VISION_JIT=0 reverts to
-        the eager reference path."""
+    def _vision_forward(
+        self, patches_np: np.ndarray, layout, prep: SmartResizeConfig
+    ) -> jnp.ndarray:
+        """Packed DotsVision pass over RAW uint8 patches [N, 3, p, p]:
+        jitted padded-bucket path by default (one dispatch + one compile
+        per quarter-octave length bucket — the r4 attribution found dots
+        single-page at 16.7 s/page with the tower dispatching eagerly
+        over the ~20 ms-latency tunnel and recompiling per exact grid).
+        Normalization is a bit-exact on-device LUT (image.norm_table) so
+        uploads ship 4x fewer bytes; DSOCR_DOTS_U8_UPLOAD=0 ships
+        normalized f32, DSOCR_DOTS_VISION_JIT=0 reverts to the eager
+        reference path."""
         import os
 
+        from ...image.smart_resize import norm_table
+
         cfg = self.cfg.vision
+
+        def host_normalize(u8):
+            table = norm_table(prep)
+            return table[np.arange(3)[None, :, None, None], u8.astype(np.int64)]
+
         if os.environ.get("DSOCR_DOTS_VISION_JIT", "1") == "0":
-            packed = jnp.asarray(patches_np, self.dtype_)
+            packed = jnp.asarray(host_normalize(patches_np), self.dtype_)
             return dots_vision_forward(self.params["vision"], cfg, packed, layout)
         from ...ops.packed_attention import bucket_tokens
         from .vision import build_2d_rope_np, dots_vision_forward_packed
@@ -141,20 +157,47 @@ class DotsOcrEngine:
         n = patches_np.shape[0]
         n_pad = bucket_tokens(n, merge2)
         pad = n_pad - n
-        patches = np.asarray(patches_np, np.float32)
         cos, sin = build_2d_rope_np(layout.positions, cfg.head_dim)
         seg_parts = [
             np.full(length, fid, np.int32)
             for fid, (_, length) in enumerate(layout.frames)
         ]
         if pad:
-            patches = np.concatenate(
-                [patches, np.zeros((pad,) + patches.shape[1:], np.float32)]
-            )
             cos = np.concatenate([cos, np.ones((pad, cos.shape[1]), np.float32)])
             sin = np.concatenate([sin, np.zeros((pad, sin.shape[1]), np.float32)])
             seg_parts.append(np.full(pad, -1, np.int32))
         seg = np.concatenate(seg_parts) if seg_parts else np.zeros(0, np.int32)
+        if os.environ.get("DSOCR_DOTS_U8_UPLOAD", "1") != "0":
+            patches = patches_np
+            if pad:
+                patches = np.concatenate(
+                    [patches, np.zeros((pad,) + patches.shape[1:], np.uint8)]
+                )
+            if not hasattr(self, "_vision_jit_u8"):
+                def fn(params, u8, table, cos, sin, seg):
+                    idx = u8.astype(jnp.int32) + (
+                        jnp.arange(3, dtype=jnp.int32) * 256
+                    )[None, :, None, None]
+                    x = table.reshape(-1)[idx].astype(self.dtype_)
+                    return dots_vision_forward_packed(
+                        params, x, cos, sin, seg, cfg=cfg
+                    )
+
+                self._vision_jit_u8 = jax.jit(fn)
+            out = self._vision_jit_u8(
+                self.params["vision"],
+                jnp.asarray(patches),
+                jnp.asarray(norm_table(prep)),
+                jnp.asarray(cos),
+                jnp.asarray(sin),
+                jnp.asarray(seg),
+            )
+            return out[: layout.merge_groups]
+        patches = host_normalize(patches_np)
+        if pad:
+            patches = np.concatenate(
+                [patches, np.zeros((pad,) + patches.shape[1:], np.float32)]
+            )
         if not hasattr(self, "_vision_jit"):
             import functools
 
@@ -185,11 +228,11 @@ class DotsOcrEngine:
         all_patches = []
         grids = []
         for image in images:
-            p = preprocess_patches(np.asarray(image), prep)
+            p = preprocess_patches_raw(np.asarray(image), prep)
             all_patches.append(p.patches)
             grids.append(p.grid_thw)
         layout = SequenceLayout.from_grid(grids, self.cfg.vision.spatial_merge_size)
-        merged = self._vision_forward(np.concatenate(all_patches), layout)
+        merged = self._vision_forward(np.concatenate(all_patches), layout, prep)
         merge_area = self.cfg.vision.spatial_merge_size**2
         outputs = []
         offset = 0

@@ -78,9 +78,27 @@ def glm_smart_resize(
     return max(h_bar, factor), max(w_bar, factor)
 
 
-def preprocess_glm_image(image: np.ndarray, cfg: GlmConfig) -> Tuple[np.ndarray, Tuple[int, int, int]]:
-    """RGB uint8 → ([N, C·tps·ps·ps] f32 patches in merge-window order
-    with the frame duplicated across temporal, grid (1, gh, gw))."""
+def glm_norm_table(cfg: GlmConfig) -> np.ndarray:
+    """[3, 256] f32 per-channel normalization lookup: entry [c, v] is
+    exactly ``((v/255 as f64 → f32) - mean[c]) / std[c]`` — the same
+    per-value ops the reference normalization applies, so table lookup
+    (host OR device) is bit-exact vs normalizing the full image."""
+    mean = np.asarray(cfg.image_mean, np.float32)
+    std = np.asarray(cfg.image_std, np.float32)
+    v = (np.arange(256, dtype=np.float64) / 255.0).astype(np.float32)
+    return (v[None, :] - mean[:, None]) / std[:, None]
+
+
+def preprocess_glm_image_raw(
+    image: np.ndarray, cfg: GlmConfig
+) -> Tuple[np.ndarray, Tuple[int, int, int]]:
+    """RGB uint8 → ([N, 3, ps, ps] uint8 patches in merge-window order
+    BEFORE normalization/temporal duplication, grid (1, gh, gw)).
+
+    The u8 form is what serving ships over the host↔device link: the
+    f32 patch tensor with temporal duplication is 8x the bytes (e.g.
+    ~122 MB vs ~15 MB for a native-res page) on a ~40 MB/s tunnel —
+    normalization (bit-exact LUT) + duplication run on device."""
     v = cfg.vision
     ps, merge, tps = v.patch_size, v.spatial_merge_size, v.temporal_patch_size
     factor = ps * merge
@@ -88,16 +106,31 @@ def preprocess_glm_image(image: np.ndarray, cfg: GlmConfig) -> Tuple[np.ndarray,
     rh, rw = glm_smart_resize(h, w, factor, tps, cfg.min_pixels, cfg.max_pixels)
     if (rh, rw) != (h, w):
         image = resize_bicubic(image, rw, rh)
-    mean = np.asarray(cfg.image_mean, np.float32)
-    std = np.asarray(cfg.image_std, np.float32)
-    norm = ((image.astype(np.float64) / 255.0).astype(np.float32) - mean) / std
     gh, gw = rh // ps, rw // ps
-    # [rh, rw, C] → merge-window patch order, per patch [C, tps, ps, ps]
-    x = norm.reshape(gh // merge, merge, ps, gw // merge, merge, ps, 3)
+    # [rh, rw, C] → merge-window patch order, per patch [C, ps, ps]
+    x = image.reshape(gh // merge, merge, ps, gw // merge, merge, ps, 3)
     x = x.transpose(0, 3, 1, 4, 6, 2, 5)  # [GH, GW, mh, mw, C, ps, ps]
-    x = x.reshape(gh * gw, 3, ps, ps)
-    x = np.repeat(x[:, :, None], tps, axis=2)  # duplicate frame across temporal
-    return x.reshape(gh * gw, -1), (1, gh, gw)
+    return x.reshape(gh * gw, 3, ps, ps), (1, gh, gw)
+
+
+def glm_normalize_host(u8_patches: np.ndarray, cfg: GlmConfig) -> np.ndarray:
+    """[N, 3, ps, ps] u8 → [N, C·tps·ps·ps] f32 (reference layout): LUT
+    normalize + temporal duplication, for the eager/reference path."""
+    tps = cfg.vision.temporal_patch_size
+    table = glm_norm_table(cfg)
+    n = u8_patches.shape[0]
+    vals = table[
+        np.arange(3)[None, :, None], u8_patches.reshape(n, 3, -1)
+    ]  # [N, 3, ps*ps]
+    vals = np.repeat(vals[:, :, None], tps, axis=2)  # [N, 3, tps, ps*ps]
+    return vals.reshape(n, -1)
+
+
+def preprocess_glm_image(image: np.ndarray, cfg: GlmConfig) -> Tuple[np.ndarray, Tuple[int, int, int]]:
+    """RGB uint8 → ([N, C·tps·ps·ps] f32 patches in merge-window order
+    with the frame duplicated across temporal, grid (1, gh, gw))."""
+    u8, grid = preprocess_glm_image_raw(image, cfg)
+    return glm_normalize_host(u8, cfg), grid
 
 
 class GlmOcrEngine:
@@ -154,27 +187,31 @@ class GlmOcrEngine:
 
     # -- vision ---------------------------------------------------------------
 
-    def _vision_forward(self, patches_np: np.ndarray, grids) -> jnp.ndarray:
-        """Pooled GLM tower over packed patches [N, C·tps·ps·ps].
+    def _vision_forward(self, u8_patches: np.ndarray, grids) -> jnp.ndarray:
+        """Pooled GLM tower over packed u8 patches [N, 3, ps, ps].
 
         Default: the jitted padded-bucket path (glm_vision_forward_packed
         — ONE dispatch per page instead of an eager op-by-op walk paying
-        ~20 ms tunnel latency per op, the r4 GLM serve wall). Padded
-        lengths bucket quarter-octave so compile keys stay bounded.
+        ~20 ms tunnel latency per op, the r4 GLM serve wall), fed RAW
+        uint8 patches: normalization is a bit-exact on-device LUT and the
+        temporal duplication happens on device, so ~8x fewer bytes cross
+        the ~40 MB/s link than the f32 patch tensor.
+        DSOCR_GLM_U8_UPLOAD=0 ships normalized f32 instead;
         DSOCR_GLM_VISION_JIT=0 reverts to the eager reference path."""
         import os
 
         cfg = self.cfg
         if os.environ.get("DSOCR_GLM_VISION_JIT", "1") == "0":
-            packed = jnp.asarray(patches_np, self.dtype_)
+            packed = jnp.asarray(
+                glm_normalize_host(u8_patches, cfg), self.dtype_
+            )
             return glm_vision_forward(
                 self.params["vision"], cfg.vision, packed, grids
             )
         merge2 = cfg.vision.spatial_merge_size ** 2
-        n = patches_np.shape[0]
+        n = u8_patches.shape[0]
         n_pad = bucket_tokens(n, merge2)
         pad = n_pad - n
-        patches = np.asarray(patches_np, np.float32)
         cos, sin = build_rotary_np(grids, cfg.vision)
         seg_parts = []
         fid = 0
@@ -183,13 +220,49 @@ class GlmOcrEngine:
                 seg_parts.append(np.full(h * w, fid, np.int32))
                 fid += 1
         if pad:
-            patches = np.concatenate(
-                [patches, np.zeros((pad, patches.shape[1]), np.float32)]
-            )
             cos = np.concatenate([cos, np.ones((pad, cos.shape[1]), np.float32)])
             sin = np.concatenate([sin, np.zeros((pad, sin.shape[1]), np.float32)])
             seg_parts.append(np.full(pad, -1, np.int32))
         seg = np.concatenate(seg_parts)
+        u8_upload = os.environ.get("DSOCR_GLM_U8_UPLOAD", "1") != "0"
+        if u8_upload:
+            patches = u8_patches
+            if pad:
+                patches = np.concatenate(
+                    [patches, np.zeros((pad,) + patches.shape[1:], np.uint8)]
+                )
+            if not hasattr(self, "_vision_jit_u8"):
+                tps = cfg.vision.temporal_patch_size
+
+                def fn(params, u8, table, cos, sin, seg):
+                    nn = u8.shape[0]
+                    idx = u8.reshape(nn, 3, -1).astype(jnp.int32) + (
+                        jnp.arange(3, dtype=jnp.int32) * 256
+                    )[None, :, None]
+                    vals = table.reshape(-1)[idx]  # [N, 3, ps²] f32, exact
+                    x = jnp.broadcast_to(
+                        vals[:, :, None, :], (nn, 3, tps, vals.shape[-1])
+                    ).reshape(nn, -1).astype(self.dtype_)
+                    return glm_vision_forward_packed(
+                        params, x, cos, sin, seg, cfg=cfg.vision
+                    )
+
+                self._vision_jit_u8 = jax.jit(fn)
+                self._norm_table = jnp.asarray(glm_norm_table(cfg))
+            out = self._vision_jit_u8(
+                self.params["vision"],
+                jnp.asarray(patches),
+                self._norm_table,
+                jnp.asarray(cos),
+                jnp.asarray(sin),
+                jnp.asarray(seg),
+            )
+            return out[: n // merge2]
+        patches = glm_normalize_host(u8_patches, cfg)
+        if pad:
+            patches = np.concatenate(
+                [patches, np.zeros((pad, patches.shape[1]), np.float32)]
+            )
         if not hasattr(self, "_vision_jit"):
             import functools
 
@@ -337,7 +410,7 @@ class GlmOcrEngine:
         for _, images, _ in requests:
             grids = []
             for image in images:
-                patches, grid = preprocess_glm_image(np.asarray(image), cfg)
+                patches, grid = preprocess_glm_image_raw(np.asarray(image), cfg)
                 all_patches.append(patches)
                 grids.append(grid)
             per_req_grids.append(grids)
@@ -488,7 +561,7 @@ class GlmOcrEngine:
         grids: List[Tuple[int, int, int]] = []
         patch_arrays = []
         for image in images:
-            patches, grid = preprocess_glm_image(np.asarray(image), cfg)
+            patches, grid = preprocess_glm_image_raw(np.asarray(image), cfg)
             patch_arrays.append(patches)
             grids.append(grid)
         embeddings = None
@@ -560,7 +633,7 @@ class GlmOcrEngine:
         grids: List[Tuple[int, int, int]] = []
         patch_arrays = []
         for image in images:
-            patches, grid = preprocess_glm_image(np.asarray(image), cfg)
+            patches, grid = preprocess_glm_image_raw(np.asarray(image), cfg)
             patch_arrays.append(patches)
             grids.append(grid)
         embeddings = None

@@ -289,8 +289,9 @@ def test_dots_loader_roundtrip(tmp_path):
 def test_vision_jit_matches_eager(tiny_engine, monkeypatch):
     """The padded-bucket jitted tower (segment-mask packed attention)
     must reproduce the eager per-frame path on a multi-image pack with
-    unequal grids."""
-    from dsocr_tpu.image import SmartResizeConfig, preprocess_patches
+    unequal grids, in both upload modes (u8 LUT on device vs f32)."""
+    from dsocr_tpu.image import SmartResizeConfig
+    from dsocr_tpu.image.smart_resize import preprocess_patches_raw
     from dsocr_tpu.models.dots.vision import SequenceLayout
 
     rng = np.random.default_rng(21)
@@ -305,19 +306,54 @@ def test_vision_jit_matches_eager(tiny_engine, monkeypatch):
     )
     patches, grids = [], []
     for im in images:
-        p = preprocess_patches(im, prep)
+        p = preprocess_patches_raw(im, prep)
         patches.append(p.patches)
         grids.append(p.grid_thw)
     layout = SequenceLayout.from_grid(
         grids, tiny_engine.cfg.vision.spatial_merge_size
     )
     packed = np.concatenate(patches)
+    assert packed.dtype == np.uint8
     monkeypatch.setenv("DSOCR_DOTS_VISION_JIT", "0")
-    eager = np.asarray(tiny_engine._vision_forward(packed, layout))
+    eager = np.asarray(tiny_engine._vision_forward(packed, layout, prep))
     monkeypatch.setenv("DSOCR_DOTS_VISION_JIT", "1")
-    jitted = np.asarray(tiny_engine._vision_forward(packed, layout))
-    assert eager.shape == jitted.shape
-    np.testing.assert_allclose(jitted, eager, rtol=2e-5, atol=2e-5)
+    monkeypatch.setenv("DSOCR_DOTS_U8_UPLOAD", "0")
+    jitted_f32 = np.asarray(tiny_engine._vision_forward(packed, layout, prep))
+    monkeypatch.setenv("DSOCR_DOTS_U8_UPLOAD", "1")
+    jitted_u8 = np.asarray(tiny_engine._vision_forward(packed, layout, prep))
+    assert eager.shape == jitted_f32.shape == jitted_u8.shape
+    np.testing.assert_allclose(jitted_f32, eager, rtol=2e-5, atol=2e-5)
+    # the u8 LUT path feeds bit-identical pixels into the same graph
+    np.testing.assert_array_equal(jitted_u8, jitted_f32)
+
+
+def test_norm_table_bit_exact_vs_reference_formula():
+    """image.norm_table LUT must equal the pre-r5 whole-image formula
+    ((x f32 * rescale) - mean) / std exactly, and preprocess_patches
+    (which now routes through the LUT) must match it."""
+    from dsocr_tpu.image import SmartResizeConfig, preprocess_patches
+    from dsocr_tpu.image.smart_resize import norm_table
+
+    cfg = SmartResizeConfig(
+        patch_size=2, merge_size=2, min_pixels=1, max_pixels=16 * 32,
+        image_mean=(0.48145466, 0.4578275, 0.40821073),
+        image_std=(0.26862954, 0.26130258, 0.27577711),
+    )
+    rng = np.random.default_rng(31)
+    image = rng.integers(0, 256, (16, 32, 3), dtype=np.uint8)
+    mean = np.asarray(cfg.image_mean, np.float32)
+    std = np.asarray(cfg.image_std, np.float32)
+    ref = (image.astype(np.float32) * cfg.rescale_factor - mean) / std
+    table = norm_table(cfg)
+    lut = table[np.arange(3)[None, None, :], image.astype(np.int64)]
+    np.testing.assert_array_equal(lut, ref)
+    got = preprocess_patches(image, cfg)
+    # reconstruct the patch stack from ref the old way
+    gh, gw, p = 16 // 2, 32 // 2, 2
+    old = ref.reshape(gh, p, gw, p, 3).transpose(0, 2, 4, 1, 3).reshape(
+        gh * gw, 3, p, p
+    )
+    np.testing.assert_array_equal(got.patches, old)
 
 
 def test_engine_decode_tokens_jit_vs_eager(tiny_engine, monkeypatch):

@@ -251,8 +251,9 @@ def test_bucket_tokens_bounds_keys():
 
 def test_vision_jit_matches_eager(tiny_engine, monkeypatch):
     """The padded-bucket jitted tower must reproduce the eager path on a
-    multi-image pack with unequal grids (segment mask + padding)."""
-    from dsocr_tpu.models.glm.engine import preprocess_glm_image
+    multi-image pack with unequal grids (segment mask + padding), in
+    both upload modes (u8 LUT on device vs normalized f32)."""
+    from dsocr_tpu.models.glm.engine import preprocess_glm_image_raw
 
     rng = np.random.default_rng(11)
     images = [
@@ -261,16 +262,55 @@ def test_vision_jit_matches_eager(tiny_engine, monkeypatch):
     ]
     patches, grids = [], []
     for im in images:
-        p, g = preprocess_glm_image(im, tiny_engine.cfg)
+        p, g = preprocess_glm_image_raw(im, tiny_engine.cfg)
         patches.append(p)
         grids.append(g)
     packed = np.concatenate(patches)
     monkeypatch.setenv("DSOCR_GLM_VISION_JIT", "0")
     eager = np.asarray(tiny_engine._vision_forward(packed, grids))
     monkeypatch.setenv("DSOCR_GLM_VISION_JIT", "1")
-    jitted = np.asarray(tiny_engine._vision_forward(packed, grids))
-    assert eager.shape == jitted.shape
-    np.testing.assert_allclose(jitted, eager, rtol=2e-5, atol=2e-5)
+    monkeypatch.setenv("DSOCR_GLM_U8_UPLOAD", "0")
+    jitted_f32 = np.asarray(tiny_engine._vision_forward(packed, grids))
+    monkeypatch.setenv("DSOCR_GLM_U8_UPLOAD", "1")
+    jitted_u8 = np.asarray(tiny_engine._vision_forward(packed, grids))
+    assert eager.shape == jitted_f32.shape == jitted_u8.shape
+    np.testing.assert_allclose(jitted_f32, eager, rtol=2e-5, atol=2e-5)
+    # the u8 LUT path feeds bit-identical pixels into the same graph
+    np.testing.assert_array_equal(jitted_u8, jitted_f32)
+
+
+def test_glm_norm_table_bit_exact():
+    """LUT normalization must equal the reference formula exactly:
+    ((x f64 / 255) → f32 − mean) / std, per channel."""
+    from dsocr_tpu.models.glm.engine import (
+        glm_normalize_host,
+        preprocess_glm_image_raw,
+    )
+
+    rng = np.random.default_rng(13)
+    image = rng.integers(0, 256, (40, 60, 3), dtype=np.uint8)
+    cfg = CFG
+    v = cfg.vision
+    ps, merge, tps = v.patch_size, v.spatial_merge_size, v.temporal_patch_size
+    u8, grid = preprocess_glm_image_raw(image, cfg)
+    got = glm_normalize_host(u8, cfg)
+    # original (pre-r5) computation, inlined as the spec
+    from dsocr_tpu.image.resample import resize_bicubic
+    from dsocr_tpu.models.glm.engine import glm_smart_resize
+
+    h, w = image.shape[:2]
+    rh, rw = glm_smart_resize(
+        h, w, ps * merge, tps, cfg.min_pixels, cfg.max_pixels
+    )
+    img = resize_bicubic(image, rw, rh) if (rh, rw) != (h, w) else image
+    mean = np.asarray(cfg.image_mean, np.float32)
+    std = np.asarray(cfg.image_std, np.float32)
+    norm = ((img.astype(np.float64) / 255.0).astype(np.float32) - mean) / std
+    gh, gw = rh // ps, rw // ps
+    x = norm.reshape(gh // merge, merge, ps, gw // merge, merge, ps, 3)
+    x = x.transpose(0, 3, 1, 4, 6, 2, 5).reshape(gh * gw, 3, ps, ps)
+    x = np.repeat(x[:, :, None], tps, axis=2).reshape(gh * gw, -1)
+    np.testing.assert_array_equal(got, x)
 
 
 def test_engine_decode_tokens_jit_vs_eager(tiny_engine, monkeypatch):
