@@ -137,7 +137,7 @@ class PaddleOcrEngine:
         # batched tower (images vmapped over a leading axis; one compile
         # per distinct grid) for pooled slot prefill
         self._vision_batched_jit = jax.jit(
-            jax.vmap(self._vision_impl, in_axes=(None, 0, 0, 0, None)),
+            jax.vmap(self._vision_impl, in_axes=(None, 0, 0, 0, None, None)),
             static_argnums=(4,),
         )
 
@@ -157,7 +157,17 @@ class PaddleOcrEngine:
 
     # -- vision ---------------------------------------------------------------
 
-    def _vision_impl(self, params, patches, height_ids, width_ids, grid_thw):
+    def _vision_impl(self, params, patches, height_ids, width_ids, grid_thw,
+                     table=None):
+        if patches.dtype == jnp.uint8:
+            # raw u8 upload (4x fewer bytes over the tunneled link):
+            # normalize on device via the bit-exact per-channel LUT
+            # (image.norm_table — same per-value f32 ops as
+            # preprocess_patches)
+            idx = patches.astype(jnp.int32) + (
+                jnp.arange(3, dtype=jnp.int32) * 256
+            )[None, :, None, None]
+            patches = table.reshape(-1)[idx].astype(self.dtype_)
         feats = siglip_forward(
             params["vision"],
             self.cfg.vision_config,
@@ -172,15 +182,16 @@ class PaddleOcrEngine:
     def encode_image(
         self, image: np.ndarray, vision: VisionSettings
     ) -> ProjectedImage:
-        patches: ImagePatches = self._preprocess_for_grid(image, vision)
+        patches, table = self._preprocess_for_grid(image, vision)
         t, gh, gw = patches.grid_thw
         merge = self.cfg.vision_config.spatial_merge_size
         embeds = self._vision_jit(
             self.params,
-            jnp.asarray(patches.patches, self.dtype_),
+            self._upload_patches(patches),
             jnp.asarray(patches.height_ids, jnp.int32),
             jnp.asarray(patches.width_ids, jnp.int32),
             grid_thw=(t, gh, gw),
+            table=jnp.asarray(table),
         )
         return ProjectedImage(
             embeddings=embeds,
@@ -328,12 +339,27 @@ class PaddleOcrEngine:
         )
 
     def _preprocess_for_grid(self, image: np.ndarray, vision: VisionSettings):
+        """→ (ImagePatches, [3,256] norm table). Default ships RAW u8
+        patches (4x fewer bytes over the link; the tower jit normalizes
+        via the bit-exact LUT on device); DSOCR_PADDLE_U8_UPLOAD=0
+        reverts to normalized f32 (the table is then a dummy)."""
+        import os
+
+        from ...image.smart_resize import norm_table, preprocess_patches_raw
+
         prep = SmartResizeConfig(
             patch_size=self.cfg.vision_config.patch_size,
             merge_size=self.cfg.vision_config.spatial_merge_size,
             **getattr(self, "prep_overrides", {}),
         ).with_max_image_size(vision.image_size)
-        return preprocess_patches(image, prep)
+        if os.environ.get("DSOCR_PADDLE_U8_UPLOAD", "1") != "0":
+            return preprocess_patches_raw(image, prep), norm_table(prep)
+        return preprocess_patches(image, prep), np.zeros((3, 256), np.float32)
+
+    def _upload_patches(self, p: "ImagePatches"):
+        if p.patches.dtype == np.uint8:
+            return jnp.asarray(p.patches)
+        return jnp.asarray(p.patches, self.dtype_)
 
     def prefill_for_slots(self, tokenizer, requests):
         """Batched prefill for the scheduler's prefill worker: images
@@ -343,44 +369,46 @@ class PaddleOcrEngine:
         requests = [(prompt, images, vision), ...]."""
         merge = self.cfg.vision_config.spatial_merge_size
         # host preprocess everything, keyed by (request, image) position
-        prepped: List[List[ImagePatches]] = [
+        prepped: List[List[Tuple[ImagePatches, np.ndarray]]] = [
             [self._preprocess_for_grid(np.asarray(img), vision) for img in images]
             for (_, images, vision) in requests
         ]
         groups: Dict[Tuple[int, int, int], List[Tuple[int, int]]] = {}
         for r, plist in enumerate(prepped):
-            for i, p in enumerate(plist):
+            for i, (p, _) in enumerate(plist):
                 groups.setdefault(p.grid_thw, []).append((r, i))
         projected: Dict[Tuple[int, int], ProjectedImage] = {}
         for grid, locs in groups.items():
             t, gh, gw = grid
             if len(locs) == 1:
                 r, i = locs[0]
-                p = prepped[r][i]
+                p, table = prepped[r][i]
                 embeds = self._vision_jit(
                     self.params,
-                    jnp.asarray(p.patches, self.dtype_),
+                    self._upload_patches(p),
                     jnp.asarray(p.height_ids, jnp.int32),
                     jnp.asarray(p.width_ids, jnp.int32),
                     grid_thw=grid,
+                    table=jnp.asarray(table),
                 )
                 batch_embeds = embeds[None]
             else:
+                stacked = np.stack([prepped[r][i][0].patches for r, i in locs])
                 batch_embeds = self._vision_batched_jit(
                     self.params,
+                    jnp.asarray(stacked)
+                    if stacked.dtype == np.uint8
+                    else jnp.asarray(stacked, self.dtype_),
                     jnp.asarray(
-                        np.stack([prepped[r][i].patches for r, i in locs]),
-                        self.dtype_,
-                    ),
-                    jnp.asarray(
-                        np.stack([prepped[r][i].height_ids for r, i in locs]),
+                        np.stack([prepped[r][i][0].height_ids for r, i in locs]),
                         jnp.int32,
                     ),
                     jnp.asarray(
-                        np.stack([prepped[r][i].width_ids for r, i in locs]),
+                        np.stack([prepped[r][i][0].width_ids for r, i in locs]),
                         jnp.int32,
                     ),
                     grid,
+                    jnp.asarray(prepped[locs[0][0]][locs[0][1]][1]),
                 )
             for b, (r, i) in enumerate(locs):
                 projected[(r, i)] = ProjectedImage(

@@ -309,3 +309,19 @@ def test_engine_streaming(tiny_engine):
     assert seen, "stream callback must fire"
     for a, b in zip(seen, seen[1:]):
         assert b[: len(a)] == a
+
+
+def test_encode_image_u8_upload_matches_f32(tiny_engine, monkeypatch):
+    """Raw-u8 patch upload + on-device LUT normalization must equal the
+    normalized-f32 upload exactly (same values into the same graph)."""
+    rng = np.random.default_rng(41)
+    image = rng.integers(0, 256, size=(28, 56, 3), dtype=np.uint8)
+    settings = VisionSettings(base_size=28, image_size=56, crop_mode=False)
+    monkeypatch.setenv("DSOCR_PADDLE_U8_UPLOAD", "0")
+    f32 = tiny_engine.encode_image(image, settings)
+    monkeypatch.setenv("DSOCR_PADDLE_U8_UPLOAD", "1")
+    u8 = tiny_engine.encode_image(image, settings)
+    np.testing.assert_array_equal(
+        np.asarray(f32.embeddings), np.asarray(u8.embeddings)
+    )
+    assert f32.original_grid == u8.original_grid
