@@ -653,15 +653,20 @@ class ContinuousScheduler:
                     break
         if not items:
             return
-        # Batched wave join: one jitted insert per same-s_pad group
-        # instead of a per-row dispatch each — 16 sequential join
-        # dispatches at a wave boundary stall the decode loop on tunnel
-        # latency. DSOCR_BATCH_JOIN=0 reverts to per-row admission.
+        # Batched wave join (DSOCR_BATCH_JOIN=1): one jitted insert per
+        # same-s_pad group instead of a per-row dispatch each. Measured
+        # SLOWER on the real chip (r5 interleaved A/B at 96x16: 1.43/1.83
+        # vs 2.14/2.14 pages/sec, bench_logs/r5/ab4_join.log): per-row
+        # joins dispatch async and never stalled the loop, while the
+        # batched path pays a materialized [R, L, 1, H, s, D] stack of
+        # the wave's KV rows plus a 16-step scanned update over the full
+        # slot state. Default OFF; kept for narrow-wave setups where the
+        # dispatch count dominates.
         use_batch = (
             len(items) > 1
             and self._runner is not None
             and getattr(self._runner, "supports_join_many", False)
-            and os.environ.get("DSOCR_BATCH_JOIN", "1") != "0"
+            and os.environ.get("DSOCR_BATCH_JOIN", "0") == "1"
         )
         if use_batch:
             groups: dict = {}
