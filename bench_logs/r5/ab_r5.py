@@ -49,18 +49,31 @@ def main():
         fields = part.split(":")
         name, slots, prefill, sparse = fields[:4]
         batch_join = fields[4] if len(fields) > 4 else "1"
-        configs.append((name, int(slots), int(prefill), sparse, batch_join))
+        quant = fields[5] if len(fields) > 5 else "q8_0"
+        configs.append(
+            (name, int(slots), int(prefill), sparse, batch_join, quant)
+        )
 
     print(f"[ab] probe...", flush=True)
     t = probe_tunnel(3000.0, tag="ab_r5")
     print(f"[ab] probe ok {t:.1f}s", flush=True)
 
-    t0 = time.perf_counter()
-    engine = DeepseekOcrEngine(
-        DeepseekOcrConfig(), dtype=jnp.bfloat16, max_seq_len=4096,
-        quantize="q8_0", kv_quant="int8",
-    )
-    print(f"[ab] engine ready {time.perf_counter()-t0:.0f}s", flush=True)
+    engines = {}
+
+    def get_engine(quant):
+        if quant not in engines:
+            t0 = time.perf_counter()
+            engines[quant] = DeepseekOcrEngine(
+                DeepseekOcrConfig(), dtype=jnp.bfloat16, max_seq_len=4096,
+                quantize=quant, kv_quant="int8",
+            )
+            print(
+                f"[ab] engine[{quant}] ready {time.perf_counter()-t0:.0f}s",
+                flush=True,
+            )
+        return engines[quant]
+
+    engine = get_engine(configs[0][5])
     image = load_page_image("BENCH_IMAGE", False)
     settings = VisionSettings(base_size=1024, image_size=640, crop_mode=True)
     params = DecodeParameters(max_new_tokens=max_new)
@@ -75,11 +88,11 @@ def main():
     max_len = min(engine.max_seq_len, ((s_pad + max_new + 511) // 512) * 512)
     del emb, probe_vin
 
-    def run_rep(name, slots, prefill, sparse, n, batch_join="1"):
+    def run_rep(name, slots, prefill, sparse, n, batch_join="1", quant="q8_0"):
         os.environ["DSOCR_SPARSE_UPLOAD"] = sparse
         os.environ["DSOCR_BATCH_JOIN"] = batch_join
         sched = ContinuousScheduler(
-            engine, tok, n_slots=slots, max_len=max_len,
+            get_engine(quant), tok, n_slots=slots, max_len=max_len,
             chunk_steps=128, prefill_batch=prefill,
         )
 
@@ -114,15 +127,18 @@ def main():
         return rec
 
     # warmup each config once (compiles: 24-row chunk, sparse decode jits)
-    for name, slots, prefill, sparse, bj in configs:
+    for name, slots, prefill, sparse, bj, q in configs:
         t0 = time.perf_counter()
-        run_rep("warm_" + name, slots, prefill, sparse, min(n_req, 2 * slots), bj)
+        run_rep(
+            "warm_" + name, slots, prefill, sparse, min(n_req, 2 * slots),
+            bj, q,
+        )
         print(f"[ab] warm {name} {time.perf_counter()-t0:.0f}s", flush=True)
 
     results = {}
     for r in range(rounds):
-        for name, slots, prefill, sparse, bj in configs:
-            rec = run_rep(name, slots, prefill, sparse, n_req, bj)
+        for name, slots, prefill, sparse, bj, q in configs:
+            rec = run_rep(name, slots, prefill, sparse, n_req, bj, q)
             results.setdefault(name, []).append(rec["pages_per_sec"])
     print(json.dumps({"summary": {k: v for k, v in results.items()}}), flush=True)
 

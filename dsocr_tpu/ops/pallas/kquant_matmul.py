@@ -854,15 +854,24 @@ def q4k_dense_experts_layered(
 
 
 def _dense_tile_env(m: int) -> int:
-    """DSOCR_KQ_DENSE_TILE: out-tile override for the dense all-expert
-    k-quant kernels (VERDICT r4 #6 — the default _gather_tile picks 128
-    for m=896, so the VPU-bound plane decode runs in many small grid
-    cells; larger tiles amortize DMA + x loads). 0 or non-dividing
-    values fall back to the default."""
+    """Out-tile for the dense all-expert k-quant kernels (VERDICT r4
+    #6): _gather_tile's 128 runs the plane decode in many small grid
+    cells; the r5 TPU sweep measured the widest 128-aligned divisor
+    (896 at m=1792) at 8.88 vs 9.86 ms/step @16 rows
+    (bench_logs/r5/attr_q4k_tile*.log). Default: largest divisor of m
+    that is a multiple of 128 and ≤896 (keeps decoded bf16 planes well
+    under VMEM at DeepSeek geometry). DSOCR_KQ_DENSE_TILE overrides;
+    invalid values (non-dividing or not 128-aligned) fall back."""
     import os
 
     t = int(os.environ.get("DSOCR_KQ_DENSE_TILE", "0"))
-    return t if t and m % t == 0 else 0
+    if t and m % t == 0 and t % 128 == 0:
+        return t
+    best = 0
+    for cand in range(128, min(m, 896) + 1, 128):
+        if m % cand == 0:
+            best = cand
+    return best
 
 
 def q4k_dense_experts_layered_auto(x, w, layer):
