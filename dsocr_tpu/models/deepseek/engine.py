@@ -507,14 +507,27 @@ class DeepseekOcrEngine:
                 params["ocr2"]["view_seperator"].astype(self.dtype_)[None, :]
             )
             return jnp.concatenate(segments, axis=0)
+        import os
+
         newline = params["projector"]["image_newline"]
-        # prefetch tiles on the transfer thread while the global view computes
-        tiles_fut = (
-            self._transfer_pool.submit(jax.device_put, vin.patches)
-            if vin.patches is not None
-            else None
+        sparse = (
+            self.mesh is None
+            and os.environ.get("DSOCR_SPARSE_UPLOAD", "1") != "0"
         )
-        global_proj = self._tower_jitted(jnp.asarray(vin.global_pixels))
+        # prefetch tiles on the transfer thread while the global view computes
+        if vin.patches is None:
+            tiles_fut = None
+        elif sparse:
+            tiles_fut = _SparseUpload(self, vin.patches, jax.device_put)
+        else:
+            tiles_fut = self._transfer_pool.submit(jax.device_put, vin.patches)
+        if sparse:
+            global_dev = _SparseUpload(
+                self, np.asarray(vin.global_pixels), jax.device_put
+            ).result()
+        else:
+            global_dev = jnp.asarray(vin.global_pixels)
+        global_proj = self._tower_jitted(global_dev)
         global_tokens = format_global_tokens(
             global_proj.astype(self.dtype_), newline
         )

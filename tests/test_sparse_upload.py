@@ -146,3 +146,15 @@ def test_serving_tokens_sparse_vs_raw(engine, monkeypatch):
         np.testing.assert_array_equal(
             np.asarray(a["logits"]), np.asarray(b["logits"])
         )
+
+
+def test_solo_embedding_sparse_vs_raw(engine, monkeypatch):
+    """compute_image_embedding (single-request path) must be identical
+    under sparse upload — its tiles AND global view ship coded."""
+    settings = VisionSettings(base_size=64, image_size=64, crop_mode=True)
+    vin = engine.prepare_vision_input(_doc_image(30, 70, 140), settings)
+    monkeypatch.setenv("DSOCR_SPARSE_UPLOAD", "0")
+    raw = np.asarray(engine.compute_image_embedding(vin))
+    monkeypatch.setenv("DSOCR_SPARSE_UPLOAD", "1")
+    sparse = np.asarray(engine.compute_image_embedding(vin))
+    np.testing.assert_array_equal(raw, sparse)
