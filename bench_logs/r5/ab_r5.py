@@ -50,8 +50,9 @@ def main():
         name, slots, prefill, sparse = fields[:4]
         batch_join = fields[4] if len(fields) > 4 else "1"
         quant = fields[5] if len(fields) > 5 else "q8_0"
+        extra = fields[6] if len(fields) > 6 else ""  # "K=V;K=V"
         configs.append(
-            (name, int(slots), int(prefill), sparse, batch_join, quant)
+            (name, int(slots), int(prefill), sparse, batch_join, quant, extra)
         )
 
     print(f"[ab] probe...", flush=True)
@@ -88,9 +89,14 @@ def main():
     max_len = min(engine.max_seq_len, ((s_pad + max_new + 511) // 512) * 512)
     del emb, probe_vin
 
-    def run_rep(name, slots, prefill, sparse, n, batch_join="1", quant="q8_0"):
+    def run_rep(name, slots, prefill, sparse, n, batch_join="1", quant="q8_0",
+                extra=""):
         os.environ["DSOCR_SPARSE_UPLOAD"] = sparse
         os.environ["DSOCR_BATCH_JOIN"] = batch_join
+        for kv in extra.split(";"):
+            if "=" in kv:
+                k, v = kv.split("=", 1)
+                os.environ[k] = v
         sched = ContinuousScheduler(
             get_engine(quant), tok, n_slots=slots, max_len=max_len,
             chunk_steps=128, prefill_batch=prefill,
@@ -127,18 +133,18 @@ def main():
         return rec
 
     # warmup each config once (compiles: 24-row chunk, sparse decode jits)
-    for name, slots, prefill, sparse, bj, q in configs:
+    for name, slots, prefill, sparse, bj, q, ex in configs:
         t0 = time.perf_counter()
         run_rep(
             "warm_" + name, slots, prefill, sparse, min(n_req, 2 * slots),
-            bj, q,
+            bj, q, ex,
         )
         print(f"[ab] warm {name} {time.perf_counter()-t0:.0f}s", flush=True)
 
     results = {}
     for r in range(rounds):
-        for name, slots, prefill, sparse, bj, q in configs:
-            rec = run_rep(name, slots, prefill, sparse, n_req, bj, q)
+        for name, slots, prefill, sparse, bj, q, ex in configs:
+            rec = run_rep(name, slots, prefill, sparse, n_req, bj, q, ex)
             results.setdefault(name, []).append(rec["pages_per_sec"])
     print(json.dumps({"summary": {k: v for k, v in results.items()}}), flush=True)
 

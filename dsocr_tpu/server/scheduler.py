@@ -764,6 +764,22 @@ class ContinuousScheduler:
                     if any(j.stream_cb is not None for j in active_jobs)
                     else self.chunk_steps
                 )
+                # Adaptive admission chunking (r5 trace finding,
+                # bench_logs/r5/trace_rep.log): packets that finish
+                # prefill mid-chunk wait a full chunk (+speculation) for
+                # a slot while decode runs at reduced occupancy — at a
+                # wave boundary that is a ~1-2 s bubble. While slots are
+                # FREE and a prefill wave is still brewing, decode in
+                # short chunks so admission latency drops to ~1/4 chunk;
+                # full slots (or a drained prefill queue) keep the full
+                # chunk. DSOCR_ADMIT_CHUNK=0 disables.
+                admit_chunk = int(os.environ.get("DSOCR_ADMIT_CHUNK", "32"))
+                if (
+                    admit_chunk
+                    and self._free_rows()
+                    and self._prefill_task is not None
+                ):
+                    chunk = min(chunk, admit_chunk)
                 try:
                     await self._run_chunks_and_harvest(loop, active_jobs, chunk)
                 except Exception as err:
