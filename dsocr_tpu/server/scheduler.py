@@ -764,16 +764,18 @@ class ContinuousScheduler:
                     if any(j.stream_cb is not None for j in active_jobs)
                     else self.chunk_steps
                 )
-                # Adaptive admission chunking (r5 trace finding,
-                # bench_logs/r5/trace_rep.log): packets that finish
-                # prefill mid-chunk wait a full chunk (+speculation) for
-                # a slot while decode runs at reduced occupancy — at a
-                # wave boundary that is a ~1-2 s bubble. While slots are
-                # FREE and a prefill wave is still brewing, decode in
-                # short chunks so admission latency drops to ~1/4 chunk;
-                # full slots (or a drained prefill queue) keep the full
-                # chunk. DSOCR_ADMIT_CHUNK=0 disables.
-                admit_chunk = int(os.environ.get("DSOCR_ADMIT_CHUNK", "32"))
+                # Adaptive admission chunking (DSOCR_ADMIT_CHUNK=N):
+                # packets that finish prefill mid-chunk wait a full chunk
+                # (+speculation) for a slot while decode runs at reduced
+                # occupancy (r5 trace, bench_logs/r5/trace_rep.log) —
+                # short chunks while slots are free and a prefill wave is
+                # brewing cut that admission latency. Measured SLOWER on
+                # the tunneled chip (interleaved 96x16: 1.85/1.99 vs
+                # 2.14/2.04 pages/sec, ab6_admit.log): each extra chunk
+                # boundary pays a dispatch+harvest round trip that
+                # outweighs the recovered idle. Default OFF; useful where
+                # dispatch latency is small (local PCIe hosts).
+                admit_chunk = int(os.environ.get("DSOCR_ADMIT_CHUNK", "0"))
                 if (
                     admit_chunk
                     and self._free_rows()
