@@ -145,6 +145,25 @@ def main() -> int:
         f"({nbytes / up_s / 1e6:.0f} MB/s, {up_s / n * 1000:.0f} ms/page)",
         flush=True,
     )
+    # sparse-coded sizes (what serving actually ships, r5): encode the
+    # same tile stacks host-side and report the byte cut
+    try:
+        from ..image.sparse_code import encode_views
+
+        t0 = time.perf_counter()
+        coded = sum(
+            (sp.nbytes if (sp := encode_views(np.asarray(p))) else p.nbytes)
+            for p in pix
+        )
+        enc_s = time.perf_counter() - t0
+        print(
+            f"sparse-coded upload would be: {coded / 1e6:.0f} MB "
+            f"({coded / max(nbytes, 1):.2f}x of raw; host encode "
+            f"{enc_s:.2f}s)",
+            flush=True,
+        )
+    except Exception as err:
+        print(f"sparse-coding probe failed: {err}", flush=True)
 
     # (b) host-only preprocessing
     t0 = time.perf_counter()
