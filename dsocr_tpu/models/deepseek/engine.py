@@ -458,10 +458,21 @@ class DeepseekOcrEngine:
                 if pad:
                     batch = np.concatenate([batch, batch[-1:].repeat(pad, 0)])
                 # background-thread upload overlaps the previous chunk's
-                # encoder compute (same reasoning as the OCR1 path above)
-                chunks.append(
-                    (self._transfer_pool.submit(jax.device_put, batch), pad)
-                )
+                # encoder compute (same reasoning as the OCR1 path
+                # above); document pages ship sparse-coded (bit-exact)
+                import os as _os
+
+                if (
+                    self.mesh is None
+                    and _os.environ.get("DSOCR_SPARSE_UPLOAD", "1") != "0"
+                ):
+                    chunks.append(
+                        (_SparseUpload(self, batch, jax.device_put), pad)
+                    )
+                else:
+                    chunks.append(
+                        (self._transfer_pool.submit(jax.device_put, batch), pad)
+                    )
             outs_flat = []
             for fut, pad in chunks:
                 out = self._ocr2_jit(fut.result())

@@ -158,3 +158,30 @@ def test_solo_embedding_sparse_vs_raw(engine, monkeypatch):
     monkeypatch.setenv("DSOCR_SPARSE_UPLOAD", "1")
     sparse = np.asarray(engine.compute_image_embedding(vin))
     np.testing.assert_array_equal(raw, sparse)
+
+
+def test_ocr2_pooled_embeddings_sparse_vs_raw(monkeypatch):
+    """The OCR2 pooled-tower path also ships sparse-coded views —
+    embeddings must be identical either way."""
+    import dataclasses as dc
+
+    from dsocr_tpu.models.deepseek.config import tiny_deepseek_config
+    from dsocr_tpu.models.deepseek.ocr2 import tiny_qwen2_encoder_params
+
+    cfg = dc.replace(tiny_deepseek_config(), variant="ocr2", clip=None)
+    engine2 = DeepseekOcrEngine(
+        cfg, dtype=jnp.float32, max_seq_len=512,
+        ocr2_params=tiny_qwen2_encoder_params(),
+    )
+    settings = VisionSettings(base_size=128, image_size=128, crop_mode=True)
+    vins = [
+        engine2.prepare_vision_input(_doc_image(40 + s, 300, 500), settings)
+        for s in range(3)
+    ]
+    assert vins[0].patches is not None  # pooled locals really exercised
+    monkeypatch.setenv("DSOCR_SPARSE_UPLOAD", "0")
+    raw = engine2._ocr2_embeddings_batched(vins)
+    monkeypatch.setenv("DSOCR_SPARSE_UPLOAD", "1")
+    sparse = engine2._ocr2_embeddings_batched(vins)
+    for a, b in zip(raw, sparse):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
